@@ -1,0 +1,283 @@
+"""Named query registry: one entry per operator from SURVEY §2 plus the
+extended large-scale-pipeline surface (dedup / similarity / text).
+
+Each entry pairs a Spark DataFrame plan with the ANSI-SQL oracle the
+driver runs in DuckDB over the same parquet (``__spark_entry__.py``
+re-exports both sides).  Design rules that make the hash-compare
+deterministic across engines:
+
+- Every computed column is aliased identically on both sides.
+- Money aggregates are summed as DECIMAL(18,2)/(18,4) (exact, order
+  insensitive) and only then cast to DOUBLE — a float sum over an
+  unordered shuffle is not reproducible, a decimal sum is.
+- Ratios/averages are one deterministic double division of exact
+  decimals/longs.
+- Rankings always carry a unique-key tiebreak.
+- Timestamps are compared in UTC (session TZ pinned in session.py).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_repartition_watermark_example_spark.operators.windowed import windowed_agg, windowed_count
+from flink_repartition_watermark_example_spark.sources.tables import load_table
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    """A named engine capability: Spark plan + DuckDB oracle (None for
+    ops whose semantics are not ANSI-SQL-expressible — driver then runs
+    the weaker rows-only check)."""
+
+    spark: SparkQuery
+    oracle: str | None
+    doc: str = ""
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        QUERIES[name] = Query(spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def dec_sum(col, alias: str, scale: int = 2):
+    """Exact decimal sum rendered as double — reproducible across
+    engines regardless of partitioning/order (see module doc)."""
+    return (
+        F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity surface (SURVEY §2.1): windowed keyed aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "windowed_count",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS aggregate
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="Flagship: hourly event count per key — the reference's whole "
+    "pipeline (Main.scala:24-26) on the events table.",
+)
+def q_windowed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed_count(_t(spark, sf_dir, "events"), "ts", ["event_type"])
+
+
+@register(
+    "windowed_sum",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS aggregate,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="Windowed fold generalized beyond count (the reference's fold is "
+    "generic over Numeric, WindowAggregate.scala:22-31).",
+)
+def q_windowed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed_agg(
+        _t(spark, sf_dir, "events"),
+        "ts",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("aggregate"), dec_sum("value", "sum_value")],
+    )
+
+
+@register(
+    "windowed_daily_user_activity",
+    """
+    SELECT date_trunc('day', ts) AS window_start,
+           date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+           user_id,
+           count(*) AS aggregate,
+           count(DISTINCT event_type) AS distinct_types
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="Daily tumbling windows keyed by user — window-size generality "
+    "of S6 plus distinct aggregation.",
+)
+def q_windowed_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed_agg(
+        _t(spark, sf_dir, "events"),
+        "ts",
+        ["user_id"],
+        [
+            F.count(F.lit(1)).alias("aggregate"),
+            F.count_distinct(F.col("event_type")).alias("distinct_types"),
+        ],
+        window_size="1 day",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Standard-catalog batch surface (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_returnflag = 'N'
+    """,
+    doc="Scan + pushed filter + pruned projection; .explain shows "
+    "PushedFilters on l_shipdate/l_returnflag and a 5-column ReadSchema.",
+)
+def q_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_returnflag") == "N")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+           count(*) AS count_order,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary: multi-aggregate keyed hash agg "
+    "(partial+final, exact decimal arithmetic).",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+    )
+
+
+@register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    doc="Top-k: Spark's TakeOrderedAndProject — per-partition heap then "
+    "driver merge of k rows, no global sort at scale.",
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "distinct_users_by_type",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS distinct_users
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Distinct aggregation (expand + two-phase agg).",
+)
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct(F.col("user_id")).alias("distinct_users"))
+    )
+
+
+@register(
+    "revenue_by_segment",
+    """
+    SELECT c.c_mktsegment,
+           count(*) AS order_count,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Fact-dim join with explicit broadcast of the dim side — no "
+    "shuffle of the fact table for the join at any scale.",
+)
+def q_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            dec_sum("o_totalprice", "revenue"),
+        )
+    )
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+    doc="Semi-structured extraction from the JSON props column "
+    "(get_json_object — JVM-side Jackson, no UDF).",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.select("event_id", k.alias("prop_k")).where(F.col("prop_k").isNotNull())

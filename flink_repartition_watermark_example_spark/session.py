@@ -1,0 +1,73 @@
+"""SparkSession factory.
+
+Plays the role of the reference's StreamExecutionEnvironment setup
+(reference Main.scala:18-20: local embedded cluster, parallelism 2,
+event-time characteristic). Here the session-wide decisions that matter
+for correctness and 100 TB scale are made once:
+
+- **UTC session timezone** — the reference builds all timestamps in UTC
+  (Main.scala:10-11) and window bucketing must floor in UTC to agree
+  with the DuckDB oracle.
+- **AQE on** — runtime coalescing of shuffle partitions, skew-join
+  splitting, and dynamic join-strategy selection; this is the knob that
+  lets one logical plan serve sf0.001 and 100 TB.
+- **Arrow on** — every pandas interchange (Pandas UDFs, toPandas) is
+  Arrow-batched, never per-row pickled.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "flink-repartition-watermark-example-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    On a real cluster ``master`` comes from spark-submit; locally we
+    default to ``local[$SPARK_GRAFT_CPUS]`` which models a
+    32-slot executor pool in one JVM.
+    """
+    cpus = _default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # Correctness-critical: hour buckets must floor in UTC
+        # (reference Main.scala:10-11 builds UTC DateTimes).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Scale: AQE re-plans at runtime — coalesces small shuffle
+        # partitions, splits skewed ones, demotes SMJ→broadcast when a
+        # side turns out small.  Free insurance at 100 TB.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions is not None else cpus),
+        )
+        # All pandas interchange is Arrow-batched (UDFs in operators/).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The reference's two skewed sources union into one query with
+        # min-combined watermarks (reference README.md:23-24); this is
+        # Spark's default but we pin it because the semantics under
+        # test depend on it (SURVEY §1.4).
+        .config("spark.sql.streaming.multipleWatermarkPolicy", "min")
+        # Quieter local runs; harmless on a cluster.
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.metricsEnabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
