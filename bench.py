@@ -1,0 +1,52 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
+line with per-query wall seconds.
+
+Execution is measured with the ``noop`` sink so the full distributed
+pipeline (scan → shuffle → agg) runs without driver-side collect cost.
+The reference baseline (BASELINE.md) is ~223 s for 345,600 events,
+throttle-bound; sf0.1 here is ~1.2M events + 600k lineitem.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_repartition_watermark_example_spark import get_spark
+from flink_repartition_watermark_example_spark.queries import QUERIES
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="engine-bench")
+
+    # JVM/codegen warmup on a trivial plan so q1 isn't charged for JIT.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, q in QUERIES.items():
+        t0 = time.perf_counter()
+        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "engine_bench_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
