@@ -1,0 +1,144 @@
+"""Text column expressions — all JVM-side built-ins, no UDFs.
+
+Every function here has an exact DuckDB twin (the ``*_sql`` renderers)
+so text operators stay on the driver's oracle-checked path.  At 100 TB
+these run inside whole-stage codegen over the parquet scan: no Python,
+no shuffle until an aggregation asks for one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- tokenization ---------------------------------------------------------
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def tokens_sql(expr: str) -> str:
+    return f"regexp_split_to_array(trim({expr}), '\\s+')"
+
+
+def shingles(toks: Column, n: int) -> Column:
+    """Word n-gram shingles: ['a','b','c','d'], n=3 → ['a b c','b c d'].
+    Docs shorter than n tokens yield an empty array."""
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def shingles_sql(toks_expr: str, n: int) -> str:
+    return (
+        f"CASE WHEN len({toks_expr}) < {n} THEN []::VARCHAR[] ELSE "
+        f"list_transform(range(1, len({toks_expr}) - {n - 1} + 1), "
+        f"i -> array_to_string(list_slice({toks_expr}, i, i + {n - 1}), ' ')) END"
+    )
+
+
+# --- language ID heuristic ------------------------------------------------
+
+# Tiny per-language stopword inventories (public-knowledge common words).
+# The heuristic: score(lang) = #distinct tokens ∩ stopwords(lang); pick
+# the argmax with a fixed tiebreak order, 'und' if all scores are 0.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "for", "on", "with"),
+    "es": ("el", "la", "de", "los", "las", "y", "en", "que", "un", "una"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu"),
+    "fr": ("le", "les", "et", "des", "un", "une", "est", "dans", "pour", "que"),
+    "zh": ("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"),
+}
+LANG_ORDER = tuple(STOPWORDS)  # deterministic tiebreak: first wins
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    d = F.array_distinct(toks)
+    return {
+        lang: F.size(F.array_intersect(d, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_id(toks: Column) -> Column:
+    scores = lang_scores(toks)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # Iterate in reverse so earlier languages win ties (strict > against
+    # the running best built from later languages).
+    for lang in reversed(LANG_ORDER):
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return best
+
+
+def lang_id_sql(toks_expr: str) -> str:
+    score = {
+        lang: (
+            f"len(list_intersect(list_distinct({toks_expr}), "
+            f"{list(words)!r}))"
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    # Same semantics as lang_id(): first language in LANG_ORDER with the
+    # strictly-highest score; 'und' when all zero.
+    whens = []
+    for i, lang in enumerate(LANG_ORDER):
+        others_before = [f"{score[lang]} > {score[o]}" for o in LANG_ORDER[:i]]
+        others_after = [f"{score[lang]} >= {score[o]}" for o in LANG_ORDER[i + 1:]]
+        conds = [f"{score[lang]} > 0"] + others_before + others_after
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+# --- quality score --------------------------------------------------------
+# score = 0.5*min(1, n_tokens/200) + 0.3*min(1, 10*stop/n_tokens)
+#       + 0.2*min(1, avg_word_len/8), all double arithmetic in fixed
+# order so Spark and DuckDB produce identical bits.
+
+_EN = STOPWORDS["en"]
+
+
+def quality_score(text_col: Column, toks: Column) -> Column:
+    n = F.size(toks).cast("double")
+    stop = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in _EN]))).cast("double")
+    awl = (F.length(F.trim(text_col)) - (n - F.lit(1.0))) / n
+    return (
+        F.least(F.lit(1.0), n / F.lit(200.0)) * F.lit(0.5)
+        + F.least(F.lit(1.0), F.lit(10.0) * stop / n) * F.lit(0.3)
+        + F.least(F.lit(1.0), awl / F.lit(8.0)) * F.lit(0.2)
+    )
+
+
+def quality_score_sql(text_expr: str, toks_expr: str) -> str:
+    n = f"len({toks_expr})::DOUBLE"
+    stop = f"len(list_intersect(list_distinct({toks_expr}), {list(_EN)!r}))::DOUBLE"
+    awl = f"((length(trim({text_expr})) - ({n} - 1.0)) / {n})"
+    return (
+        f"least(1.0, {n} / 200.0) * 0.5"
+        f" + least(1.0, 10.0 * {stop} / {n}) * 0.3"
+        f" + least(1.0, {awl} / 8.0) * 0.2"
+    )
+
+
+# --- fingerprint ----------------------------------------------------------
+
+
+def fingerprint(toks: Column) -> Column:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token set — two docs with the same bag of words collide, which is
+    the normalized-dedup key."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+
+
+def fingerprint_sql(toks_expr: str) -> str:
+    return (
+        f"md5(array_to_string(list_sort(list_distinct({toks_expr})), ' '))"
+    )

@@ -1,0 +1,109 @@
+"""Similarity search over the ``embeddings`` table (north-star
+surface): brute-force cosine top-k as the correctness baseline, and a
+random-hyperplane LSH-bucketed path as the scale variant.
+
+Scale shapes:
+- Brute force is O(|Q|·|N|) but |Q| (the query set) is broadcast, so
+  the big side never shuffles — per-executor it's a tight
+  codegen'd loop over zip_with/aggregate.  Right answer for small
+  query sets; at 100 TB of corpus it's one full scan per batch of
+  queries.
+- The LSH path buckets both sides by hyperplane sign-bits first, so
+  candidate generation is an equi-join on bucket id — sublinear
+  per-query work at the cost of recall.  The hyperplanes are
+  *compile-time constants* (seeded md5 → ±1 components) so the same
+  plan is reproducible everywhere, including in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flink_repartition_watermark_example_spark.functions.vectors import as_double, cosine, dot
+
+EMBED_DIM = 64
+NUM_PLANES = 4  # 16 LSH buckets
+
+
+def _plane_component(p: int, i: int) -> float:
+    """Deterministic ±1.0 hyperplane component — md5-seeded so every
+    engine (and every build) derives the identical planes."""
+    h = hashlib.md5(f"hp{p}d{i}".encode()).hexdigest()
+    return 1.0 if int(h[:15], 16) % 2 == 1 else -1.0
+
+
+def hyperplanes(num_planes: int = NUM_PLANES, dim: int = EMBED_DIM) -> list[list[float]]:
+    return [[_plane_component(p, i) for i in range(dim)] for p in range(num_planes)]
+
+
+def bucket_col(vec, planes: list[list[float]]):
+    """LSH bucket id: bit p = sign of <vec, plane_p>."""
+    b = F.lit(0)
+    for p, plane in enumerate(planes):
+        proj = dot(vec, F.array(*[F.lit(c) for c in plane]))
+        b = b + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return b
+
+
+def cosine_topk(
+    emb: DataFrame,
+    num_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force exact top-k: for each query vector (vec_id <
+    num_queries), the k nearest corpus vectors (vec_id >= num_queries)
+    by cosine, vec_id as the deterministic tiebreak.
+
+    The query side is broadcast — the corpus scan never shuffles; the
+    only wide operation is the per-query top-k (TakeOrdered per
+    window partition over k·|Q| rows)."""
+    q = emb.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    c = emb.where(F.col("vec_id") >= num_queries).select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def neardup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.25,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: same LSH bucket AND cosine ≥
+    threshold.  Candidate generation is an equi-join on bucket id —
+    never an all-pairs cross product."""
+    planes = planes or hyperplanes()
+    v = emb.select(
+        "vec_id",
+        as_double("embedding").alias("v"),
+    ).withColumn("bucket", bucket_col(F.col("v"), planes))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

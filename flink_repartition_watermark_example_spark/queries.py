@@ -281,3 +281,10 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
     return ev.select("event_id", k.alias("prop_k")).where(F.col("prop_k").isNotNull())
+
+
+# Extension registries (imported last for their @register side effects;
+# the circular import is safe because `register` is defined above).
+from flink_repartition_watermark_example_spark import queries_text  # noqa: E402,F401
+from flink_repartition_watermark_example_spark import queries_dedup  # noqa: E402,F401
+from flink_repartition_watermark_example_spark import queries_similarity  # noqa: E402,F401

@@ -1,0 +1,140 @@
+"""Dedup-family query registrations.  The DuckDB oracles reconstruct
+the exact same shingle → md5-minhash → band → bucket-join pipeline in
+SQL, so the whole LSH path is value-checked, not just row-counted."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_repartition_watermark_example_spark.functions import textfns as TX
+from flink_repartition_watermark_example_spark.functions.hashing import md5_long_sql
+from flink_repartition_watermark_example_spark.operators import dedup as DD
+from flink_repartition_watermark_example_spark.queries import register
+from flink_repartition_watermark_example_spark.sources.tables import load_table
+
+# Shared CTE prefix: tokens → distinct shingles → minhash signature rows
+# (doc_id, perm, minhash) — the SQL twin of operators/dedup.py.
+_SHINGLES = TX.shingles_sql("t", DD.SHINGLE_N)
+_MINHASH = md5_long_sql("(x || '#' || k::VARCHAR)")
+
+_SIG_CTES = f"""
+    toks AS (SELECT doc_id, {TX.tokens_sql('text')} AS t FROM documents),
+    sh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM toks),
+    sig AS (
+      SELECT doc_id, k AS perm,
+             list_min(list_transform(s, x -> {_MINHASH})) AS minhash
+      FROM sh, range(0, {DD.NUM_PERMS}) r(k)
+      WHERE len(s) > 0
+    )
+"""
+
+_BANDS_CTE = f"""
+    bands AS (
+      SELECT doc_id, perm // {DD.ROWS_PER_BAND} AS band,
+             {md5_long_sql("array_to_string(list(minhash ORDER BY perm), ',')")}
+               AS band_hash
+      FROM sig GROUP BY doc_id, perm // {DD.ROWS_PER_BAND}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@register(
+    "exact_dedup_docs",
+    """
+    SELECT text, min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM documents GROUP BY text
+    """,
+    doc="Exact dedup on raw text: representative (min id) + group size.",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup(load_table(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+@register(
+    "fingerprint_dedup",
+    f"""
+    WITH toks AS (SELECT doc_id, {TX.tokens_sql('text')} AS t FROM documents)
+    SELECT {TX.fingerprint_sql('t')} AS fingerprint,
+           min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM toks GROUP BY 1
+    """,
+    doc="Normalized dedup on the sorted-distinct-token fingerprint — "
+    "catches word-order shuffles exact dedup misses.",
+)
+def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = TX.fingerprint(TX.tokens("text"))
+    return DD.exact_dedup(docs.select("doc_id", fp.alias("fingerprint")), ["fingerprint"], "doc_id")
+
+
+@register(
+    "minhash_signatures",
+    f"WITH {_SIG_CTES} SELECT doc_id, perm, minhash FROM sig",
+    doc="Minhash signatures (16 perms over distinct 3-gram shingles), "
+    "exploded to scalar rows; md5-hash family shared with the oracle.",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "lsh_candidate_pairs",
+    f"""
+    WITH {_SIG_CTES}, {_BANDS_CTE}
+    SELECT doc_a, doc_b,
+           (SELECT sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)::DOUBLE
+                   / count(*)
+            FROM sig sa JOIN sig sb ON sa.perm = sb.perm
+            WHERE sa.doc_id = doc_a AND sb.doc_id = doc_b) AS est_jaccard
+    FROM cand
+    """,
+    doc="LSH near-dup candidates (4 bands × 4 rows) with estimated "
+    "jaccard = minhash agreement rate. Bucket equi-joins only — "
+    "no O(n²) stage at any scale.",
+)
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH {_SIG_CTES}, {_BANDS_CTE}
+    SELECT doc_a, doc_b,
+           len(list_intersect(ha.s, hb.s))::DOUBLE
+             / len(list_distinct(list_concat(ha.s, hb.s))) AS jaccard
+    FROM cand JOIN sh ha ON ha.doc_id = doc_a JOIN sh hb ON hb.doc_id = doc_b
+    WHERE len(list_intersect(ha.s, hb.s))::DOUBLE
+            / len(list_distinct(list_concat(ha.s, hb.s))) >= 0.3
+    """,
+    doc="Exact 3-gram jaccard over LSH candidates, threshold 0.3 — "
+    "LSH proposes, exact set-jaccard disposes.",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "simhash_docs",
+    f"""
+    WITH toks AS (SELECT doc_id, list_distinct({TX.tokens_sql('text')}) AS t
+                  FROM documents),
+    h AS (SELECT doc_id, list_transform(t, x -> {md5_long_sql('x')}) AS hs FROM toks)
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, {DD.SIMHASH_BITS}), b ->
+             CASE WHEN list_sum(list_transform(hs, h ->
+                    CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                  THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+    FROM h
+    """,
+    doc="60-bit simhash over the distinct token set — column algebra "
+    "only, one scan, no shuffle.",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash(load_table(spark, sf_dir, "documents"))
