@@ -288,3 +288,4 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 from flink_repartition_watermark_example_spark import queries_text  # noqa: E402,F401
 from flink_repartition_watermark_example_spark import queries_dedup  # noqa: E402,F401
 from flink_repartition_watermark_example_spark import queries_similarity  # noqa: E402,F401
+from flink_repartition_watermark_example_spark import queries_catalog  # noqa: E402,F401

@@ -1,0 +1,293 @@
+"""Standard-catalog query registrations (SURVEY §2.2 sweep): join
+shapes, analytic window functions, grouping sets, set ops, as-of logic,
+sliding and session windows.
+
+Scale notes are per-query; the recurring theme is: broadcast every
+dimension table (datamodel.BROADCAST_TABLES), shuffle only fact
+tables, and express rankings as bounded per-partition window
+computations."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flink_repartition_watermark_example_spark.queries import dec_sum, register
+from flink_repartition_watermark_example_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "multi_join_revenue",
+    """
+    SELECT n.n_name AS nation,
+           count(*) AS line_count,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5-style 5-way star join: lineitem⋈orders shuffles on "
+    "orderkey; customer/nation/region are broadcast so the fact "
+    "pipeline never re-shuffles for dimensions.",
+)
+def q_multi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    c, n, r = (
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(F.col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("line_count"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
+    "semi_join_active_customers",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 100000)
+    """,
+    doc="Left-semi join (EXISTS): customers with a >100k order.",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    big = o.where(F.col("o_totalprice") > 100000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "anti_join_dormant_customers",
+    """
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 450000)
+    """,
+    doc="Left-anti join (NOT EXISTS): customers with no >450k order "
+    "(every customer has *some* order in the test data, so the "
+    "predicate keeps the result set non-degenerate).",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    big = o.where(F.col("o_totalprice") > 450000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT c.c_mktsegment AS mktsegment, o.o_orderstatus AS orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY ROLLUP (c.c_mktsegment, o.o_orderstatus)
+    """,
+    doc="ROLLUP grouping sets: segment × status, segment subtotals, "
+    "grand total — one Expand + hash agg, no repeated scans.",
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("o_orderstatus").alias("orderstatus"),
+            "o_totalprice",
+        )
+        .rollup("mktsegment", "orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice", "revenue"),
+        )
+    )
+
+
+@register(
+    "window_rank_orders",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC)
+               AS rn,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_total
+      FROM orders)
+    WHERE rn <= 3
+    """,
+    doc="Analytic window functions (ranking + partitioned sum) — "
+    "distinct from the streaming time-window grouping (SURVEY §2.2 "
+    "warns not to conflate them).",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    wsum = Window.partitionBy("o_custkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(wsum)
+            .cast("double")
+            .alias("cust_total"),
+        )
+        .where(F.col("rn") <= 3)
+        .withColumn("rn", F.col("rn").cast("long"))
+    )
+
+
+@register(
+    "union_active_days",
+    """
+    SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS day FROM orders
+    UNION
+    SELECT CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS day FROM lineitem
+    """,
+    doc="Set op: UNION DISTINCT of two date domains (emitted as "
+    "midnight timestamps — DATE collects to python objects in Spark "
+    "but datetime64 in DuckDB, which breaks value comparison).",
+)
+def q_union_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, l = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    return (
+        o.select(F.col("o_orderdate").cast("date").cast("timestamp").alias("day"))
+        .union(l.select(F.col("l_shipdate").cast("date").cast("timestamp").alias("day")))
+        .distinct()
+    )
+
+
+@register(
+    "asof_last_view_before_purchase",
+    """
+    SELECT event_id, user_id, ts, last_view_ts FROM (
+      SELECT event_id, user_id, ts, event_type,
+             max(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_view_ts
+      FROM events)
+    WHERE event_type = 'purchase'
+    """,
+    doc="As-of join expressed scalably: latest prior 'view' per user "
+    "for each purchase via a running-max window — one shuffle on "
+    "user_id, no range cross-join.",
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w).alias(
+                "last_view_ts"
+            ),
+        )
+        .where(F.col("event_type") == "purchase")
+        .drop("event_type")
+    )
+
+
+@register(
+    "sliding_window_counts",
+    """
+    SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
+           event_type, count(*) AS aggregate
+    FROM (
+      SELECT event_type,
+             unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE])
+               AS ws
+      FROM events)
+    GROUP BY 1, 2, 3
+    """,
+    doc="Sliding windows (1 h size, 30 min slide): each event lands in "
+    "2 overlapping windows — Spark's window() with slideDuration.",
+)
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("aggregate"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "aggregate",
+        )
+    )
+
+
+@register(
+    "session_windows",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked)
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Session windows (30 min inactivity gap): Spark's native "
+    "session_window grouping; oracle reconstructs sessions with the "
+    "gaps-and-islands idiom.",
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )

@@ -27,7 +27,9 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+            df[c] = (
+                pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[ns]")
+            )
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
         elif pd.api.types.is_object_dtype(df[c]):
