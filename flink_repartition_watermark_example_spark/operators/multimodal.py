@@ -1,0 +1,113 @@
+"""Multimodal column plumbing (north-star surface).
+
+Images/audio/video are opaque ``binary`` columns plus a typed metadata
+struct; decode / feature-extraction run as Arrow-batched pandas
+iterators (``mapInPandas``) so bytes move Spark→Python in columnar
+batches, never row-at-a-time.  The actual media decoders are STUBS —
+this container has no image/audio libraries — but the Spark-side
+contract (schema, batch iteration, partition independence) is real and
+tested:
+
+- ``attach_payload``      text → (payload binary, meta struct) — stands
+  in for reading real media bytes from a blob store.
+- ``extract_features``    mapInPandas: per-item byte stats + digest.
+- ``decode_image``        NotImplementedError stub with the exact
+  signature a real decoder would have.
+- ``fake_decode_features``  deterministic pseudo-decode (seeded from
+  the digest) exercising the fixed-width feature-vector path end-to-end.
+
+Scale: mapInPandas is per-partition streaming — no shuffle, no driver
+collect; 100 TB of media shards across executors exactly like any
+other scan.  Batch size is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` so a partition of
+large blobs cannot OOM the Python worker.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("digest", T.StringType()),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def attach_payload(docs: DataFrame, modality: str = "text") -> DataFrame:
+    """Opaque payload + typed metadata, the canonical multimodal row
+    shape: (id, payload: binary, meta: struct<modality, n_bytes>)."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(payloads: DataFrame) -> DataFrame:
+    """Arrow-batched byte-level feature extraction over the payload
+    column: size + md5 digest.  The pandas iterator shape is the same
+    one a real image/audio featurizer plugs into."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": [m["modality"] for m in pdf["meta"]],
+                    "n_bytes": [len(b) for b in pdf["payload"]],
+                    "digest": [hashlib.md5(bytes(b)).hexdigest() for b in pdf["payload"]],
+                }
+            )
+
+    return payloads.mapInPandas(batches, FEATURES_SCHEMA)
+
+
+def decode_image(payloads: DataFrame) -> DataFrame:
+    """Real image decode (resize / pixel stats) — requires an imaging
+    library this environment does not ship.  The signature and schema
+    are the contract a production decoder implements via mapInPandas."""
+    raise NotImplementedError(
+        "image decoding requires an imaging library (e.g. Pillow); "
+        "use fake_decode_features for plumbing tests"
+    )
+
+
+def fake_decode_features(payloads: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Deterministic stand-in for a media decoder: a fixed-width feature
+    vector derived from the payload digest.  Exercises the exact
+    mapInPandas path (schema, Arrow batches, array<double> output) a
+    real decoder would use."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for b in pdf["payload"]:
+                d = hashlib.md5(bytes(b)).digest()
+                feats.append([d[i] / 255.0 for i in range(dim)])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return payloads.mapInPandas(batches, DECODED_SCHEMA)
