@@ -1,0 +1,103 @@
+"""Operator-level unit tests (SURVEY §5.2): window bucketing edge
+cases, generator determinism and density, plan-shape assertions, and
+the streaming dedup contract."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from flink_repartition_watermark_example_spark.operators.windowed import windowed_count
+from flink_repartition_watermark_example_spark.plans.introspect import plan_facts
+from flink_repartition_watermark_example_spark.queries import QUERIES
+from flink_repartition_watermark_example_spark.sources.generator import pageviews
+from flink_repartition_watermark_example_spark.streaming.dedup import dedup_stream
+
+
+def _utc(*a):
+    return datetime(*a, tzinfo=timezone.utc)
+
+
+# --- S6 window bucketing: floor semantics at the boundary ----------------
+
+
+def test_event_on_hour_boundary_belongs_to_starting_window(spark):
+    rows = [
+        ("k", "2024-01-01 10:00:00"),  # exactly on the boundary
+        ("k", "2024-01-01 10:59:59.999999"),  # last µs of the hour
+        ("k", "2024-01-01 11:00:00"),  # next window
+    ]
+    df = spark.createDataFrame(rows, ["url", "s"]).select(
+        "url", F.col("s").cast("timestamp").alias("ts")
+    )
+    out = {r.window_start.hour: r.aggregate for r in windowed_count(df, "ts", ["url"]).collect()}
+    assert out == {10: 2, 11: 1}
+
+
+def test_windows_are_half_open_hour_aligned(spark, sf_dir):
+    res = QUERIES["windowed_count"].spark(spark, sf_dir).collect()
+    for r in res:
+        assert r.window_start.minute == 0 and r.window_start.second == 0
+        assert (r.window_end - r.window_start).total_seconds() == 3600
+
+
+# --- S2 generator: density, determinism, url domain ----------------------
+
+
+def test_generator_density_and_determinism(spark):
+    a = pageviews(spark, _utc(2016, 2, 1), _utc(2016, 2, 1, 2), 1000, seed=7)
+    b = pageviews(spark, _utc(2016, 2, 1), _utc(2016, 2, 1, 2), 1000, seed=7)
+    assert a.count() == 7200  # one per second over 2 h (Main.scala:13)
+    assert a.exceptAll(b).count() == 0  # seeded → identical
+    urls = {r.url for r in a.select("url").distinct().collect()}
+    assert urls <= {f"http://site.com/{i}" for i in range(10)}  # Pageview.scala:14-16
+    # conservation through the flagship query (SURVEY §5.1 invariant 1)
+    total = (
+        windowed_count(a, "ts", ["url"]).agg(F.sum("aggregate").alias("s")).first().s
+    )
+    assert total == 7200
+
+
+# --- S12 plan introspection: the plans we'd want at 100 TB ---------------
+
+
+def test_flagship_plan_shape(spark, sf_dir):
+    facts = plan_facts(QUERIES["windowed_count"].spark(spark, sf_dir))
+    assert facts.has_partial_aggregate, "count must be partial+final"
+    assert facts.n_exchanges <= 2, "one hash shuffle (+AQE read) max"
+    assert facts.read_schema_columns == 2, "scan must prune to ts+event_type"
+
+
+def test_dim_join_is_broadcast(spark, sf_dir):
+    facts = plan_facts(QUERIES["revenue_by_segment"].spark(spark, sf_dir))
+    assert facts.has_broadcast_join, "customer dim must broadcast"
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    facts = plan_facts(QUERIES["scan_filter_project"].spark(spark, sf_dir))
+    assert facts.pushed_filters
+
+
+# --- streaming dedup contract -------------------------------------------
+
+
+def test_stream_dedup_equals_batch_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "dups")
+    base = pageviews(spark, _utc(2016, 2, 1), _utc(2016, 2, 1, 1), 2000, seed=3)
+    # duplicate every event once (same event_id), in the same files
+    base.union(base).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = dedup_stream(stream, ["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select count(*) as n from dedup_out").first().n
+    assert got == base.count()
