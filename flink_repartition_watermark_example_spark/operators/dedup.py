@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from flink_repartition_watermark_example_spark.functions import textfns as TX
 from flink_repartition_watermark_example_spark.functions.hashing import md5_long
+from flink_repartition_watermark_example_spark.scale import fan_out
 
 # Minhash geometry: 16 permutations in 4 bands of 4 rows.  P(candidate)
 # = 1-(1-j^4)^4 — the usual S-curve with midpoint ~0.7 jaccard.
@@ -52,7 +53,7 @@ def minhash_signatures(
     entry is the min over the doc's shingle set.  Docs with no shingles
     (< n tokens) get NULL minhashes and drop out of banding.
     """
-    sh = doc_shingles(docs, text_col)
+    sh = doc_shingles(fan_out(docs, "doc_id"), text_col)
     sig = sh.select(
         "doc_id",
         F.posexplode(
@@ -173,7 +174,7 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
     shiftleft take literal ints, not Columns) — 60 static expressions
     over a materialized hash array."""
     hashes = F.transform(F.array_distinct(TX.tokens(text_col)), lambda t: md5_long(t))
-    hashed = docs.select("doc_id", hashes.alias("hs"))
+    hashed = fan_out(docs, "doc_id").select("doc_id", hashes.alias("hs"))
 
     def vote(b: int):
         return F.aggregate(

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from flink_repartition_watermark_example_spark.functions.vectors import as_double, cosine, dot
+from flink_repartition_watermark_example_spark.scale import fan_out
 
 EMBED_DIM = 64
 NUM_PLANES = 4  # 16 LSH buckets
@@ -64,7 +65,7 @@ def cosine_topk(
     q = emb.where(F.col("vec_id") < num_queries).select(
         F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
     )
-    c = emb.where(F.col("vec_id") >= num_queries).select(
+    c = fan_out(emb.where(F.col("vec_id") >= num_queries), "vec_id").select(
         "vec_id", as_double("embedding").alias("v")
     )
     scored = c.crossJoin(F.broadcast(q)).select(
@@ -89,7 +90,7 @@ def neardup_pairs_lsh(
     threshold.  Candidate generation is an equi-join on bucket id —
     never an all-pairs cross product."""
     planes = planes or hyperplanes()
-    v = emb.select(
+    v = fan_out(emb, "vec_id").select(
         "vec_id",
         as_double("embedding").alias("v"),
     ).withColumn("bucket", bucket_col(F.col("v"), planes))

@@ -62,6 +62,15 @@ def get_spark(
         # Spark's default but we pin it because the semantics under
         # test depend on it (SURVEY §1.4).
         .config("spark.sql.streaming.multipleWatermarkPolicy", "min")
+        # Driver heap is left at Spark's default: measured on this
+        # workload, larger heaps are strictly slower (1g→25.7s,
+        # 4g→57.9s, 8g→116s over the heavy-query set — allocation-heavy
+        # codegen'd md5/string churn degrades with big G1 heaps).
+        # Override via SPARK_GRAFT_DRIVER_MEM only with measurements.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "1g"),
+        )
         # Quieter local runs; harmless on a cluster.
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.metricsEnabled", "false")
