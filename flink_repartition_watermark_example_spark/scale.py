@@ -22,3 +22,37 @@ def fan_out(df: DataFrame, *cols: str) -> DataFrame:
     """
     n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple],
+    salt_buckets: int = 16,
+):
+    """Two-stage aggregation for skewed keys.
+
+    A hot key (one url with 30% of 100 TB of traffic) turns a hash agg
+    into a single straggler task.  Salting splits each key into
+    ``salt_buckets`` sub-groups for the first (partial) aggregation,
+    then re-aggregates the partials — both stages are ordinary hash
+    aggs, and the hot key's work spreads across ``salt_buckets`` tasks.
+
+    ``aggs`` maps output column → (op, input column) with op in
+    {"count", "sum", "min", "max"} — the algebraic ops that re-combine
+    losslessly (count recombines by sum).  AQE's skew handling covers
+    joins; this covers aggregations, which AQE does not rebalance.
+    """
+    from pyspark.sql import functions as F
+
+    recombine = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+    first = {"count": lambda c: F.count(F.lit(1)), "sum": F.sum, "min": F.min, "max": F.max}
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[first[op](col).alias(out) for out, (op, col) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[recombine[op](out).alias(out) for out, (op, _) in aggs.items()]
+    )

@@ -1,0 +1,69 @@
+"""CSV/JSON sources, partitioned parquet sink, and the salting helper."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from flink_repartition_watermark_example_spark.scale import salted_agg
+from flink_repartition_watermark_example_spark.sinks import write_parquet_partitioned
+from flink_repartition_watermark_example_spark.sources.files import read_csv, read_jsonl
+from flink_repartition_watermark_example_spark.sources.tables import load_table
+from flink_repartition_watermark_example_spark.datamodel import TABLE_SCHEMAS
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    p = str(tmp_path / "orders_csv")
+    orders.coalesce(1).write.option("header", True).csv(p)
+    back = read_csv(spark, p, TABLE_SCHEMAS["orders"])
+    assert back.count() == orders.count()
+    assert back.schema == TABLE_SCHEMAS["orders"]
+    a = orders.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).first()[0]
+    b = back.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).first()[0]
+    assert a == b
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    cust = load_table(spark, sf_dir, "customer")
+    p = str(tmp_path / "cust_json")
+    cust.coalesce(1).write.json(p)
+    back = read_jsonl(spark, p, TABLE_SCHEMAS["customer"])
+    assert back.count() == cust.count()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, cust.collect()))
+
+
+def test_partitioned_parquet_layout_enables_pruning(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    p = str(tmp_path / "events_by_day")
+    write_parquet_partitioned(ev, p, partition_by=["day"])
+    assert glob.glob(f"{p}/day=*"), "hive-style layout expected"
+    back = spark.read.parquet(p)
+    one_day = back.where(F.col("day") == "2024-01-05")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the filter moves into the scan's partition
+    # filters rather than a post-scan Filter on data rows
+    assert "PartitionFilters" in plan
+    assert one_day.count() == ev.where(F.col("day") == "2024-01-05").count()
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    plain = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+            F.max("user_id").alias("mx"),
+        )
+        .collect()
+    )
+    salted = salted_agg(
+        ev.withColumn("value", F.col("value").cast("decimal(18,2)")),
+        ["event_type"],
+        {"n": ("count", None), "sv": ("sum", "value"), "mx": ("max", "user_id")},
+    ).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
