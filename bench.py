@@ -26,8 +26,14 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark(app_name="engine-bench")
 
-    # JVM/codegen warmup on a trivial plan so q1 isn't charged for JIT.
+    # JVM/codegen warmup + one touch per table so the first measured
+    # query isn't charged for JIT or file-index building.
     spark.range(1000).selectExpr("sum(id)").collect()
+    from flink_repartition_watermark_example_spark.datamodel import TABLES
+    from flink_repartition_watermark_example_spark.sources.tables import load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).limit(1).collect()
 
     timings: dict[str, float] = {}
     for name, q in QUERIES.items():

@@ -291,3 +291,28 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "cube_order_stats",
+    """
+    SELECT o_orderstatus AS orderstatus, o_orderpriority AS orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets over two dimensions — all four grouping "
+    "combinations in one Expand + hash agg.",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.col("o_orderstatus").alias("orderstatus"),
+            F.col("o_orderpriority").alias("orderpriority"),
+            "o_totalprice",
+        )
+        .cube("orderstatus", "orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("o_totalprice", "revenue"))
+    )

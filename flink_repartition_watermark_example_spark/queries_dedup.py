@@ -138,3 +138,32 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "neardup_purged_docs",
+    f"""
+    WITH {_SIG_CTES}, {_BANDS_CTE},
+    duppairs AS (
+      SELECT doc_a, doc_b FROM cand
+      JOIN sh ha ON ha.doc_id = doc_a JOIN sh hb ON hb.doc_id = doc_b
+      WHERE len(list_intersect(ha.s, hb.s))::DOUBLE
+              / len(list_distinct(list_concat(ha.s, hb.s))) >= 0.5
+    )
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM duppairs p WHERE p.doc_b = d.doc_id)
+    """,
+    doc="The pipeline deliverable: the corpus with near-duplicates "
+    "purged — for every pair at jaccard >= 0.5, the higher doc_id is "
+    "dropped (deterministic survivor rule, no iterative connected "
+    "components needed: every dropped doc leaves its lowest-id "
+    "near-twin in the corpus).",
+)
+def q_neardup_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    dups = DD.ngram_jaccard_pairs(docs, threshold=0.5).select("doc_b").distinct()
+    return docs.join(
+        dups, docs.doc_id == dups.doc_b, "left_anti"
+    ).select("doc_id", "source")

@@ -1,0 +1,94 @@
+"""Property-based tests (SURVEY §5.2): the windowing invariants hold
+for arbitrary event sets, not just the fixtures.
+
+Hypothesis drives the *shapes* (timestamps, keys, window sizes); each
+example runs through the real engine.  Examples are kept small and the
+Spark session is reused, so the suite stays fast.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from flink_repartition_watermark_example_spark.operators.windowed import windowed_count
+
+BASE = datetime(2024, 3, 1, tzinfo=timezone.utc)
+
+events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3 * 24 * 3600 - 1),  # offset seconds
+        st.integers(min_value=0, max_value=999_999),  # microseconds
+        st.sampled_from(["a", "b", "c"]),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+window_sizes = st.sampled_from(["1 hour", "30 minutes", "1 day", "15 minutes"])
+
+_slow = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, evs):
+    rows = [
+        ((BASE + timedelta(seconds=s, microseconds=us)).replace(tzinfo=None), k)
+        for s, us, k in evs
+    ]
+    return spark.createDataFrame(rows, "ts timestamp, url string")
+
+
+@given(evs=events, size=window_sizes)
+@_slow
+def test_conservation_and_alignment(spark, evs, size):
+    """Σ window counts == #events; bounds are size-aligned half-open;
+    every (window, key) appears once."""
+    out = windowed_count(_df(spark, evs), "ts", ["url"], size).collect()
+    assert sum(r.aggregate for r in out) == len(evs)
+    seen = set()
+    unit = {"1 hour": 3600, "30 minutes": 1800, "1 day": 86400, "15 minutes": 900}[size]
+    for r in out:
+        key = (r.window_start, r.url)
+        assert key not in seen
+        seen.add(key)
+        assert (r.window_end - r.window_start).total_seconds() == unit
+        assert r.window_start.timestamp() % unit == 0
+
+
+@given(evs=events, size=window_sizes)
+@_slow
+def test_every_event_inside_its_assigned_window(spark, evs, size):
+    """Per-row window assignment satisfies start <= ts < end (half-open,
+    reference S6 semantics)."""
+    df = _df(spark, evs)
+    assigned = df.select("ts", F.window("ts", size).alias("w"))
+    bad = assigned.where(
+        (F.col("ts") < F.col("w.start")) | (F.col("ts") >= F.col("w.end"))
+    )
+    assert bad.count() == 0
+
+
+@given(evs=events)
+@_slow
+def test_windowed_count_equals_floor_groupby(spark, evs):
+    """The window() grouping agrees with an explicit floor computation."""
+    df = _df(spark, evs)
+    a = sorted(
+        (r.window_start, r.url, r.aggregate)
+        for r in windowed_count(df, "ts", ["url"]).collect()
+    )
+    floor = df.groupBy(
+        F.timestamp_seconds(
+            (F.unix_timestamp("ts") - F.unix_timestamp("ts") % 3600)
+        ).alias("ws"),
+        "url",
+    ).count()
+    b = sorted((r.ws, r.url, r["count"]) for r in floor.collect())
+    assert a == b
