@@ -38,3 +38,37 @@ def md5_long_sql(expr: str, salt: str | None = None) -> str:
     if salt is not None:
         expr = f"({expr} || '#{salt}')"
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# --- universal hash family over a 30-bit base hash -----------------------
+#
+# K independent hash functions as h_k(x) = (a_k·h(x) + b_k) mod P with
+# h(x) the md5-based hash masked to 30 bits.  One md5 per input instead
+# of K (md5+conv dominates minhash cost ~50×); all arithmetic stays
+# below 2^61 so Spark (wrapping) and DuckDB (overflow-checking) BIGINT
+# behave identically.
+
+MERSENNE_P = (1 << 31) - 1
+_MASK30 = (1 << 30) - 1
+
+
+def _perm_seed(kind: str, k: int) -> int:
+    import hashlib as _hl
+
+    h = int(_hl.md5(f"minhash-{kind}-{k}".encode()).hexdigest()[:15], 16)
+    return (h & _MASK30) | 1  # odd, nonzero
+
+
+def perm_coeffs(num_perms: int) -> tuple[list[int], list[int]]:
+    return (
+        [_perm_seed("a", k) for k in range(num_perms)],
+        [_perm_seed("b", k) for k in range(num_perms)],
+    )
+
+
+def md5_long30(col: Column | str) -> Column:
+    return md5_long(col).bitwiseAND(F.lit(_MASK30))
+
+
+def md5_long30_sql(expr: str) -> str:
+    return f"({md5_long_sql(expr)} & {_MASK30})"

@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flink_repartition_watermark_example_spark.functions import textfns as TX
-from flink_repartition_watermark_example_spark.functions.hashing import md5_long
+from flink_repartition_watermark_example_spark.functions.hashing import (
+    MERSENNE_P,
+    md5_long,
+    md5_long30,
+    perm_coeffs,
+)
 from flink_repartition_watermark_example_spark.scale import fan_out
 
 # Minhash geometry: 16 permutations in 4 bands of 4 rows.  P(candidate)
@@ -43,45 +48,71 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = SHINGLE_N) ->
     )
 
 
+def minhash_sig_array(
+    docs: DataFrame, text_col: str = "text", num_perms: int = NUM_PERMS
+) -> DataFrame:
+    """Per-document minhash signature as one array<long> column
+    (doc_id, sig) — the compact carrier the LSH pipeline computes ONCE
+    and derives everything else from.
+
+    Shape chosen for codegen, not elegance: shingles are EXPLODED to
+    flat rows, each row md5-hashed once to 30 bits, and the 16
+    permutation minima are ordinary min() aggregates of the universal
+    hash (a_k·h + b_k) mod P (functions/hashing.py).  Array
+    higher-order functions (transform/array_min) are interpreted
+    per-lambda-call in Spark — measured ~8µs/element, 40 s at sf0.1 —
+    while the exploded formulation runs inside whole-stage codegen
+    with map-side partial mins, so the shuffle carries only
+    #docs × #perms values at any scale.  Docs with no shingles
+    (< n tokens) produce no rows and drop out.
+    """
+    a, b = perm_coeffs(num_perms)
+    sh = doc_shingles(fan_out(docs, "doc_id"), text_col)
+    flat = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", md5_long30(F.col("s")).alias("h")
+    )
+    mins = flat.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(a[k]) * F.col("h") + F.lit(b[k])) % F.lit(MERSENNE_P)
+            ).alias(f"_m{k}")
+            for k in range(num_perms)
+        ]
+    )
+    return mins.select(
+        "doc_id",
+        F.array(*[F.col(f"_m{k}") for k in range(num_perms)]).alias("sig"),
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", num_perms: int = NUM_PERMS
 ) -> DataFrame:
-    """Per-document minhash signature, exploded to rows
-    (doc_id, perm, minhash) so the output is scalar-typed.
+    """Scalar-row view of the signatures: (doc_id, perm, minhash)."""
+    return minhash_sig_array(docs, text_col, num_perms).select(
+        "doc_id", F.posexplode("sig").alias("perm", "minhash")
+    )
 
-    perm k's hash family is md5_long(shingle || '#k'); the signature
-    entry is the min over the doc's shingle set.  Docs with no shingles
-    (< n tokens) get NULL minhashes and drop out of banding.
-    """
-    sh = doc_shingles(fan_out(docs, "doc_id"), text_col)
-    sig = sh.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_perms - 1)),
-                lambda k: F.array_min(
-                    F.transform(
-                        F.col("shingles"),
-                        lambda s: md5_long(F.concat(s, F.lit("#"), k.cast("string"))),
-                    )
+
+def lsh_bands(sig_arr: DataFrame, rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+    """Band the signature array: band key = md5 of the band's minhashes
+    joined in perm order.  (doc_id, band, band_hash) — derived by array
+    slicing, no per-perm shuffle."""
+    n_bands = NUM_PERMS // rows_per_band
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: md5_long(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
                 ),
             )
-        ).alias("perm", "minhash"),
+        ),
     )
-    return sig.where(F.col("minhash").isNotNull())
-
-
-def lsh_bands(signatures: DataFrame, rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
-    """Band the signature rows: band key = md5 of the band's minhashes
-    concatenated in perm order.  (doc_id, band, band_hash)."""
-    return (
-        signatures.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            md5_long(
-                F.concat_ws(",", F.sort_array(F.collect_list(F.struct("perm", "minhash"))).minhash)
-            ).alias("band_hash")
-        )
+    return sig_arr.select(
+        "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
     )
 
 
@@ -90,12 +121,13 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     bucket, with their estimated jaccard (fraction of equal minhash
     entries across all perms).
 
-    Scale shape: the only joins are equi-joins on (band, band_hash) and
-    on (doc_id, perm) — never a cross product.  Skewed buckets (a
+    Scale shape: one equi-join on (band, band_hash) proposes pairs; the
+    estimate is a zip_with over the two signature arrays — no per-perm
+    row explosion, no cross product anywhere.  Skewed buckets (a
     degenerate shingle shared by many docs) are bounded by AQE skew
     handling; a production hardening is to cap bucket size.
     """
-    sigs = minhash_signatures(docs, text_col)
+    sigs = minhash_sig_array(docs, text_col)
     bands = lsh_bands(sigs)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
@@ -110,25 +142,23 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .distinct()
     )
-    sa, sb = sigs.alias("sa"), sigs.alias("sb")
-    est = (
-        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(
-            sb,
-            (F.col("sb.doc_id") == F.col("doc_b"))
-            & (F.col("sb.perm") == F.col("sa.perm")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            (
-                F.sum(
-                    F.when(F.col("sa.minhash") == F.col("sb.minhash"), 1).otherwise(0)
-                ).cast("double")
-                / F.count(F.lit(1))
-            ).alias("est_jaccard")
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda e: e,
         )
     )
-    return est
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree.cast("double") / F.size(F.col("sig_a"))).alias("est_jaccard"),
+        )
+    )
 
 
 def ngram_jaccard_pairs(

@@ -7,24 +7,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_repartition_watermark_example_spark.functions import textfns as TX
-from flink_repartition_watermark_example_spark.functions.hashing import md5_long_sql
+from flink_repartition_watermark_example_spark.functions.hashing import (
+    MERSENNE_P,
+    md5_long_sql,
+    md5_long30_sql,
+    perm_coeffs,
+)
 from flink_repartition_watermark_example_spark.operators import dedup as DD
 from flink_repartition_watermark_example_spark.queries import register
 from flink_repartition_watermark_example_spark.sources.tables import load_table
 
-# Shared CTE prefix: tokens → distinct shingles → minhash signature rows
-# (doc_id, perm, minhash) — the SQL twin of operators/dedup.py.
+# Shared CTE prefix: tokens → distinct shingles → one 30-bit md5 per
+# shingle → universal-hash minhash signature rows (doc_id, perm,
+# minhash) — the SQL twin of operators/dedup.py (same coefficients).
 _SHINGLES = TX.shingles_sql("t", DD.SHINGLE_N)
-_MINHASH = md5_long_sql("(x || '#' || k::VARCHAR)")
+_A, _B = perm_coeffs(DD.NUM_PERMS)
 
 _SIG_CTES = f"""
     toks AS (SELECT doc_id, {TX.tokens_sql('text')} AS t FROM documents),
     sh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM toks),
+    hs AS (SELECT doc_id, list_transform(s, x -> {md5_long30_sql('x')}) AS hs
+           FROM sh WHERE len(s) > 0),
     sig AS (
       SELECT doc_id, k AS perm,
-             list_min(list_transform(s, x -> {_MINHASH})) AS minhash
-      FROM sh, range(0, {DD.NUM_PERMS}) r(k)
-      WHERE len(s) > 0
+             list_min(list_transform(hs, h ->
+               ({list(_A)!r}[k + 1] * h + {list(_B)!r}[k + 1]) % {MERSENNE_P}))
+               AS minhash
+      FROM hs, range(0, {DD.NUM_PERMS}) r(k)
     )
 """
 
