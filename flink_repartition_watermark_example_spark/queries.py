@@ -290,3 +290,4 @@ from flink_repartition_watermark_example_spark import queries_dedup  # noqa: E40
 from flink_repartition_watermark_example_spark import queries_similarity  # noqa: E402,F401
 from flink_repartition_watermark_example_spark import queries_catalog  # noqa: E402,F401
 from flink_repartition_watermark_example_spark import queries_multimodal  # noqa: E402,F401
+from flink_repartition_watermark_example_spark import queries_streaming  # noqa: E402,F401
