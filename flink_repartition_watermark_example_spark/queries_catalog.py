@@ -316,3 +316,74 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("orderstatus", "orderpriority")
         .agg(F.count(F.lit(1)).alias("n"), dec_sum("o_totalprice", "revenue"))
     )
+
+
+@register(
+    "intersect_ship_order_days",
+    """
+    SELECT CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS day FROM lineitem
+    INTERSECT
+    SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS day FROM orders
+    """,
+    doc="Set op: INTERSECT of two date domains.",
+)
+def q_intersect_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, l = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    return l.select(
+        F.col("l_shipdate").cast("date").cast("timestamp").alias("day")
+    ).intersect(
+        o.select(F.col("o_orderdate").cast("date").cast("timestamp").alias("day"))
+    )
+
+
+@register(
+    "except_ship_only_days",
+    """
+    SELECT CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS day FROM lineitem
+    EXCEPT
+    SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS day FROM orders
+    """,
+    doc="Set op: EXCEPT — ship days with no order placed.",
+)
+def q_except_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, l = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    return l.select(
+        F.col("l_shipdate").cast("date").cast("timestamp").alias("day")
+    ).subtract(
+        o.select(F.col("o_orderdate").cast("date").cast("timestamp").alias("day"))
+    )
+
+
+@register(
+    "median_value_by_type",
+    """
+    SELECT event_type,
+           median(value) AS median_value,
+           quantile_cont(value, 0.9) AS p90_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact percentile aggregation (interpolated median/p90) — "
+    "sort-based within groups; for sketch-based approximation at "
+    "scale see approx_distinct_users_sketch.",
+)
+def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.median("value").alias("median_value"),
+        F.percentile("value", F.lit(0.9)).alias("p90_value"),
+    )
+
+
+@register(
+    "approx_distinct_users_sketch",
+    None,  # HLL estimates are engine-specific → rows-only check
+    doc="HyperLogLog sketch aggregation (hll_sketch_agg/hll_sketch_"
+    "estimate): mergeable distinct-count sketches — the 100 TB path "
+    "where exact distinct is a full shuffle. Error bound vs exact is "
+    "unit-tested.",
+)
+def q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users")
+    )

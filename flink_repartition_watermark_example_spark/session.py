@@ -71,6 +71,9 @@ def get_spark(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "1g"),
         )
+        # Managed-table warehouse outside the repo (bucketed tables,
+        # storage.py); real deployments point this at the lake.
+        .config("spark.sql.warehouse.dir", "/tmp/spark-graft-warehouse")
         # Quieter local runs; harmless on a cluster.
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.metricsEnabled", "false")

@@ -101,3 +101,21 @@ def test_stream_dedup_equals_batch_within_watermark(spark, tmp_path):
     q.awaitTermination()
     got = spark.sql("select count(*) as n from dedup_out").first().n
     assert got == base.count()
+
+
+def test_hll_sketch_within_error_bound(spark, sf_dir):
+    """The HLL sketch estimate must land within ~3σ of exact distinct
+    (lgK=12 → rel. std err ≈ 1.6%/sqrt? — allow 5%)."""
+    from flink_repartition_watermark_example_spark.queries import QUERIES
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in QUERIES["approx_distinct_users_sketch"].spark(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.distinct_users
+        for r in QUERIES["distinct_users_by_type"].spark(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= max(1, 0.05 * e), (k, approx[k], e)

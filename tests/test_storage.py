@@ -1,0 +1,59 @@
+"""Bucketed co-located join: same keys + same bucket count → the join
+plan has no shuffle, and results equal the plain join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_repartition_watermark_example_spark.sources.tables import load_table
+from flink_repartition_watermark_example_spark.storage import colocated_join, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(o, "orders_b", ["o_orderkey"], 8)
+    write_bucketed(l, "lineitem_b", ["o_orderkey"], 8)
+    yield
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_colocated_join_has_no_shuffle(spark, bucketed):
+    """With broadcast ruled out (the at-scale case: both sides too big
+    to broadcast), the bucketed join must be a shuffle-free SMJ reading
+    the bucket layout."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = colocated_join(spark, "orders_b", "lineitem_b", ["o_orderkey"]).select(
+            "o_orderkey", "o_totalprice", "l_extendedprice"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Exchange" not in plan, f"bucketed join must not shuffle:\n{plan[:2000]}"
+    assert "Bucketed: true" in plan, f"scan did not use buckets:\n{plan[:2000]}"
+
+
+def test_colocated_join_matches_plain(spark, sf_dir, bucketed):
+    j = colocated_join(spark, "orders_b", "lineitem_b", ["o_orderkey"])
+    n_bucketed = j.count()
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    n_plain = o.join(l, o.o_orderkey == l.l_orderkey).count()
+    assert n_bucketed == n_plain
+    rev_b = j.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s")
+    ).first().s
+    rev_p = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"))
+        .first()
+        .s
+    )
+    assert rev_b == rev_p
