@@ -81,6 +81,54 @@ def cosine_topk(
     )
 
 
+def lsh_ann_topk(
+    emb: DataFrame,
+    num_queries: int = 10,
+    k: int = 5,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via the LSH coarse index — the scale path for
+    `cosine_topk`.  Corpus vectors are bucketed once by hyperplane
+    sign-bits; each query multi-probes its own bucket plus all
+    Hamming-distance-1 buckets (flip one of NUM_PLANES bits), so only
+    ~(1+NUM_PLANES)/2^NUM_PLANES of the corpus is scored per query
+    instead of all of it.
+
+    Scale shape: the probe list (|Q|·(1+NUM_PLANES) rows) is broadcast;
+    candidate generation is a broadcast hash join on bucket id — the
+    corpus is scanned once, never shuffled, and per-query work is
+    sublinear in corpus size.  Recall < 1 by construction; the exact
+    `cosine_topk` is the correctness baseline."""
+    planes = planes or hyperplanes()
+    v = emb.select("vec_id", as_double("embedding").alias("v")).withColumn(
+        "bucket", bucket_col(F.col("v"), planes)
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(len(planes))],
+    )
+    q = (
+        v.where(F.col("vec_id") < num_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(probes).alias("probe"),
+        )
+    )
+    c = fan_out(v.where(F.col("vec_id") >= num_queries), "vec_id")
+    scored = c.join(F.broadcast(q), F.col("probe") == F.col("bucket")).select(
+        "query_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def neardup_pairs_lsh(
     emb: DataFrame,
     threshold: float = 0.25,

@@ -387,3 +387,122 @@ def q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users")
     )
+
+
+@register(
+    "orders_above_cust_avg",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey) AS DOUBLE)
+               / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM t WHERE o_totalprice > 1.5 * cust_avg
+    """,
+    doc="Correlated-scalar-subquery semantics (orders 1.5x above their "
+    "customer's average) decorrelated into one window pass — a single "
+    "hash shuffle on the correlation key instead of a per-row subquery; "
+    "the exact-decimal average is engine-order-independent.",
+)
+def q_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", cust_avg.alias("cust_avg"))
+        .where(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "pivot_revenue_by_priority",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS urgent,
+           CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS high,
+           CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS medium,
+           CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS not_specified,
+           CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS low
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Pivot (long->wide): revenue per year x order priority with an "
+    "explicit pivot-value list, so the plan is one pass with no "
+    "distinct-values pre-query and a fixed output schema.",
+)
+def q_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    priorities = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    renames = ["urgent", "high", "medium", "not_specified", "low"]
+    wide = (
+        o.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .pivot("o_orderpriority", priorities)
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+    )
+    return wide.select(
+        "order_year", *[F.col(f"`{p}`").alias(r) for p, r in zip(priorities, renames)]
+    )
+
+
+@register(
+    "range_join_view_to_purchase",
+    """
+    SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+    """,
+    doc="Time-range self-join (purchase within 6 hours of a view by "
+    "the same user) executed as an equi-join on (user_id, 6-hour "
+    "bucket): the purchase side probes its own bucket and the previous "
+    "one, so candidates are bounded per bucket and the inequality is a "
+    "residual filter - never a cross product, unlike a naive theta-join.",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bucket_len = 21600  # seconds == the join range, so 2 probes suffice
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        (F.unix_timestamp("ts") / bucket_len).cast("long").alias("bucket"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.explode(
+            F.array(
+                (F.unix_timestamp("ts") / bucket_len).cast("long"),
+                (F.unix_timestamp("ts") / bucket_len).cast("long") - 1,
+            )
+        ).alias("p_bucket"),
+    )
+    return (
+        views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("bucket") == F.col("p_bucket")),
+        )
+        .where(
+            (F.col("purchase_ts") > F.col("view_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("view_ts") + F.expr("INTERVAL 6 HOURS")
+            )
+        )
+        .select("view_id", "purchase_id", "user_id")
+    )

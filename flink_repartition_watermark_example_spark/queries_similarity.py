@@ -51,6 +51,39 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lsh_ann_topk",
+    f"""
+    WITH v AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv, t.probe
+      FROM v, UNNEST([bucket, xor(bucket, 1), xor(bucket, 2),
+                      xor(bucket, 4), xor(bucket, 8)]) AS t(probe)
+      WHERE vec_id < 10
+    ),
+    c AS (SELECT vec_id, embedding AS cv, bucket FROM v WHERE vec_id >= 10),
+    scored AS (
+      SELECT query_id, c.vec_id, {cosine_sql('qv', 'cv')} AS cos_sim
+      FROM q JOIN c ON c.bucket = q.probe
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="Approximate top-5 via the LSH coarse index with Hamming-1 "
+    "multi-probe — the sublinear scale path; cosine_topk is the exact "
+    "baseline it trades recall against.",
+)
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.lsh_ann_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
     "embedding_neardup_pairs",
     f"""
     WITH v AS (

@@ -58,16 +58,28 @@ def q_streaming_windowed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggregate",
         )
     )
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    # State-partition count is fixed at query start from
+    # spark.sql.shuffle.partitions; a bounded single-file replay with a
+    # handful of keys needs few state stores, and every extra one costs
+    # a per-batch snapshot+commit.  Real deployments size this to
+    # sustained key cardinality/throughput instead (it cannot be changed
+    # across restarts of the same checkpoint).
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with tempfile.TemporaryDirectory(dir=ckpt_base) as ckpt:
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     # Materialize off the transient memory sink before it is replaced.
     rows = spark.table(name).collect()
     return spark.createDataFrame(rows, agg.schema)

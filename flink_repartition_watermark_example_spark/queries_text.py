@@ -63,6 +63,32 @@ def q_text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "word_count_topn",
+    f"""
+    WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+    words AS (SELECT unnest(t) AS word FROM toks)
+    SELECT word, count(*) AS n
+    FROM words
+    GROUP BY word
+    ORDER BY n DESC, word ASC
+    LIMIT 20
+    """,
+    doc="Corpus vocabulary head: explode (lateral/UNNEST) of the token "
+    "arrays into a word-frequency agg with deterministic top-20 — "
+    "map-side partial counts make the shuffle O(|vocab|), not O(tokens).",
+)
+def q_word_count_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(TX.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+@register(
     "lang_id_confusion",
     f"""
     WITH toks AS (SELECT lang, {_TOKS} AS t FROM documents)
