@@ -506,3 +506,278 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("view_id", "purchase_id", "user_id")
     )
+
+
+@register(
+    "left_join_order_counts",
+    """
+    SELECT c.c_custkey, c.c_mktsegment,
+           count(o.o_orderkey) AS n_orders,
+           CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+             AS total_spent
+    FROM customer c
+    LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+    doc="Left outer join with a pushed-into-ON predicate: every "
+    "customer survives, finished-order metrics are null-padded and "
+    "count(col) skips the nulls. The filter lives in the join "
+    "condition, not WHERE, so it cannot collapse the outer join to "
+    "inner — the classic outer-join-correctness trap.",
+)
+def q_left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    finished = o.where(F.col("o_orderstatus") == "F")
+    return (
+        c.join(finished, c.c_custkey == finished.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "full_outer_daily_activity",
+    """
+    WITH v AS (
+      SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+             count(*) AS views
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+             count(*) AS purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT coalesce(v.user_id, p.user_id) AS user_id,
+           coalesce(v.day, p.day) AS day,
+           coalesce(v.views, 0) AS views,
+           coalesce(p.purchases, 0) AS purchases
+    FROM v FULL OUTER JOIN p ON v.user_id = p.user_id AND v.day = p.day
+    """,
+    doc="Full outer join of two pre-aggregated activity streams on a "
+    "composite key, coalesced to a dense daily matrix. Both sides "
+    "aggregate BEFORE the join, so the shuffle carries one row per "
+    "(user, day) instead of one per event, and the join keys inherit "
+    "the aggregation partitioning — no extra exchange.",
+)
+def q_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # DATE collects to python objects in Spark; midnight TIMESTAMP
+    # round-trips through Arrow identically on both engines.
+    day = F.col("ts").cast("date").cast("timestamp").alias("day")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", day)
+        .agg(F.count(F.lit(1)).alias("views"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("p_user_id"), day)
+        .agg(F.count(F.lit(1)).alias("purchases"))
+        .withColumnRenamed("day", "p_day")
+    )
+    return (
+        v.join(
+            p,
+            (v.user_id == p.p_user_id) & (v.day == p.p_day),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("user_id", "p_user_id").alias("user_id"),
+            F.coalesce("day", "p_day").alias("day"),
+            F.coalesce("views", F.lit(0)).alias("views"),
+            F.coalesce("purchases", F.lit(0)).alias("purchases"),
+        )
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    """
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY GROUPING SETS ((c.c_mktsegment), (year(o.o_orderdate)), ())
+    """,
+    doc="Explicit GROUPING SETS (segment-only, year-only, grand total) "
+    "— unlike ROLLUP/CUBE the sets are hand-picked, and Spark still "
+    "plans it as a single Expand + one hash aggregation: one scan, one "
+    "shuffle, 3x expanded rows instead of 3 separate queries.",
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    j.createOrReplaceTempView("gs_rev_input")
+    # GROUPING SETS via Spark SQL: same Catalyst Expand + single hash
+    # aggregation as ROLLUP/CUBE, with hand-picked sets.
+    return spark.sql(
+        """
+        SELECT c_mktsegment AS mktsegment,
+               CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM gs_rev_input
+        GROUP BY GROUPING SETS ((c_mktsegment), (year(o_orderdate)), ())
+        """
+    )
+
+
+@register(
+    "running_revenue_frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_spent,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE)
+             / count(*) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ) AS trailing3_avg
+    FROM orders
+    """,
+    doc="Analytic window FRAMES (running total + trailing-3 moving "
+    "average) — ROWS frames with a unique tiebreaker (o_orderkey) so "
+    "the result is deterministic under any partition order. One sort "
+    "per customer partition serves both frames; no self-join "
+    "formulation, no O(n^2) work.",
+)
+def q_running_revenue_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(price)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_spent"),
+        # Exact decimal sum over the frame, one cast to double, then an
+        # identical double division on both engines — avg() directly
+        # would round at decimal(22,6) and diverge from the oracle in
+        # the last ulp.
+        (
+            F.sum(price)
+            .over(w.rowsBetween(-2, Window.currentRow))
+            .cast("double")
+            / F.count(F.lit(1)).over(w.rowsBetween(-2, Window.currentRow))
+        ).alias("trailing3_avg"),
+    )
+
+
+@register(
+    "lag_order_gaps",
+    """
+    WITH g AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev_date
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(datediff('day', prev_date, o_orderdate) AS BIGINT) AS gap_days
+    FROM g WHERE prev_date IS NOT NULL
+    """,
+    doc="LAG over a per-customer event sequence (days between "
+    "consecutive orders). The unique o_orderkey tiebreaker makes lag "
+    "deterministic; the single window sort is the only shuffle.",
+)
+def q_lag_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.lag("o_orderdate").over(w).alias("prev_date"),
+        )
+        .where(F.col("prev_date").isNotNull())
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff("o_orderdate", "prev_date").cast("long").alias("gap_days"),
+        )
+    )
+
+
+@register(
+    "ntile_price_quartiles",
+    """
+    WITH t AS (
+      SELECT o_totalprice,
+             ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders
+    )
+    SELECT quartile, count(*) AS n,
+           CAST(min(o_totalprice) AS DOUBLE) AS lo,
+           CAST(max(o_totalprice) AS DOUBLE) AS hi
+    FROM t GROUP BY quartile
+    """,
+    doc="NTILE bucketing into price quartiles then per-bucket stats. "
+    "The global ORDER BY window is a single-partition sort — fine for "
+    "a bounded result, and the unique tiebreaker keeps bucket edges "
+    "deterministic; at 100 TB the same result comes from "
+    "approx-percentile cutpoints + a distributed bucket join, which "
+    "median_value_by_type/approx sketches cover.",
+)
+def q_ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+    )
+
+
+@register(
+    "string_funcs_customer_ids",
+    """
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS name_num,
+           upper(c_mktsegment) AS seg_upper,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           substring(c_name, 1, 8) AS name_prefix,
+           concat(c_mktsegment, '#', CAST(c_custkey AS VARCHAR)) AS seg_tag
+    FROM customer
+    """,
+    doc="Scalar string-function sweep (regexp_extract, upper, length, "
+    "substring, concat) — all JVM-side Catalyst expressions inside one "
+    "whole-stage-codegen projection over the scan; zero shuffles, zero "
+    "Python.",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).cast("long").alias("name_num"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("#", "c_mktsegment", F.col("c_custkey").cast("string")).alias(
+            "seg_tag"
+        ),
+    )
