@@ -156,3 +156,74 @@ def neardup_pairs_lsh(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+# IVF coarse index: deterministic "sampled" centroids (corpus rows at
+# fixed vec_ids — no Lloyd iterations, so every engine and the SQL
+# oracle derive the identical index) and a 2-list probe.
+CENTROID_IDS = [10 + 13 * j for j in range(16)]
+NPROBE = 2
+
+
+def ivf_topk(
+    emb: DataFrame,
+    num_queries: int = 10,
+    k: int = 5,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """Approximate top-k via an IVF-flat coarse index — the k-means-
+    family counterpart of `lsh_ann_topk`.  Index build collects the 16
+    centroid vectors to the driver (tiny, the classic broadcast-model
+    pattern); assignment is then a single map-side projection computing
+    16 inline cosines per row — the corpus is scanned once with NO
+    shuffle for assignment.  Each query probes its `nprobe` nearest
+    lists, so only ~nprobe/16 of the corpus is scored per query.
+
+    Scale shape: at 100 TB the index build samples/trains centroids
+    once and ships them as literals exactly as here; candidate
+    generation stays a broadcast hash join on list id.  Recall < 1 by
+    construction; `cosine_topk` is the exact baseline."""
+    cents = (
+        emb.where(F.col("vec_id").isin(CENTROID_IDS))
+        .select("vec_id", as_double("embedding").alias("v"))
+        .collect()
+    )
+    cents = sorted((r["vec_id"], list(r["v"])) for r in cents)
+
+    def ranked_lists(vec_col):
+        # array<struct<s: cosine, nc: -centroid_id>> sorted descending:
+        # cosine desc, then centroid_id asc — same order as the oracle's
+        # ROW_NUMBER() OVER (ORDER BY cos DESC, centroid_id ASC).
+        structs = [
+            F.struct(
+                cosine(vec_col, F.array(*[F.lit(x) for x in cv])).alias("s"),
+                F.lit(-cid).cast("long").alias("nc"),
+            )
+            for cid, cv in cents
+        ]
+        return F.sort_array(F.array(*structs), False)
+
+    v = emb.select("vec_id", as_double("embedding").alias("v"))
+    corpus = fan_out(v.where(F.col("vec_id") >= num_queries), "vec_id").select(
+        "vec_id",
+        "v",
+        (-F.element_at(ranked_lists(F.col("v")), 1).getField("nc")).alias("list_id"),
+    )
+    q = v.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode(
+            F.slice(ranked_lists(F.col("v")), 1, nprobe)
+        ).alias("probe"),
+    ).select("query_id", "qv", (-F.col("probe.nc")).alias("list_id"))
+    scored = corpus.join(F.broadcast(q), "list_id").select(
+        "query_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )

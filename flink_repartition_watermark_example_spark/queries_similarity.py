@@ -101,3 +101,55 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.neardup_pairs_lsh(load_table(spark, sf_dir, "embeddings"))
+
+
+def _centroid_id_list() -> str:
+    return ", ".join(str(c) for c in SIM.CENTROID_IDS)
+
+
+@register(
+    "ivf_ann_topk",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+      WHERE vec_id IN ({", ".join(str(c) for c in SIM.CENTROID_IDS)})
+    ),
+    corpus AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id >= 10),
+    assign AS (
+      SELECT vec_id, v, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {cosine_sql('v', 'cv')} DESC,
+                                         centroid_id ASC) AS rn
+      FROM corpus CROSS JOIN cent
+    ),
+    lists AS (SELECT vec_id, v, centroid_id AS list_id FROM assign WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < 10),
+    qp AS (
+      SELECT query_id, qv, centroid_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {cosine_sql('qv', 'cv')} DESC,
+                                         centroid_id ASC) AS rn
+      FROM q CROSS JOIN cent
+    ),
+    probes AS (SELECT query_id, qv, centroid_id AS list_id FROM qp
+               WHERE rn <= {SIM.NPROBE}),
+    scored AS (
+      SELECT p.query_id, l.vec_id, {cosine_sql('p.qv', 'l.v')} AS cos_sim
+      FROM probes p JOIN lists l ON l.list_id = p.list_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="Approximate top-5 via an IVF-flat coarse index (16 sampled "
+    "centroids, 2-list probe): index build collects the centroids once "
+    "and ships them as literals, corpus assignment is a shuffle-free "
+    "map-side projection — the k-means-family scale path next to "
+    "lsh_ann_topk's hashing-family one.",
+)
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.ivf_topk(load_table(spark, sf_dir, "embeddings"))

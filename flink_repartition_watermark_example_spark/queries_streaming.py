@@ -83,3 +83,58 @@ def q_streaming_windowed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize off the transient memory sink before it is replaced.
     rows = spark.table(name).collect()
     return spark.createDataFrame(rows, agg.schema)
+
+
+@register(
+    "streaming_interval_join",
+    """
+    SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+    """,
+    doc="Stream-stream interval join run THROUGH Structured Streaming: "
+    "two watermarked file-stream replays of events (views / purchases) "
+    "joined on user_id with a 6-hour event-time bound, availableNow "
+    "drain — must equal the batch range join, so the same oracle "
+    "applies. The time bound is what lets each side's buffered state "
+    "be evicted as the other side's watermark advances.",
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_repartition_watermark_example_spark.streaming.join import (
+        interval_join_views_purchases,
+    )
+
+    load_table(spark, sf_dir, "events")  # sets the nanosAsLong conf
+    name = "stream_ij_" + uuid.uuid4().hex[:8]
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    def side(event_type: str) -> DataFrame:
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .where(F.col("event_type") == event_type)
+        )
+
+    joined = interval_join_views_purchases(side("view"), side("purchase"))
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with tempfile.TemporaryDirectory(dir=ckpt_base) as ckpt:
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    rows = spark.table(name).collect()
+    return spark.createDataFrame(rows, joined.schema)

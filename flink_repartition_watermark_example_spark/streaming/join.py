@@ -1,0 +1,50 @@
+"""Stream-stream inner join with watermarked time bounds.
+
+The reference has no joins at all (SURVEY §2.2: single linear pipeline,
+Main.scala:21-27); this is part of the engine's extended streaming
+surface.  Semantics follow Structured Streaming's interval-join
+contract: both sides carry a watermark, the join condition bounds the
+event-time distance, so each side's buffered state is evicted once the
+other side's watermark passes the bound — state stays O(range·rate),
+never unbounded.
+
+At scale the join keys (user_id here) hash-partition both streams to
+co-locate buffers; the time bound is the state-eviction lever — widen
+it and state grows linearly, drop the watermark and state never
+drains."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join_views_purchases(
+    views: DataFrame,
+    purchases: DataFrame,
+    *,
+    range_hours: int = 6,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Pairs each view with same-user purchases that happen within
+    ``range_hours`` after it.  Both inputs must be streaming DataFrames
+    with columns (event_id, ts, user_id)."""
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    return v.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {range_hours} HOURS")
+        ),
+    ).select("view_id", "purchase_id", "user_id")
