@@ -781,3 +781,101 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seg_tag"
         ),
     )
+
+
+@register(
+    "promo_revenue_share",
+    """
+    SELECT CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           100.00 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l.l_discount AS DECIMAL(18,2))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+    doc="TPC-H Q14-style conditional-aggregate ratio (promo revenue "
+    "share per ship year): part is broadcast so lineitem never "
+    "re-shuffles for the dimension; both sums stay exact decimal until "
+    "a single cast each, then one double division — "
+    "oracle-deterministic under any row order.",
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, p = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,2)")
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            (
+                F.lit(100.00) * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "top_suppliers_by_nation",
+    """
+    WITH s_rev AS (
+      SELECT l.l_suppkey,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM lineitem l
+      GROUP BY l.l_suppkey
+    )
+    SELECT n.n_name AS nation, s.s_name AS supplier, r.revenue,
+           CAST(row_number() OVER (PARTITION BY n.n_name
+                              ORDER BY r.revenue DESC, s.s_suppkey ASC)
+                AS BIGINT) AS rk
+    FROM s_rev r
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    QUALIFY rk <= 3
+    """,
+    doc="Top-3 suppliers by revenue within each nation: lineitem "
+    "pre-aggregates to one row per supplier BEFORE joining (the "
+    "aggregate-below-join rewrite — the join input shrinks from "
+    "O(lineitem) to O(suppliers)), dimensions broadcast, and the "
+    "per-nation ranking runs on the tiny aggregated set.",
+)
+def q_top_suppliers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    s, n = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation")
+    rev = (
+        l.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.col("revenue").desc(), F.col("s_suppkey").asc()
+    )
+    return (
+        rev.join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("s_name").alias("supplier"),
+            "revenue",
+            "s_suppkey",
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("nation", "supplier", "revenue", "rk")
+    )

@@ -1,0 +1,78 @@
+"""Stream-stream interval join: multi-batch replay must emit exactly
+the batch-join pairs, each exactly once (append mode)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from flink_repartition_watermark_example_spark.streaming.join import (
+    interval_join_views_purchases,
+)
+
+
+def _write_files(spark, path, rows, schema):
+    # one file per row-group, written sequentially so file-mtime replay
+    # order matches event-time order (see verify notes)
+    import time
+
+    for i, chunk in enumerate(rows):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        time.sleep(0.05)
+
+
+def test_interval_join_matches_batch(spark, tmp_path):
+    schema = "event_id long, ts timestamp, user_id long"
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    views = [
+        [(1, t0, 7)],
+        [(2, t0 + timedelta(hours=2), 7), (3, t0 + timedelta(hours=2), 8)],
+    ]
+    purchases = [
+        [(101, t0 + timedelta(hours=1), 7)],     # joins view 1
+        [(102, t0 + timedelta(hours=7), 7),      # joins view 2 (5h gap), NOT view 1 (7h)
+         (103, t0 + timedelta(hours=3), 9)],     # no matching user
+    ]
+    vdir, pdir = str(tmp_path / "views"), str(tmp_path / "purch")
+    _write_files(spark, vdir, views, schema)
+    _write_files(spark, pdir, purchases, schema)
+
+    vs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(vdir)
+    ps = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(pdir)
+    out = interval_join_views_purchases(vs, ps, range_hours=6)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ij_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.sql("select * from ij_test").collect()))
+    assert got == [(1, 101, 7), (2, 102, 7)]
+
+    # batch equivalence on the same files
+    bv = spark.read.parquet(vdir).selectExpr(
+        "event_id as view_id", "ts as view_ts", "user_id"
+    )
+    bp = spark.read.parquet(pdir).selectExpr(
+        "event_id as purchase_id", "ts as purchase_ts", "user_id as p_user_id"
+    )
+    batch = sorted(
+        map(
+            tuple,
+            bv.join(
+                bp,
+                (F.col("user_id") == F.col("p_user_id"))
+                & (F.col("purchase_ts") > F.col("view_ts"))
+                & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 6 HOURS")),
+            )
+            .select("view_id", "purchase_id", "user_id")
+            .collect(),
+        )
+    )
+    assert got == batch
