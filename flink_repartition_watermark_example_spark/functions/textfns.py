@@ -142,3 +142,22 @@ def fingerprint_sql(toks_expr: str) -> str:
     return (
         f"md5(array_to_string(list_sort(list_distinct({toks_expr})), ' '))"
     )
+
+
+# --- BPE-ish subword-boundary tokenization --------------------------------
+
+# Portable across Java regex (Spark) and DuckDB's RE2: letter runs,
+# digit runs, or a single non-alphanumeric non-space symbol — the
+# pre-tokenization split every BPE-family tokenizer applies before
+# merges.  Counting these approximates LLM token counts far better
+# than whitespace words (punctuation and numbers tokenize separately).
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_tokens_sql(expr: str) -> str:
+    return f"regexp_extract_all({expr}, '{BPE_PATTERN}')"

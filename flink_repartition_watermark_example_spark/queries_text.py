@@ -105,3 +105,36 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "token_counts_by_source",
+    f"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len({_TOKS})) AS ws_tokens,
+           sum(len({TX.bpe_tokens_sql('text')})) AS bpe_tokens,
+           CAST(sum(len({TX.bpe_tokens_sql('text')})) AS DOUBLE)
+             / sum(len({_TOKS})) AS bpe_per_word
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Token-counting pass for training-data budgeting: whitespace "
+    "words vs BPE-ish pre-tokens (letter runs / digit runs / single "
+    "symbols — the split every BPE tokenizer applies before merges) "
+    "per source. Both counters are JVM regex expressions inside the "
+    "scan projection; the shuffle carries one row per source.",
+)
+def q_token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(TX.tokens("text"))
+    bpe = F.size(TX.bpe_tokens("text"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ws).cast("long").alias("ws_tokens"),
+            F.sum(bpe).cast("long").alias("bpe_tokens"),
+            (F.sum(bpe).cast("double") / F.sum(ws)).alias("bpe_per_word"),
+        )
+    )
