@@ -138,3 +138,69 @@ def q_token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(bpe).cast("double") / F.sum(ws)).alias("bpe_per_word"),
         )
     )
+
+
+@register(
+    "curation_funnel",
+    f"""
+    WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+    s AS (
+      SELECT doc_id,
+             {TX.quality_score_sql('text', 't')} AS q,
+             {TX.lang_id_sql('t')} AS lang_pred,
+             {TX.fingerprint_sql('t')} AS fp
+      FROM toks
+    ),
+    flags AS (
+      SELECT doc_id, fp,
+             lang_pred = 'en' AS ep,
+             (lang_pred = 'en' AND q >= 0.35) AS lp
+      FROM s
+    ),
+    d AS (
+      SELECT *,
+             lp AND doc_id = min(CASE WHEN lp THEN doc_id END)
+                               OVER (PARTITION BY fp) AS dp
+      FROM flags
+    )
+    SELECT count(*) AS n_total,
+           CAST(sum(CASE WHEN ep THEN 1 ELSE 0 END) AS BIGINT) AS n_english,
+           CAST(sum(CASE WHEN lp THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(sum(CASE WHEN dp THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+    FROM d
+    """,
+    doc="Training-data curation funnel in one pass: language gate "
+    "(English by stopword heuristic), quality gate (score >= 0.35, the "
+    "corpus median), then normalized exact "
+    "dedup (min-doc_id representative per content fingerprint among "
+    "survivors). All gates are scan-side expressions; the only "
+    "shuffles are the fingerprint window and the final global "
+    "aggregate — the canonical shape of a corpus-cleaning job.",
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    s = docs.select(
+        "doc_id",
+        TX.quality_score(F.col("text"), toks).alias("q"),
+        TX.lang_id(toks).alias("lang_pred"),
+        TX.fingerprint(toks).alias("fp"),
+    )
+    flags = s.select(
+        "doc_id",
+        "fp",
+        (F.col("lang_pred") == "en").alias("ep"),
+        ((F.col("lang_pred") == "en") & (F.col("q") >= 0.35)).alias("lp"),
+    )
+    rep = F.min(F.when(F.col("lp"), F.col("doc_id"))).over(Window.partitionBy("fp"))
+    d = flags.withColumn("dp", F.col("lp") & (F.col("doc_id") == rep))
+    one = F.lit(1)
+    zero = F.lit(0)
+    return d.agg(
+        F.count(one).alias("n_total"),
+        F.sum(F.when(F.col("ep"), one).otherwise(zero)).cast("long").alias("n_english"),
+        F.sum(F.when(F.col("lp"), one).otherwise(zero)).cast("long").alias("n_quality"),
+        F.sum(F.when(F.col("dp"), one).otherwise(zero)).cast("long").alias("n_unique"),
+    )
