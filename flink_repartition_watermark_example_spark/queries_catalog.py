@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from flink_repartition_watermark_example_spark.queries import dec_sum, register
+from flink_repartition_watermark_example_spark.queries import dec_sum, register, register_extra
 from flink_repartition_watermark_example_spark.sources.tables import load_table
 
 
@@ -293,7 +293,7 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "cube_order_stats",
     """
     SELECT o_orderstatus AS orderstatus, o_orderpriority AS orderpriority,
@@ -336,7 +336,7 @@ def q_intersect_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "except_ship_only_days",
     """
     SELECT CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS day FROM lineitem
@@ -376,16 +376,37 @@ def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_users_sketch",
-    None,  # HLL estimates are engine-specific → rows-only check
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS sketch_within_5pct
+    FROM events GROUP BY event_type
+    """,
     doc="HyperLogLog sketch aggregation (hll_sketch_agg/hll_sketch_"
     "estimate): mergeable distinct-count sketches — the 100 TB path "
-    "where exact distinct is a full shuffle. Error bound vs exact is "
-    "unit-tested.",
+    "where exact distinct is a full shuffle. HLL estimates are engine-"
+    "specific bits, so the oracle checks the error bound instead: the "
+    "query emits |sketch − exact|/exact <= 5% alongside the exact "
+    "count, and the oracle asserts TRUE (default lgConfigK=12 gives "
+    "~1.6% rsd, so 5% is a real 3-sigma contract, not a tautology).",
 )
 def q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
+            F.count_distinct(F.col("user_id")).alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("sketch_within_5pct"),
+        )
     )
 
 
@@ -615,18 +636,23 @@ def q_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle, 3x expanded rows instead of 3 separate queries.",
 )
 def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
     o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
     j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-    j.createOrReplaceTempView("gs_rev_input")
+    # Session-global temp views collide across concurrent callers
+    # sharing the SparkSession — use a unique name per invocation.
+    view = "gs_rev_input_" + uuid.uuid4().hex[:8]
+    j.createOrReplaceTempView(view)
     # GROUPING SETS via Spark SQL: same Catalyst Expand + single hash
     # aggregation as ROLLUP/CUBE, with hand-picked sets.
     return spark.sql(
-        """
+        f"""
         SELECT c_mktsegment AS mktsegment,
                CAST(year(o_orderdate) AS BIGINT) AS order_year,
                count(*) AS n_orders,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        FROM gs_rev_input
+        FROM {view}
         GROUP BY GROUPING SETS ((c_mktsegment), (year(o_orderdate)), ())
         """
     )
@@ -683,7 +709,7 @@ def q_running_revenue_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "lag_order_gaps",
     """
     WITH g AS (
@@ -719,7 +745,7 @@ def q_lag_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "ntile_price_quartiles",
     """
     WITH t AS (

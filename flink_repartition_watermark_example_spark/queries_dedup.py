@@ -43,6 +43,9 @@ _BANDS_CTE = f"""
              {md5_long_sql("array_to_string(list(minhash ORDER BY perm), ',')")}
                AS band_hash
       FROM sig GROUP BY doc_id, perm // {DD.ROWS_PER_BAND}
+      -- hot-bucket cap, mirroring operators/dedup.py MAX_BUCKET_DOCS
+      QUALIFY count(*) OVER (PARTITION BY band, band_hash)
+                <= {DD.MAX_BUCKET_DOCS}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

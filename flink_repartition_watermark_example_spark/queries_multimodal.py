@@ -31,19 +31,40 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(MM.attach_payload(docs))
 
 
+# The pseudo-decoder derives feature i from byte i of the payload's md5
+# digest (features[i] = byte/255.0); the oracle recomputes the byte sum
+# from DuckDB's md5 hex string.  Comparing the integer byte sum (not
+# the double feature sum) keeps the check exact across engines.
+_HEXVAL = "(strpos('0123456789abcdef', substr(md5(text), {pos}, 1)) - 1)"
+_BYTES_SUM = " + ".join(
+    f"(16 * {_HEXVAL.format(pos=2 * i + 1)} + {_HEXVAL.format(pos=2 * i + 2)})"
+    for i in range(MM.FEATURE_DIM)
+)
+
+
 @register(
     "multimodal_fake_decode",
-    None,  # decoder output is not SQL-expressible → rows-only check
+    f"""
+    SELECT doc_id, CAST({_BYTES_SUM} AS BIGINT) AS feature_bytes_sum
+    FROM documents
+    """,
     doc="Deterministic pseudo-decode to fixed-width feature vectors via "
-    "mapInPandas — the real-decoder plumbing with a seeded stand-in "
-    "(media libs are stubbed in this environment).",
+    "mapInPandas — the real-decoder plumbing (Arrow batches, "
+    "array<double> output, per-partition streaming) with a seeded "
+    "stand-in, since media libs are stubbed in this environment. The "
+    "oracle re-derives each feature byte from the md5 hex digest, so "
+    "the Python decode path itself is value-checked end to end.",
 )
 def q_multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     decoded = MM.fake_decode_features(MM.attach_payload(docs))
+    # round(x*255) recovers the exact digest byte from the double
+    # feature (x = byte/255.0), making the sum integer-exact.
     return decoded.select(
         "doc_id",
         F.aggregate(
-            F.col("features"), F.lit(0.0), lambda acc, x: acc + x
-        ).alias("feature_sum"),
+            F.col("features"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.round(x * 255).cast("long"),
+        ).alias("feature_bytes_sum"),
     )

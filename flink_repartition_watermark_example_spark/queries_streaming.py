@@ -1,18 +1,29 @@
 """Streaming query registration for the driver contract.
 
-``streaming_windowed_count`` actually exercises Structured Streaming
-inside the correctness gate: it replays the events table through a
-file-stream source, runs the reference pipeline (S5-S10) as an
-incremental stateful aggregation, drains it with availableNow, and
-returns the materialized result — which must equal the plain batch
-GROUP BY, so the DuckDB oracle applies.  Complete output mode is used
-because the replay is bounded (no source-close watermark exists for a
-read-only input dir; see streaming/replica.py for the append-mode
-sentinel encoding)."""
+``streaming_windowed_count`` exercises Structured Streaming inside the
+correctness gate with the reference's actual emission contract
+(S10, reference README.md:54-58): **append** output mode — each
+key+window row is emitted exactly once, when the watermark passes the
+window end, and its state is evicted.  A bounded file replay has no
+end-of-input watermark in Spark (Flink sources emit
+Watermark(Long.MaxValue) on close), so the replay dir carries two
+far-future close-sentinel files, written last: they advance the
+source watermark past every real window and are dropped before
+aggregation by a predicate on the event-time column (see
+streaming/replica.py for why the predicate must be on that column).
+The drained result must equal the plain batch GROUP BY, so the DuckDB
+oracle applies.
+
+Both queries return the memory-sink table directly — no
+driver-side collect/createDataFrame round-trip; the sink table lives
+in the session as a uuid-named temp view.
+"""
 
 from __future__ import annotations
 
+import contextlib
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -21,6 +32,88 @@ from pyspark.sql import functions as F
 
 from flink_repartition_watermark_example_spark.queries import register
 from flink_repartition_watermark_example_spark.sources.tables import load_table
+
+# Sentinel event times (epoch nanos, matching the raw parquet's int64
+# nanosecond ts encoding) and the cutoff that excludes them from
+# aggregation while still letting them advance the watermark.
+_SENTINEL_NANOS = (4102444800 * 10**9, 4102531200 * 10**9)  # 2100-01-01/02
+_CUTOFF = "2099-01-01 00:00:00"
+
+
+def _replay_dir(spark: SparkSession, sf_dir: str, raw_schema) -> str:
+    """Stage a file-stream replay dir: the events file plus two close-
+    sentinel files written afterwards (the file source orders batches
+    by modification time, so sentinels replay last)."""
+    d = tempfile.mkdtemp(prefix="stream_replay_")
+    data = os.path.join(d, "0000_events.parquet")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), data)
+    now = os.stat(data).st_mtime
+    os.utime(data, (now - 60, now - 60))
+    for nanos in _SENTINEL_NANOS:
+        sent = spark.range(1).select(
+            *[
+                F.lit(nanos).cast(f.dataType).alias(f.name)
+                if f.name == "ts"
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in raw_schema.fields
+            ]
+        )
+        sent.coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+@contextlib.contextmanager
+def _streaming_confs(spark: SparkSession):
+    """Pin the streaming-critical session confs around a writeStream.
+
+    - shuffle.partitions=8: the state-partition count is fixed at query
+      start from this conf; a bounded replay with a handful of keys
+      needs few state stores, and every extra one costs a per-batch
+      snapshot+commit.  Real deployments size it to sustained key
+      cardinality instead (it cannot change across restarts of the
+      same checkpoint).
+    - RocksDB state store: state off-heap on local disk, bounded by
+      disk instead of executor heap — the 100 TB state lever (also the
+      session default in session.py; re-pinned here because the driver
+      may hand us a session built elsewhere).
+    """
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.streaming.stateStore.providerClass",
+        )
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
+def _drain(agg: DataFrame, spark: SparkSession, name: str, mode: str) -> DataFrame:
+    """Run a bounded streaming plan to completion into a memory sink
+    and return the sink table (no driver-side materialization)."""
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    with _streaming_confs(spark):
+        with tempfile.TemporaryDirectory(dir=ckpt_base) as ckpt:
+            q = (
+                agg.writeStream.outputMode(mode)
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    return spark.table(name)
 
 
 @register(
@@ -33,56 +126,48 @@ from flink_repartition_watermark_example_spark.sources.tables import load_table
     FROM events
     GROUP BY 1, 2, 3
     """,
-    doc="The flagship query run THROUGH Structured Streaming: file-"
-    "stream replay of events, incremental stateful windowed count, "
-    "availableNow drain — result must equal the batch GROUP BY.",
+    doc="The flagship query run THROUGH Structured Streaming with the "
+    "reference's emission contract: file-stream replay of events + "
+    "close sentinels, 0-delay watermark, incremental stateful windowed "
+    "count in APPEND mode (each window emitted exactly once when the "
+    "watermark passes it, state evicted), availableNow drain — result "
+    "must equal the batch GROUP BY.",
 )
 def q_streaming_windowed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events")  # sets the nanosAsLong conf
     name = "stream_wc_" + uuid.uuid4().hex[:8]
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(raw_schema)  # ts arrives as long nanos
-        # file streams take directories; select just the events file
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
-    agg = (
-        stream.groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count(F.lit(1)).alias("aggregate"))
-        .select(
-            F.col("window.start").alias("window_start"),
-            F.col("window.end").alias("window_end"),
-            "event_type",
-            "aggregate",
-        )
-    )
-    # State-partition count is fixed at query start from
-    # spark.sql.shuffle.partitions; a bounded single-file replay with a
-    # handful of keys needs few state stores, and every extra one costs
-    # a per-batch snapshot+commit.  Real deployments size this to
-    # sustained key cardinality/throughput instead (it cannot be changed
-    # across restarts of the same checkpoint).
-    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    replay = _replay_dir(spark, sf_dir, raw_schema)
     try:
-        with tempfile.TemporaryDirectory(dir=ckpt_base) as ckpt:
-            q = (
-                agg.writeStream.outputMode("complete")
-                .format("memory")
-                .queryName(name)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
+        stream = (
+            spark.readStream.schema(raw_schema)  # ts arrives as long nanos
+            .option("pathGlobFilter", "*.parquet")
+            # One file per micro-batch: data, then each sentinel — the
+            # second sentinel batch flushes windows closed by the first
+            # (emission happens at the start of the batch AFTER the
+            # watermark advances; availableNow runs no no-data batch).
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .withWatermark("ts", "0 seconds")
+            # Drop sentinels AFTER the watermark node; the predicate is
+            # on the event-time column so Catalyst keeps it above
+            # EventTimeWatermark (streaming/replica.py).
+            .where(F.col("ts") < F.lit(_CUTOFF).cast("timestamp"))
+        )
+        agg = (
+            stream.groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("aggregate"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "event_type",
+                "aggregate",
             )
-            q.awaitTermination()
+        )
+        return _drain(agg, spark, name, "append")
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    # Materialize off the transient memory sink before it is replaced.
-    rows = spark.table(name).collect()
-    return spark.createDataFrame(rows, agg.schema)
+        shutil.rmtree(replay, ignore_errors=True)
 
 
 @register(
@@ -120,21 +205,4 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     joined = interval_join_views_purchases(side("view"), side("purchase"))
-    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        with tempfile.TemporaryDirectory(dir=ckpt_base) as ckpt:
-            q = (
-                joined.writeStream.outputMode("append")
-                .format("memory")
-                .queryName(name)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    rows = spark.table(name).collect()
-    return spark.createDataFrame(rows, joined.schema)
+    return _drain(joined, spark, name, "append")

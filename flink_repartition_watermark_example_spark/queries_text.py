@@ -112,8 +112,8 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT source,
            count(*) AS n_docs,
-           sum(len({_TOKS})) AS ws_tokens,
-           sum(len({TX.bpe_tokens_sql('text')})) AS bpe_tokens,
+           CAST(sum(len({_TOKS})) AS BIGINT) AS ws_tokens,
+           CAST(sum(len({TX.bpe_tokens_sql('text')})) AS BIGINT) AS bpe_tokens,
            CAST(sum(len({TX.bpe_tokens_sql('text')})) AS DOUBLE)
              / sum(len({_TOKS})) AS bpe_per_word
     FROM documents

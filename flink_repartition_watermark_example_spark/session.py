@@ -62,6 +62,21 @@ def get_spark(
         # Spark's default but we pin it because the semantics under
         # test depend on it (SURVEY §1.4).
         .config("spark.sql.streaming.multipleWatermarkPolicy", "min")
+        # RocksDB state store: streaming state lives off-heap on local
+        # disk instead of the in-heap HDFSBackedStateStore map, so state
+        # size is bounded by disk, not executor heap — the lever that
+        # lets watermarked aggregations/joins hold 100 TB-scale key
+        # cardinality (SURVEY §7.4).  Bundled with Spark since 3.2.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+            ".enabled",
+            "true",
+        )
         # Driver heap is left at Spark's default: measured on this
         # workload, larger heaps are strictly slower (1g→25.7s,
         # 4g→57.9s, 8g→116s over the heavy-query set — allocation-heavy

@@ -28,7 +28,7 @@ passes a window, so long-running jobs don't accumulate state.
 
 from __future__ import annotations
 
-import os
+import tempfile
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -152,19 +152,17 @@ def run_skew_experiment(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         result.batches.append((batch_id, batch_df.collect()))
 
-    query = (
-        out.writeStream.outputMode("append")
-        .foreachBatch(sink)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            os.path.join(
-                os.path.dirname(partition_dirs[0].rstrip("/")), "_checkpoint"
-            ),
+    # Fresh checkpoint per invocation: reusing one across runs over the
+    # same dirs would resume the drained query and replay nothing.
+    with tempfile.TemporaryDirectory(prefix="replica_ckpt_") as ckpt:
+        query = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
         )
-        .start()
-    )
-    query.awaitTermination()
+        query.awaitTermination()
     for p in query.recentProgress:
         wm = (p.get("eventTime") or {}).get("watermark")
         if wm is not None:

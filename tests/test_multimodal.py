@@ -48,8 +48,17 @@ def test_fake_decode_is_deterministic_fixed_width(payloads):
     assert all(0.0 <= x <= 1.0 for r in a[:20] for x in r.features)
 
 
-def test_single_deliberate_shuffle_in_feature_plan(payloads):
-    """The only Exchange is attach_payload's fan_out repartition; the
-    mapInPandas featurization itself must add no further shuffle."""
+def test_feature_plan_has_no_shuffle(payloads):
+    """Byte stats + digest are scan-side JVM expressions — the whole
+    plan must be shuffle-free."""
     plan = MM.extract_features(payloads)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, f"expected a shuffle-free plan:\n{plan}"
+
+
+def test_single_deliberate_shuffle_in_decode_plan(payloads):
+    """The only Exchange in the Python decode path is the fan_out
+    repartition that widens parallelism before the CPU-bound stage."""
+    plan = (
+        MM.fake_decode_features(payloads)._jdf.queryExecution().executedPlan().toString()
+    )
     assert plan.count("Exchange") == 1, f"expected only the fan_out shuffle:\n{plan}"

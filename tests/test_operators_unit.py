@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from flink_repartition_watermark_example_spark.operators.windowed import windowed_count
 from flink_repartition_watermark_example_spark.plans.introspect import plan_facts
-from flink_repartition_watermark_example_spark.queries import QUERIES
+from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES, QUERIES
 from flink_repartition_watermark_example_spark.sources.generator import pageviews
 from flink_repartition_watermark_example_spark.streaming.dedup import dedup_stream
 
@@ -70,7 +70,7 @@ def test_flagship_plan_shape(spark, sf_dir):
 
 
 def test_dim_join_is_broadcast(spark, sf_dir):
-    facts = plan_facts(QUERIES["revenue_by_segment"].spark(spark, sf_dir))
+    facts = plan_facts(EXTRA_QUERIES["revenue_by_segment"].spark(spark, sf_dir))
     assert facts.has_broadcast_join, "customer dim must broadcast"
 
 
@@ -104,18 +104,42 @@ def test_stream_dedup_equals_batch_within_watermark(spark, tmp_path):
 
 
 def test_hll_sketch_within_error_bound(spark, sf_dir):
-    """The HLL sketch estimate must land within ~3σ of exact distinct
-    (lgK=12 → rel. std err ≈ 1.6%/sqrt? — allow 5%)."""
-    from flink_repartition_watermark_example_spark.queries import QUERIES
-
-    approx = {
-        r.event_type: r.approx_users
-        for r in QUERIES["approx_distinct_users_sketch"].spark(spark, sf_dir).collect()
-    }
+    """The HLL sketch estimate must land within 5% (~3σ at lgK=12) of
+    exact distinct; the query itself emits the bound check so the
+    driver's oracle gate verifies it too."""
+    rows = QUERIES["approx_distinct_users_sketch"].spark(spark, sf_dir).collect()
     exact = {
         r.event_type: r.distinct_users
         for r in QUERIES["distinct_users_by_type"].spark(spark, sf_dir).collect()
     }
-    assert set(approx) == set(exact)
-    for k, e in exact.items():
-        assert abs(approx[k] - e) <= max(1, 0.05 * e), (k, approx[k], e)
+    assert {r.event_type for r in rows} == set(exact)
+    for r in rows:
+        assert r.sketch_within_5pct, (r.event_type, r.exact_users)
+        assert r.exact_users == exact[r.event_type]
+
+
+# --- LSH hot-bucket cap ----------------------------------------------------
+
+
+def test_lsh_hot_bucket_is_capped(spark):
+    """A degenerate band bucket (here: hundreds of identical docs, so
+    every band collides) must be dropped before the self-join rather
+    than proposing a quadratic pair set; ordinary small buckets still
+    propose their pairs."""
+    from flink_repartition_watermark_example_spark.operators.dedup import (
+        MAX_BUCKET_DOCS,
+        lsh_candidate_pairs,
+    )
+
+    boilerplate = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1000 + i, boilerplate) for i in range(3 * MAX_BUCKET_DOCS)]
+    # One genuine near-dup pair in its own (tiny) buckets.
+    rows += [(1, "alpha beta gamma delta epsilon zeta"),
+             (2, "alpha beta gamma delta epsilon zeta")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = lsh_candidate_pairs(docs).select("doc_a", "doc_b").collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert got == {(1, 2)}, (
+        f"expected only the small-bucket pair, got {len(got)} pairs "
+        "(hot bucket leaked into the self-join)"
+    )

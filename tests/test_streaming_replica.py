@@ -107,3 +107,11 @@ def test_no_premature_fire(replay):
                 f"window {r.window_start}..{r.window_end} fired before "
                 f"watermark {max_wm} (batch {batch_id})"
             )
+
+
+def test_state_store_is_rocksdb(spark):
+    """SURVEY §7.4: streaming state must live in RocksDB (disk-bounded)
+    rather than the in-heap HDFSBackedStateStore map."""
+    assert "RocksDBStateStoreProvider" in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
