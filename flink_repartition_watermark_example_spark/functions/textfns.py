@@ -43,6 +43,48 @@ def shingles_sql(toks_expr: str, n: int) -> str:
     )
 
 
+# --- fixed-size token chunking (training-sample packing) ------------------
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24  # size - overlap of 8 tokens
+
+
+def n_chunks(toks: Column, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE) -> Column:
+    """Number of chunks covering the token list: 1 + ceil((n-size)/stride)
+    for n > size, else 1 (every doc yields at least one chunk)."""
+    n = F.size(toks)
+    return F.when(n <= size, F.lit(1)).otherwise(
+        (n - size + (stride - 1)) / stride + 1
+    ).cast("int")
+
+
+def chunk_texts(toks: Column, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE) -> Column:
+    """Array of chunk strings: chunk i = tokens[i*stride, i*stride+size)
+    re-joined with spaces — the fixed-window-with-overlap split a
+    training pipeline applies before tokenizer packing."""
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks(toks, size, stride) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, size)),
+    )
+
+
+def chunk_texts_sql(
+    toks_expr: str, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> str:
+    """DuckDB twin of :func:`chunk_texts`: a list of chunk strings
+    (scalar ``range`` builds the index list; DuckDB's table-function
+    range cannot reference lateral columns)."""
+    nc = (
+        f"CASE WHEN len({toks_expr}) <= {size} THEN 1 "
+        f"ELSE (len({toks_expr}) - {size} + {stride - 1}) // {stride} + 1 END"
+    )
+    return (
+        f"list_transform(range(0, {nc}), i -> "
+        f"array_to_string(list_slice({toks_expr}, "
+        f"i * {stride} + 1, i * {stride} + {size}), ' '))"
+    )
+
+
 # --- language ID heuristic ------------------------------------------------
 
 # Tiny per-language stopword inventories (public-knowledge common words).

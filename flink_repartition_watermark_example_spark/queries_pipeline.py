@@ -1,0 +1,237 @@
+"""Training-data pipeline extras: chunking, repetition-quality
+signals, deterministic splits/sampling, masking, embedding centroids.
+
+These extend the curated 50-query driver gate (queries.py) with the
+remaining operations a large-scale curation pipeline runs; they are
+registered as EXTRA_QUERIES (the gate window is full) but carry full
+DuckDB oracles and run through the same comparison in
+tests/test_queries_oracle.py.
+
+Everything here is JVM column algebra — one scan, shuffles only where
+an aggregation needs one — and each Spark expression has a lockstep
+DuckDB twin (functions/textfns.py, functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_repartition_watermark_example_spark.functions import textfns as TX
+from flink_repartition_watermark_example_spark.functions.hashing import md5_long, md5_long_sql
+from flink_repartition_watermark_example_spark.queries import register_extra
+from flink_repartition_watermark_example_spark.sources.tables import load_table
+
+_TOKS = TX.tokens_sql("text")
+
+
+@register_extra(
+    "doc_chunks",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    c AS (SELECT doc_id, len(t) AS n,
+                 {TX.chunk_texts_sql('t')} AS chunks
+          FROM toks)
+    SELECT doc_id,
+           CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS chunk_id,
+           unnest(chunks) AS chunk_text,
+           CAST(least({TX.CHUNK_SIZE},
+                      n - (generate_subscripts(chunks, 1) - 1)
+                          * {TX.CHUNK_STRIDE}) AS BIGINT) AS n_chunk_tokens
+    FROM c
+    """,
+    doc="Fixed-window chunking with overlap (size 32, stride 24 "
+    "tokens) — the split a training pipeline applies before packing "
+    "samples. Chunk boundaries are per-document expressions inside the "
+    "scan projection (sequence + slice + posexplode); no shuffle at "
+    "all — 100 TB of documents chunk at full scan parallelism.",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    return (
+        docs.select(
+            "doc_id",
+            toks.alias("t"),
+            F.posexplode(TX.chunk_texts(toks)).alias("chunk_id", "chunk_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            "chunk_text",
+            F.least(
+                F.lit(TX.CHUNK_SIZE),
+                F.size(F.col("t")) - F.col("chunk_id") * TX.CHUNK_STRIDE,
+            )
+            .cast("long")
+            .alias("n_chunk_tokens"),
+        )
+    )
+
+
+@register_extra(
+    "repetition_signals",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    b AS (SELECT doc_id, t, {TX.shingles_sql('t', 2)} AS bg FROM toks)
+    SELECT doc_id,
+           CASE WHEN len(bg) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)
+                           / CAST(len(bg) AS DOUBLE) END AS dup_2gram_ratio,
+           CAST(list_max(list_transform(list_distinct(t),
+                  x -> len(list_filter(t, y -> y = x)))) AS DOUBLE)
+             / CAST(len(t) AS DOUBLE) AS top_token_ratio
+    FROM b
+    """,
+    doc="Gopher-style repetition quality signals: duplicate-bigram "
+    "fraction and most-frequent-token share. Pure per-row column "
+    "algebra over the token arrays; a curation pipeline thresholds "
+    "these to drop boilerplate/spam before dedup.",
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    bg = TX.shingles(toks, 2)
+    dup = F.when(F.size(bg) == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.size(F.array_distinct(bg)).cast("double") / F.size(bg).cast("double")
+    )
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda x: F.size(F.filter(toks, lambda y: y == x)),
+        )
+    ).cast("double") / F.size(toks).cast("double")
+    return docs.select(
+        "doc_id", dup.alias("dup_2gram_ratio"), top.alias("top_token_ratio")
+    )
+
+
+@register_extra(
+    "hash_split_counts",
+    f"""
+    WITH s AS (
+      SELECT CASE WHEN {md5_long_sql('CAST(doc_id AS VARCHAR)', salt='split')} % 100 < 90
+                  THEN 'train'
+                  WHEN {md5_long_sql('CAST(doc_id AS VARCHAR)', salt='split')} % 100 < 95
+                  THEN 'val' ELSE 'test' END AS split,
+             len({_TOKS}) AS n
+      FROM documents
+    )
+    SELECT split, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS ws_tokens
+    FROM s GROUP BY split
+    """,
+    doc="Deterministic train/val/test assignment by hash bucket "
+    "(md5(doc_id) mod 100 → 90/5/5) — reproducible across runs and "
+    "engines, no sampling state, no shuffle until the per-split "
+    "rollup. The standard leakage-safe split for training corpora.",
+)
+def q_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("doc_id").cast("string"), salt="split") % 100
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), F.size(TX.tokens("text")).alias("n"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("ws_tokens"),
+        )
+    )
+
+
+@register_extra(
+    "stratified_sample_docs",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE {md5_long_sql("(source || ':' || CAST(doc_id AS VARCHAR))")} % 10 = 0
+    """,
+    doc="Deterministic 10% per-source sample: hash(source:doc_id) mod "
+    "10 — every executor agrees on membership with zero coordination, "
+    "unlike rand()-based sampling, and the per-source salt keeps "
+    "strata independent. The pattern behind 'hold out 10% of every "
+    "crawl snapshot'.",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_long(
+        F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))
+    )
+    return docs.where(h % 10 == 0).select("doc_id", "source")
+
+
+@register_extra(
+    "mask_numeric_ids",
+    """
+    SELECT event_id,
+           regexp_replace(props, '[0-9]+', '#', 'g') AS masked_props,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_masked
+    FROM events
+    """,
+    doc="PII-style masking pass: replace numeric identifier runs in "
+    "the semi-structured props column and count redactions — the "
+    "scrubbing shape (regexp_replace/extract_all are JVM codegen "
+    "expressions) a pipeline applies before text ships to training. "
+    "Real PII patterns (emails, phones) drop into the same regex "
+    "slot.",
+)
+def q_mask_numeric_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_replace(F.col("props"), "[0-9]+", "#").alias("masked_props"),
+        F.size(F.regexp_extract_all(F.col("props"), F.lit("[0-9]+"), 0))
+        .cast("long")
+        .alias("n_masked"),
+    )
+
+
+@register_extra(
+    "label_centroids",
+    """
+    WITH ex AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding) AS v
+      FROM embeddings
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(pos AS BIGINT) AS pos,
+           count(*) AS n_vecs,
+           CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))
+                AS BIGINT) AS sum_q,
+           (CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))
+                 AS DOUBLE) / 1000000.0) / count(*) AS centroid
+    FROM ex GROUP BY label, pos
+    """,
+    doc="Per-label embedding centroid in exploded (label, dim) form — "
+    "the elementwise vector mean behind IVF retraining and class "
+    "prototypes. Components are quantized to integers (floor(v*1e6)) "
+    "before summing so the reduction is order-independent and "
+    "bit-identical across engines; the shuffle carries "
+    "O(labels × dim) partial sums, never the vectors themselves.",
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.floor(F.col("v").cast("double") * 1000000.0).cast("long")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(q).cast("long").alias("sum_q"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("pos").cast("long").alias("pos"),
+            "n_vecs",
+            "sum_q",
+            ((F.col("sum_q").cast("double") / 1000000.0) / F.col("n_vecs")).alias(
+                "centroid"
+            ),
+        )
+    )
