@@ -102,7 +102,7 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "rollup_revenue",
     """
     SELECT c.c_mktsegment AS mktsegment, o.o_orderstatus AS orderstatus,
@@ -318,7 +318,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "intersect_ship_order_days",
     """
     SELECT CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS day FROM lineitem
@@ -477,7 +477,7 @@ def q_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "range_join_view_to_purchase",
     """
     SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id

@@ -1,10 +1,10 @@
-"""Training-data pipeline extras: chunking, repetition-quality
-signals, deterministic splits/sampling, masking, embedding centroids.
+"""Training-data pipeline operators: chunking, repetition-quality
+signals, deterministic splits/sampling, masking, embedding centroids —
+the remaining operations a large-scale curation pipeline runs.
 
-These extend the curated 50-query driver gate (queries.py) with the
-remaining operations a large-scale curation pipeline runs; they are
-registered as EXTRA_QUERIES (the gate window is full) but carry full
-DuckDB oracles and run through the same comparison in
+The three most pipeline-central (chunking, hash split, stratified
+sample) sit in the primary driver gate; the rest are EXTRA_QUERIES
+with the same DuckDB oracles, compared in
 tests/test_queries_oracle.py.
 
 Everything here is JVM column algebra — one scan, shuffles only where
@@ -19,13 +19,13 @@ from pyspark.sql import functions as F
 
 from flink_repartition_watermark_example_spark.functions import textfns as TX
 from flink_repartition_watermark_example_spark.functions.hashing import md5_long, md5_long_sql
-from flink_repartition_watermark_example_spark.queries import register_extra
+from flink_repartition_watermark_example_spark.queries import register, register_extra
 from flink_repartition_watermark_example_spark.sources.tables import load_table
 
 _TOKS = TX.tokens_sql("text")
 
 
-@register_extra(
+@register(
     "doc_chunks",
     f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
@@ -107,7 +107,7 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
     "hash_split_counts",
     f"""
     WITH s AS (
@@ -144,7 +144,7 @@ def q_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
     "stratified_sample_docs",
     f"""
     SELECT doc_id, source FROM documents
