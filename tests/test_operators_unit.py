@@ -143,3 +143,49 @@ def test_lsh_hot_bucket_is_capped(spark):
         f"expected only the small-bucket pair, got {len(got)} pairs "
         "(hot bucket leaked into the self-join)"
     )
+
+
+# --- chunking invariants ---------------------------------------------------
+
+
+def test_chunking_covers_every_token_with_fixed_overlap(spark):
+    """Every token index is covered by >= 1 chunk; consecutive chunks
+    overlap by exactly size-stride tokens; short docs yield one chunk."""
+    from flink_repartition_watermark_example_spark.functions import textfns as TX
+
+    texts = [
+        " ".join(f"w{i}" for i in range(n))
+        for n in (1, 5, TX.CHUNK_SIZE, TX.CHUNK_SIZE + 1, 100, 257)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    from flink_repartition_watermark_example_spark.queries import QUERIES
+
+    # reuse the registered plan shape directly on the synthetic docs
+    toks = TX.tokens("text")
+    import pyspark.sql.functions as F
+
+    out = (
+        docs.select("doc_id", F.posexplode(TX.chunk_texts(toks)).alias("cid", "chunk"))
+        .collect()
+    )
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.cid, r.chunk.split(" ")))
+    for i, t in enumerate(texts):
+        n = len(t.split(" "))
+        chunks = [c for _, c in sorted(by_doc[i])]
+        if n <= TX.CHUNK_SIZE:
+            assert len(chunks) == 1 and len(chunks[0]) == n
+            continue
+        # coverage: concatenating chunk k's tokens from stride offsets
+        # reconstructs the doc exactly
+        recon = chunks[0] + [
+            tok for c in chunks[1:] for tok in c[TX.CHUNK_SIZE - TX.CHUNK_STRIDE :]
+        ]
+        assert recon == t.split(" "), f"doc {i}: coverage broken"
+        # overlap: chunk k+1 starts with the last size-stride tokens of k
+        for a, b in zip(chunks, chunks[1:]):
+            ov = TX.CHUNK_SIZE - TX.CHUNK_STRIDE
+            assert b[:ov] == a[-ov:], f"doc {i}: overlap broken"

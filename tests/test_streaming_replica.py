@@ -115,3 +115,31 @@ def test_state_store_is_rocksdb(spark):
     assert "RocksDBStateStoreProvider" in spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass"
     )
+
+
+def test_checkpoint_restart_does_not_reemit(spark, skew_dirs, tmp_path):
+    """S10 exactly-once across restarts: draining the same inputs a
+    second time from the same checkpoint must emit nothing new — the
+    WAL/state commit, not the sink, is the source of truth."""
+    schema = spark.read.parquet(skew_dirs[0]).schema
+    ckpt = str(tmp_path / "ckpt")
+
+    def run() -> int:
+        sources = [
+            spark.readStream.schema(schema).parquet(d) for d in skew_dirs
+        ]
+        out = windowed_count_stream(sources)
+        emitted = []
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: emitted.append(df.count()))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(emitted)
+
+    first = run()
+    assert first > 0
+    assert run() == 0, "restart from checkpoint re-emitted rows"
