@@ -30,7 +30,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_repartition_watermark_example_spark.queries import register
+from flink_repartition_watermark_example_spark.queries import register, register_extra
 from flink_repartition_watermark_example_spark.sources.tables import load_table
 
 # Sentinel event times (epoch nanos, matching the raw parquet's int64
@@ -206,3 +206,50 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     joined = interval_join_views_purchases(side("view"), side("purchase"))
     return _drain(joined, spark, name, "append")
+
+
+@register_extra(
+    "streaming_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked)
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Custom stateful operator (applyInPandasWithState) run THROUGH "
+    "Structured Streaming and value-checked: inactivity-gap "
+    "sessionization with per-key state and event-time timeouts, "
+    "drained over the close-sentinel replay so the watermark closes "
+    "every session. Must equal the batch gaps-and-islands oracle — "
+    "the same one that checks the built-in session_window query, so "
+    "custom state logic, native operator, and SQL all agree.",
+)
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_repartition_watermark_example_spark.streaming.stateful import sessionize
+
+    load_table(spark, sf_dir, "events")  # sets the nanosAsLong conf
+    name = "stream_sess_" + uuid.uuid4().hex[:8]
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    replay = _replay_dir(spark, sf_dir, raw_schema)
+    try:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        sess = sessionize(stream, gap="30 minutes", drop_after=_CUTOFF)
+        return _drain(sess, spark, name, "append")
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)

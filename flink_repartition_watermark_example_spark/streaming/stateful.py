@@ -96,10 +96,17 @@ def sessionize(
     events: DataFrame,
     gap: str = "30 minutes",
     watermark_delay: str = "0 seconds",
+    drop_after: str | None = None,
 ) -> DataFrame:
     """Inactivity-gap sessions per user over a streaming DataFrame.
     Emits each session exactly once, when the watermark passes its gap
-    horizon (append semantics, like the reference's window firing)."""
+    horizon (append semantics, like the reference's window firing).
+
+    ``drop_after`` excludes rows at/after the given timestamp from
+    sessionization while still letting them advance the watermark —
+    the close-sentinel replay pattern (streaming/replica.py): the
+    predicate sits above the EventTimeWatermark node because it
+    references the event-time column."""
     gap_seconds = {"30 minutes": 1800}.get(gap)
     if gap_seconds is None:
         parts = gap.split()
@@ -109,8 +116,13 @@ def sessionize(
     def fn(key, pdfs, state):
         return _sessionize_group(key, pdfs, state, gap_seconds)
 
+    marked = events.withWatermark("ts", watermark_delay)
+    if drop_after is not None:
+        from pyspark.sql import functions as F
+
+        marked = marked.where(F.col("ts") < F.lit(drop_after).cast("timestamp"))
     return (
-        events.withWatermark("ts", watermark_delay)
+        marked
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,
