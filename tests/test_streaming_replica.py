@@ -143,3 +143,43 @@ def test_checkpoint_restart_does_not_reemit(spark, skew_dirs, tmp_path):
     first = run()
     assert first > 0
     assert run() == 0, "restart from checkpoint re-emitted rows"
+
+
+def test_late_row_into_evicted_window_is_dropped(spark, tmp_path):
+    """The finality half of S10: once the watermark passes a window and
+    it fires, later rows for that window are discarded — the window is
+    NEVER emitted twice (Spark's drop of too-late data is best-effort
+    while a window's state is still open, but eviction makes firing
+    final; append mode may not retract).
+
+    Replay: 6 rows in [10:00,11:00), a 12:30 row that advances the
+    watermark to 11:30 (1 h delay), a 13:00 batch during which [10,11)
+    fires and evicts, then a 10:07 straggler that must vanish."""
+    d = str(tmp_path / "late")
+    files = [
+        [("u", f"2016-02-01 10:{m:02d}:00") for m in range(0, 60, 10)],
+        [("u", "2016-02-01 12:30:00")],
+        [("u", "2016-02-01 13:00:00")],
+        [("u", "2016-02-01 10:07:00"), ("u", "2016-02-01 14:00:00")],
+    ]
+    for rows in files:
+        spark.createDataFrame(rows, ["url", "s"]).select(
+            "url", F.col("s").cast("timestamp").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(d)
+    write_close_sentinel(spark, d)
+    schema = spark.read.parquet(d).schema
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    out = windowed_count_stream([src], watermark_delay="1 hour")
+    emitted = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: emitted.extend(df.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    fired = [(r.window_start.hour, r.aggregate) for r in emitted]
+    assert sorted(fired) == [(10, 6), (12, 1), (13, 1), (14, 1)], fired
+    # exactly-once: no window key appears twice
+    assert len({h for h, _ in fired}) == len(fired)
