@@ -55,6 +55,16 @@ DECODED_SCHEMA = T.StructType(
     ]
 )
 
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_digest", T.StringType()),
+    ]
+)
+
+FRAME_STRIDE = 2  # sample every 2nd frame
+
 
 def attach_payload(docs: DataFrame, modality: str = "text") -> DataFrame:
     """Opaque payload + typed metadata, the canonical multimodal row
@@ -83,6 +93,36 @@ def extract_features(payloads: DataFrame) -> DataFrame:
         F.col("meta.n_bytes").alias("n_bytes"),
         F.md5(F.col("payload")).alias("digest"),
     )
+
+
+def fake_frame_sample(payloads: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Video-style frame sampling plumbing: each payload row expands to
+    one output row per sampled frame (every ``stride``-th of the
+    payload's deterministic pseudo frame count) — the 1→N flatMap
+    shape across the Arrow boundary a real ffmpeg-backed sampler uses.
+    The per-frame decode is a deterministic stand-in (digest of
+    payload + frame index); a real decoder replaces only the inner
+    loop, the Spark-side contract (schema, batching, per-partition
+    independence, row expansion) is exactly this."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, digests = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)
+                n_frames = len(raw) % 7 + 3  # fake container metadata
+                for i in range(0, n_frames, stride):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    digests.append(
+                        hashlib.md5(raw + b":" + str(i).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_digest": digests}
+            )
+
+    flat = fan_out(payloads.select("doc_id", "payload"), "doc_id")
+    return flat.mapInPandas(batches, FRAMES_SCHEMA)
 
 
 def decode_image(payloads: DataFrame) -> DataFrame:

@@ -1,7 +1,8 @@
-"""Multimodal query registrations.  ``multimodal_features`` is oracle-
-checked (byte length + md5 digest are SQL-expressible over the text the
-payload was fabricated from); the fake-decode path is registered
-without an oracle → the driver's rows-only check."""
+"""Multimodal query registrations — all oracle-checked: byte stats
+and digest are SQL-expressible over the text the payload was
+fabricated from; the fake-decode and frame-sample paths re-derive
+their outputs from the md5 hex digest, so even the Python
+``mapInPandas`` plumbing is value-checked."""
 
 from __future__ import annotations
 
@@ -9,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_repartition_watermark_example_spark.operators import multimodal as MM
-from flink_repartition_watermark_example_spark.queries import register
+from flink_repartition_watermark_example_spark.queries import register, register_extra
 from flink_repartition_watermark_example_spark.sources.tables import load_table
 
 
@@ -68,3 +69,27 @@ def q_multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + F.round(x * 255).cast("long"),
         ).alias("feature_bytes_sum"),
     )
+
+
+@register_extra(
+    "multimodal_frame_sample",
+    f"""
+    WITH f AS (SELECT doc_id, text,
+                      octet_length(encode(text)) % 7 + 3 AS nf
+               FROM documents)
+    SELECT doc_id,
+           CAST(unnest(range(0, nf, {MM.FRAME_STRIDE})) AS BIGINT) AS frame_idx,
+           md5(text || ':' ||
+               CAST(unnest(range(0, nf, {MM.FRAME_STRIDE})) AS VARCHAR))
+             AS frame_digest
+    FROM f
+    """,
+    doc="Frame-sampling plumbing: every payload row expands to one row "
+    "per sampled frame through mapInPandas (the 1-to-N flatMap shape "
+    "across the Arrow boundary a real video sampler uses); the oracle "
+    "re-derives each sampled frame's digest from the source text, so "
+    "the row expansion itself is value-checked.",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.fake_frame_sample(MM.attach_payload(docs))
