@@ -16,7 +16,7 @@ declarative plan as operators/windowed.py (Catalyst sees no wrapper).
 from __future__ import annotations
 
 from collections.abc import Sequence
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

@@ -18,7 +18,6 @@ deterministic across engines:
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
