@@ -92,3 +92,41 @@ def test_windowed_count_equals_floor_groupby(spark, evs):
     ).count()
     b = sorted((r.ws, r.url, r["count"]) for r in floor.collect())
     assert a == b
+
+
+def test_md5_hash_family_cross_engine_parity(spark):
+    """The md5→bigint hash family must produce IDENTICAL values in
+    Spark and DuckDB on arbitrary strings (unicode, quotes, spaces) —
+    the foundation every dedup/split/sampling oracle stands on."""
+    import duckdb
+
+    from flink_repartition_watermark_example_spark.functions.hashing import (
+        md5_long,
+        md5_long30,
+        md5_long30_sql,
+        md5_long_sql,
+    )
+
+    samples = [
+        "hello", "", " ", "a b  c", 'quote"s', "naïve café 中文 🙂",
+        "tab\tnewline\n", "0123456789" * 20, "'; DROP TABLE x; --",
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(s,) for s in samples], ["s"])
+    got = {
+        r.s: (r.h, r.h30)
+        for r in df.select(
+            "s",
+            md5_long(F.col("s")).alias("h"),
+            md5_long30(F.col("s")).alias("h30"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for s in samples:
+        h, h30 = con.sql(
+            f"SELECT {md5_long_sql('?::VARCHAR')}, {md5_long30_sql('?::VARCHAR')}",
+            params=[s, s],
+        ).fetchone()
+        assert got[s] == (h, h30), (s, got[s], (h, h30))
+    con.close()

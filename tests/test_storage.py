@@ -57,3 +57,34 @@ def test_colocated_join_matches_plain(spark, sf_dir, bucketed):
         .s
     )
     assert rev_b == rev_p
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    """Two-stage salted aggregation must be value-identical to the
+    plain hash agg — salting only changes the shuffle shape, never the
+    result (scale.py: the hot-key mitigation AQE does not provide for
+    aggregations)."""
+    from pyspark.sql import functions as F
+
+    from flink_repartition_watermark_example_spark.scale import salted_agg
+
+    # 90% of rows on one hot key — the shape that makes one straggler
+    rows = [("hot" if i % 10 else f"k{i}", i % 97, i) for i in range(20_000)]
+    df = spark.createDataFrame(rows, ["key", "v", "ident"])
+    got = salted_agg(
+        df,
+        ["key"],
+        {
+            "n": ("count", None),
+            "sum_v": ("sum", "v"),
+            "min_id": ("min", "ident"),
+            "max_id": ("max", "ident"),
+        },
+    )
+    want = df.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sum_v"),
+        F.min("ident").alias("min_id"),
+        F.max("ident").alias("max_id"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
