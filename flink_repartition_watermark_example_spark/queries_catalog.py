@@ -645,17 +645,22 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = "gs_rev_input_" + uuid.uuid4().hex[:8]
     j.createOrReplaceTempView(view)
     # GROUPING SETS via Spark SQL: same Catalyst Expand + single hash
-    # aggregation as ROLLUP/CUBE, with hand-picked sets.
-    return spark.sql(
-        f"""
-        SELECT c_mktsegment AS mktsegment,
-               CAST(year(o_orderdate) AS BIGINT) AS order_year,
-               count(*) AS n_orders,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        FROM {view}
-        GROUP BY GROUPING SETS ((c_mktsegment), (year(o_orderdate)), ())
-        """
-    )
+    # aggregation as ROLLUP/CUBE, with hand-picked sets.  spark.sql
+    # resolves the plan eagerly, so the view can be dropped before the
+    # DataFrame executes — no catalog entry leaks per invocation.
+    try:
+        return spark.sql(
+            f"""
+            SELECT c_mktsegment AS mktsegment,
+                   CAST(year(o_orderdate) AS BIGINT) AS order_year,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM {view}
+            GROUP BY GROUPING SETS ((c_mktsegment), (year(o_orderdate)), ())
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 @register(

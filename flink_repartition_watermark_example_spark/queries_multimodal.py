@@ -24,8 +24,9 @@ from flink_repartition_watermark_example_spark.sources.tables import load_table
     FROM documents
     """,
     doc="Binary-payload plumbing: documents → opaque payload + meta "
-    "struct → Arrow-batched mapInPandas feature extraction; the "
-    "oracle recomputes size/digest from the source text.",
+    "struct → byte stats + digest as pure JVM expressions (md5/"
+    "octet_length in whole-stage codegen — no Python, no shuffle); "
+    "the oracle recomputes size/digest from the source text.",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -14,7 +14,8 @@ streaming/replica.py for why the predicate must be on that column).
 The drained result must equal the plain batch GROUP BY, so the DuckDB
 oracle applies.
 
-Both queries return the memory-sink table directly — no
+All streaming queries here (windowed count, interval join, and the
+sessionize extra) return the memory-sink table directly — no
 driver-side collect/createDataFrame round-trip; the sink table lives
 in the session as a uuid-named temp view.
 """
@@ -45,21 +46,25 @@ def _replay_dir(spark: SparkSession, sf_dir: str, raw_schema) -> str:
     sentinel files written afterwards (the file source orders batches
     by modification time, so sentinels replay last)."""
     d = tempfile.mkdtemp(prefix="stream_replay_")
-    data = os.path.join(d, "0000_events.parquet")
-    shutil.copy(os.path.join(sf_dir, "events.parquet"), data)
-    now = os.stat(data).st_mtime
-    os.utime(data, (now - 60, now - 60))
-    for nanos in _SENTINEL_NANOS:
-        sent = spark.range(1).select(
-            *[
-                F.lit(nanos).cast(f.dataType).alias(f.name)
-                if f.name == "ts"
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in raw_schema.fields
-            ]
-        )
-        sent.coalesce(1).write.mode("append").parquet(d)
-    return d
+    try:
+        data = os.path.join(d, "0000_events.parquet")
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), data)
+        now = os.stat(data).st_mtime
+        os.utime(data, (now - 60, now - 60))
+        for nanos in _SENTINEL_NANOS:
+            sent = spark.range(1).select(
+                *[
+                    F.lit(nanos).cast(f.dataType).alias(f.name)
+                    if f.name == "ts"
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in raw_schema.fields
+                ]
+            )
+            sent.coalesce(1).write.mode("append").parquet(d)
+        return d
+    except BaseException:
+        shutil.rmtree(d, ignore_errors=True)
+        raise
 
 
 @contextlib.contextmanager
@@ -77,8 +82,12 @@ def _streaming_confs(spark: SparkSession):
       session default in session.py; re-pinned here because the driver
       may hand us a session built elsewhere).
     """
+    # get() without a default returns the EFFECTIVE value (both keys
+    # have SQLConf defaults), so the restore is unconditional — saving
+    # only explicitly-set values would leave the pins stuck on
+    # externally-built sessions.
     saved = {
-        k: spark.conf.get(k, None)
+        k: spark.conf.get(k)
         for k in (
             "spark.sql.shuffle.partitions",
             "spark.sql.streaming.stateStore.providerClass",
@@ -94,8 +103,7 @@ def _streaming_confs(spark: SparkSession):
         yield
     finally:
         for k, v in saved.items():
-            if v is not None:
-                spark.conf.set(k, v)
+            spark.conf.set(k, v)
 
 
 def _drain(agg: DataFrame, spark: SparkSession, name: str, mode: str) -> DataFrame:

@@ -160,12 +160,7 @@ def test_chunking_covers_every_token_with_fixed_overlap(spark):
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
     )
-    from flink_repartition_watermark_example_spark.queries import QUERIES
-
-    # reuse the registered plan shape directly on the synthetic docs
     toks = TX.tokens("text")
-    import pyspark.sql.functions as F
-
     out = (
         docs.select("doc_id", F.posexplode(TX.chunk_texts(toks)).alias("cid", "chunk"))
         .collect()
