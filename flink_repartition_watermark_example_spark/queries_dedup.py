@@ -5,6 +5,7 @@ SQL, so the whole LSH path is value-checked, not just row-counted."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from flink_repartition_watermark_example_spark.functions import textfns as TX
 from flink_repartition_watermark_example_spark.functions.hashing import (
@@ -14,7 +15,8 @@ from flink_repartition_watermark_example_spark.functions.hashing import (
     perm_coeffs,
 )
 from flink_repartition_watermark_example_spark.operators import dedup as DD
-from flink_repartition_watermark_example_spark.queries import register
+from flink_repartition_watermark_example_spark.operators.graph import connected_components
+from flink_repartition_watermark_example_spark.queries import register, register_extra
 from flink_repartition_watermark_example_spark.sources.tables import load_table
 
 # Shared CTE prefix: tokens → distinct shingles → one 30-bit md5 per
@@ -172,10 +174,45 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near-twin in the corpus).",
 )
 def q_neardup_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
     docs = load_table(spark, sf_dir, "documents")
     dups = DD.ngram_jaccard_pairs(docs, threshold=0.5).select("doc_b").distinct()
     return docs.join(
         dups, docs.doc_id == dups.doc_b, "left_anti"
     ).select("doc_id", "source")
+
+
+@register_extra(
+    "neardup_clusters",
+    f"""
+    WITH RECURSIVE {_SIG_CTES}, {_BANDS_CTE},
+    dup AS (
+      SELECT doc_a, doc_b FROM cand
+      JOIN sh ha ON ha.doc_id = doc_a JOIN sh hb ON hb.doc_id = doc_b
+      WHERE len(list_intersect(ha.s, hb.s))::DOUBLE
+              / len(list_distinct(list_concat(ha.s, hb.s))) >= 0.5
+    ),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM dup
+          UNION SELECT doc_b, doc_a FROM dup),
+    reach(v, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.v
+      WHERE reach.r < e.b
+    )
+    SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+    """,
+    doc="Transitive near-dup CLUSTERS (a≈b, b≈c ⇒ one cluster even "
+    "when a,c were never a candidate pair): iterative min-label "
+    "connected components over the jaccard≥0.5 pair graph "
+    "(operators/graph.py), singleton docs included. Oracle is the "
+    "same closure via a DuckDB recursive CTE — the one genuinely "
+    "iterative algorithm in the surface, value-checked end to end.",
+)
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    edges = DD.ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    verts = docs.select(F.col("doc_id").alias("v"))
+    cc = connected_components(verts, edges, "v", "doc_a", "doc_b")
+    return cc.select(
+        F.col("v").alias("doc_id"), F.col("component").alias("cluster_id")
+    )

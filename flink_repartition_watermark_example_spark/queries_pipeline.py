@@ -190,6 +190,70 @@ def q_mask_numeric_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Decontamination: a train doc is tainted when it shares at least this
+# many distinct 3-gram shingles with ANY doc in the held-out test
+# split.  Real pipelines use longer n-grams (8-13); 3 fits the short
+# synthetic docs while exercising the identical plan shape.
+CONTAM_MIN_OVERLAP = 4
+
+_SPLIT_B = md5_long_sql("CAST(doc_id AS VARCHAR)", salt="split")
+
+
+@register_extra(
+    "decontaminate_train_docs",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_SPLIT_B} % 100 AS b,
+                  list_distinct({TX.shingles_sql('t', 3)}) AS s
+           FROM toks),
+    test_g AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE b >= 95),
+    train AS (SELECT doc_id, s FROM sh WHERE b < 90),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM train),
+    hits AS (SELECT ex.doc_id, count(*) AS n
+             FROM ex JOIN test_g USING (g) GROUP BY ex.doc_id)
+    SELECT t.doc_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_overlap,
+           coalesce(h.n, 0) >= {CONTAM_MIN_OVERLAP} AS contaminated
+    FROM train t LEFT JOIN hits h ON h.doc_id = t.doc_id
+    """,
+    doc="Eval-set decontamination: flag train-split documents sharing "
+    f"≥{CONTAM_MIN_OVERLAP} distinct 3-gram shingles with the held-out "
+    "test split (same hash split as hash_split_counts — train is "
+    "checked against ITS OWN corpus's eval set, the leakage that "
+    "inflates benchmarks). Scale shape: the eval n-gram set is tiny "
+    "relative to the corpus, so it broadcasts; the train side streams "
+    "through a map-side join + one hash agg — no shuffle of the "
+    "corpus, which is what makes this runnable per-snapshot at 100 TB.",
+)
+def q_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("doc_id").cast("string"), salt="split") % 100
+    sh = docs.select(
+        "doc_id",
+        bucket.alias("b"),
+        F.array_distinct(TX.shingles(TX.tokens("text"), 3)).alias("s"),
+    )
+    test_g = sh.where(F.col("b") >= 95).select(F.explode("s").alias("g")).distinct()
+    train = sh.where(F.col("b") < 90)
+    hits = (
+        train.select("doc_id", F.explode("s").alias("g"))
+        .join(F.broadcast(test_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce(F.col("__n"), F.lit(0)) >= CONTAM_MIN_OVERLAP).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 @register_extra(
     "label_centroids",
     """

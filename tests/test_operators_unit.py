@@ -184,3 +184,21 @@ def test_chunking_covers_every_token_with_fixed_overlap(spark):
         for a, b in zip(chunks, chunks[1:]):
             ov = TX.CHUNK_SIZE - TX.CHUNK_STRIDE
             assert b[:ov] == a[-ov:], f"doc {i}: overlap broken"
+
+
+# --- iterative connected components (operators/graph.py) -----------------
+
+
+def test_connected_components_transitive_closure(spark):
+    # chain 1-2-3 (1,3 never directly paired), pair 10-11, singleton 99
+    verts = spark.createDataFrame([(v,) for v in [1, 2, 3, 10, 11, 99]], ["v"])
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (3, 3)], ["src", "dst"]  # dup/self-loop safe
+    )
+    from flink_repartition_watermark_example_spark.operators.graph import connected_components
+
+    got = {
+        r.v: r.component
+        for r in connected_components(verts, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
