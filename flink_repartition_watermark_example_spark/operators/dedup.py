@@ -77,8 +77,18 @@ def minhash_sig_array(
     """
     a, b = perm_coeffs(num_perms)
     sh = doc_shingles(fan_out(docs, "doc_id"), text_col)
-    flat = sh.select("doc_id", F.explode("shingles").alias("s")).select(
-        "doc_id", md5_long30(F.col("s")).alias("h")
+    # explode_OUTER + null-filter, not plain explode: from a bare
+    # explode Catalyst's InferFiltersFromGenerate derives
+    # size(shingles)>0 and pushes it below the repartition into the
+    # scan stage, re-computing the whole interpreted shingle lambda
+    # single-threaded (measured ~4 s of the 5 s at sf0.1 — the scan is
+    # one parquet split).  outer-generate is exempt from the rule, so
+    # shingles are computed once, post-shuffle, at full width; the
+    # null-filter drops shingle-less docs exactly as explode did.
+    flat = (
+        sh.select("doc_id", F.explode_outer("shingles").alias("s"))
+        .where(F.col("s").isNotNull())
+        .select("doc_id", md5_long30(F.col("s")).alias("h"))
     )
     mins = flat.groupBy("doc_id").agg(
         *[
@@ -195,7 +205,11 @@ def ngram_jaccard_pairs(
     arrays disposes; only pairs ≥ threshold survive.
     """
     cand = lsh_candidate_pairs(docs, text_col).select("doc_a", "doc_b")
-    sh = doc_shingles(docs, text_col)
+    # fan_out: documents.parquet is typically few splits relative to
+    # cores, and the shingle lambda is the expensive projection — hash
+    # repartition the cheap (doc_id, text) rows first so it computes
+    # at full width instead of per-scan-split.
+    sh = doc_shingles(fan_out(docs, "doc_id"), text_col)
     j = (
         cand.join(sh.alias("ha"), F.col("ha.doc_id") == F.col("doc_a"))
         .join(sh.alias("hb"), F.col("hb.doc_id") == F.col("doc_b"))

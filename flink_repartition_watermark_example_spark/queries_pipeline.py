@@ -49,12 +49,17 @@ _TOKS = TX.tokens_sql("text")
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = TX.tokens("text")
+    # posexplode_OUTER + null-filter: a bare posexplode lets Catalyst
+    # infer size(chunks)>0 and push it into the scan, re-computing the
+    # interpreted chunk lambda per row in the (single-split) scan
+    # stage; outer-generate is exempt, so chunks evaluate once here.
     return (
         docs.select(
             "doc_id",
             toks.alias("t"),
-            F.posexplode(TX.chunk_texts(toks)).alias("chunk_id", "chunk_text"),
+            F.posexplode_outer(TX.chunk_texts(toks)).alias("chunk_id", "chunk_text"),
         )
+        .where(F.col("chunk_text").isNotNull())
         .select(
             "doc_id",
             F.col("chunk_id").cast("long").alias("chunk_id"),
@@ -226,17 +231,28 @@ _SPLIT_B = md5_long_sql("CAST(doc_id AS VARCHAR)", salt="split")
     "corpus, which is what makes this runnable per-snapshot at 100 TB.",
 )
 def q_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_repartition_watermark_example_spark.scale import fan_out
+
     docs = load_table(spark, sf_dir, "documents")
     bucket = md5_long(F.col("doc_id").cast("string"), salt="split") % 100
-    sh = docs.select(
+    # fan_out + explode_OUTER: see operators/dedup.minhash_sig_array —
+    # keeps the shingle lambda post-shuffle at full width and blocks
+    # InferFiltersFromGenerate from re-computing it in the scan.
+    sh = fan_out(docs, "doc_id").select(
         "doc_id",
         bucket.alias("b"),
         F.array_distinct(TX.shingles(TX.tokens("text"), 3)).alias("s"),
     )
-    test_g = sh.where(F.col("b") >= 95).select(F.explode("s").alias("g")).distinct()
+    test_g = (
+        sh.where(F.col("b") >= 95)
+        .select(F.explode_outer("s").alias("g"))
+        .where(F.col("g").isNotNull())
+        .distinct()
+    )
     train = sh.where(F.col("b") < 90)
     hits = (
-        train.select("doc_id", F.explode("s").alias("g"))
+        train.select("doc_id", F.explode_outer("s").alias("g"))
+        .where(F.col("g").isNotNull())
         .join(F.broadcast(test_g), "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("__n"))
