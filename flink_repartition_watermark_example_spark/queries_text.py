@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from flink_repartition_watermark_example_spark.functions import textfns as TX
 from flink_repartition_watermark_example_spark.operators.text import analyze_documents
-from flink_repartition_watermark_example_spark.queries import register
+from flink_repartition_watermark_example_spark.queries import register, register_extra
 from flink_repartition_watermark_example_spark.sources.tables import load_table
 
 _TOKS = TX.tokens_sql("text")
@@ -203,4 +203,116 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ep"), one).otherwise(zero)).cast("long").alias("n_english"),
         F.sum(F.when(F.col("lp"), one).otherwise(zero)).cast("long").alias("n_quality"),
         F.sum(F.when(F.col("dp"), one).otherwise(zero)).cast("long").alias("n_unique"),
+    )
+
+
+# --- BM25 ranked retrieval -------------------------------------------------
+# Rational-idf BM25 (idf = (N - df + 0.5)/(df + 0.5), NO log): ln() is
+# not correctly-rounded and differs across libm implementations, so the
+# standard log-idf cannot be hash-compared across engines; the rational
+# variant is a monotone per-term reweighting computed purely from
+# +,-,*,/ (IEEE-exact on both engines when the expression tree
+# matches).  Per-term scores are floor-quantized to integers BEFORE the
+# per-doc sum so the reduction is order-independent (the repo's
+# standard float-determinism pattern, cf. label_centroids).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("hash", "join", "stream", "vector")
+BM25_TOPN = 20
+_Q = 1000000000.0  # score quantum: floor(term_score * 1e9)
+
+
+@register_extra(
+    "bm25_search",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl
+              FROM dl),
+    tf AS (SELECT doc_id, g AS term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(t) AS g FROM toks)
+           WHERE g IN {BM25_TERMS!r} GROUP BY doc_id, g),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(sum(CAST(floor({_Q} *
+               (((CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE)) + 0.5)
+                  / (CAST(df.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * {BM25_K1 + 1.0})
+               / (CAST(tf.tf AS DOUBLE)
+                  + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+                      * (CAST(dl.dl AS DOUBLE)
+                         / (CAST(s.total_dl AS DOUBLE)
+                            / CAST(s.n_docs AS DOUBLE)))))
+             ) AS BIGINT)) AS BIGINT) AS score_q
+      FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+              JOIN df ON df.term = tf.term
+              CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score_q,
+           CAST(row_number() OVER (ORDER BY score_q DESC, doc_id ASC)
+                AS BIGINT) AS rank
+    FROM scored
+    ORDER BY rank LIMIT {BM25_TOPN}
+    """,
+    doc="BM25 ranked retrieval (rational-idf variant, see constants "
+    "above) for a fixed term set: inverted-index shape — explode "
+    "tokens, keep query terms only, per-(doc,term) tf, per-term df "
+    "broadcast back, one quantized-integer sum per doc, global top-n. "
+    "Scale shape: the posting list is filtered to |Q| terms at the "
+    "scan, df and corpus stats are scalar-sized broadcasts, and the "
+    "only wide ops are the tf hash-agg and the final top-n — no "
+    "full-corpus shuffle, which is the property that matters when "
+    "the index side is 100 TB.",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_repartition_watermark_example_spark.scale import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs, "doc_id").select("doc_id", TX.tokens("text").alias("t"))
+    dl = toks.select("doc_id", F.size("t").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode_outer("t").alias("term"))
+        .where(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = (
+        (F.col("n_docs").cast("double") - F.col("df").cast("double")) + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    term_score = (
+        idf
+        * (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl))
+        )
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.floor(F.lit(_Q) * term_score).cast("long").alias("tsq"))
+        .groupBy("doc_id")
+        .agg(F.sum("tsq").alias("score_q"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+    return (
+        scored.orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOPN)
+        .select(
+            "doc_id",
+            "score_q",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
     )
