@@ -88,3 +88,24 @@ def test_salted_agg_matches_plain_groupby(spark):
         F.max("ident").alias("max_id"),
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """Many tiny files in, ceil(bytes/target) files out, content
+    identical (row-level, order-insensitive)."""
+    import glob
+
+    from flink_repartition_watermark_example_spark.storage import compact_parquet
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compact")
+    df = spark.range(0, 10_000).withColumn("k", F.col("id") % 7)
+    df.repartition(40).write.parquet(src)
+    assert len(glob.glob(src + "/part-*.parquet")) == 40
+
+    n = compact_parquet(spark, src, dst, target_file_mb=512)
+    out_files = glob.glob(dst + "/part-*.parquet")
+    assert n == 1 and len(out_files) == 1  # 10k ints ≪ 512 MB
+    got = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    want = sorted(map(tuple, df.collect()))
+    assert got == want
