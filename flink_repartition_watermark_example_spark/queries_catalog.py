@@ -410,6 +410,48 @@ def q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_extra(
+    "approx_quantiles_sketch",
+    """
+    SELECT event_type, count(*) AS n_rows,
+           TRUE AS p50_within_bounds,
+           TRUE AS p90_within_bounds
+    FROM events GROUP BY event_type
+    """,
+    doc="KLL/GK-style approximate quantiles (percentile_approx, "
+    "accuracy 10000 → rank error ≤ 1e-4): the mergeable-sketch path "
+    "for percentiles at 100 TB, where the exact sort-based percentile "
+    "is a full shuffle + per-group sort. Like the HLL entry, sketch "
+    "internals are engine-specific, so the query emits the error-bound "
+    "CONTRACT: each approx quantile must lie between the exact "
+    "interpolated percentiles at q∓0.01 — hundreds of ranks of slack "
+    "vs the sketch's ≤1-rank guarantee at this row count, so a broken "
+    "sketch fails and a correct one cannot flake.",
+)
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
+        ).alias("ap"),
+        F.percentile("value", F.lit(0.49)).alias("lo50"),
+        F.percentile("value", F.lit(0.51)).alias("hi50"),
+        F.percentile("value", F.lit(0.89)).alias("lo90"),
+        F.percentile("value", F.lit(0.91)).alias("hi90"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return agg.select(
+        "event_type",
+        "n_rows",
+        ((F.col("ap")[0] >= F.col("lo50")) & (F.col("ap")[0] <= F.col("hi50"))).alias(
+            "p50_within_bounds"
+        ),
+        ((F.col("ap")[1] >= F.col("lo90")) & (F.col("ap")[1] <= F.col("hi90"))).alias(
+            "p90_within_bounds"
+        ),
+    )
+
+
 @register(
     "orders_above_cust_avg",
     """
