@@ -1,0 +1,125 @@
+"""End-to-end training-corpus curation over the documents table.
+
+The complete pipeline a 100 TB pretraining-data run executes, composed
+from this engine's operators — every stage is an oracle-checked
+registry query or storage primitive, wired here in production order:
+
+  1. quality gate      — repetition/quality thresholds (scan-side)
+  2. exact dedup       — one representative per identical text
+  3. near-dup clusters — minhash → LSH → jaccard → connected
+                         components; keep each cluster's min doc_id
+  4. decontamination   — drop train docs overlapping the eval split
+  5. split + chunk     — deterministic hash split, fixed-window chunks
+  6. compacted layout  — partitioned-by-split parquet, right-sized files
+
+Run:  python examples/curation_pipeline.py [sf_dir]
+
+Prints the per-stage survivor counts (the "curation funnel") and the
+final chunk counts per split, then writes the corpus under a temp dir.
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F
+
+from flink_repartition_watermark_example_spark import get_spark
+from flink_repartition_watermark_example_spark.functions import textfns as TX
+from flink_repartition_watermark_example_spark.functions.hashing import md5_long
+from flink_repartition_watermark_example_spark.operators import dedup as DD
+from flink_repartition_watermark_example_spark.operators.graph import connected_components
+from flink_repartition_watermark_example_spark.queries_pipeline import CONTAM_MIN_OVERLAP
+from flink_repartition_watermark_example_spark.sources.tables import load_table
+
+
+def main(sf_dir: str) -> None:
+    spark = get_spark(app_name="curation-pipeline")
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. quality gate: length + repetition thresholds, all scan-side.
+    toks = TX.tokens("text")
+    bg = TX.shingles(toks, 2)
+    dup_ratio = F.when(F.size(bg) == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(bg)) / F.size(bg)
+    )
+    gated = docs.where((F.size(toks) >= 10) & (dup_ratio <= 0.5))
+    n1 = gated.count()
+
+    # 2. exact dedup: min doc_id survives per identical text.
+    survivors = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    exact = gated.join(survivors.select("doc_id"), "doc_id", "left_semi")
+    n2 = exact.count()
+
+    # 3. near-dup clusters → keep cluster representative (min id).
+    edges = DD.ngram_jaccard_pairs(exact, threshold=0.5).select("doc_a", "doc_b")
+    cc = connected_components(
+        exact.select(F.col("doc_id").alias("v")), edges, "v", "doc_a", "doc_b"
+    )
+    reps = cc.where(F.col("v") == F.col("component")).select(
+        F.col("v").alias("doc_id")
+    )
+    neardup = exact.join(reps, "doc_id", "left_semi")
+    n3 = neardup.count()
+
+    # 4. split assignment + decontamination of train against test.
+    bucket = md5_long(F.col("doc_id").cast("string"), salt="split") % 100
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    with_split = neardup.withColumn("split", split).withColumn(
+        "s", F.array_distinct(TX.shingles(TX.tokens("text"), 3))
+    )
+    test_g = (
+        with_split.where(F.col("split") == "test")
+        .select(F.explode_outer("s").alias("g"))
+        .where(F.col("g").isNotNull())
+        .distinct()
+    )
+    contaminated = (
+        with_split.where(F.col("split") == "train")
+        .select("doc_id", F.explode_outer("s").alias("g"))
+        .where(F.col("g").isNotNull())
+        .join(F.broadcast(test_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= CONTAM_MIN_OVERLAP)
+        .select("doc_id")
+    )
+    clean = with_split.join(contaminated, "doc_id", "left_anti").drop("s")
+    n4 = clean.count()
+
+    # 5. chunk into fixed windows; 6. write partitioned by split.
+    chunks = clean.select(
+        "doc_id",
+        "split",
+        F.posexplode_outer(TX.chunk_texts(TX.tokens("text"))).alias(
+            "chunk_id", "chunk_text"
+        ),
+    ).where(F.col("chunk_text").isNotNull())
+    out = tempfile.mkdtemp(prefix="curated_corpus_")
+    chunks.repartition("split").write.partitionBy("split").mode(
+        "overwrite"
+    ).parquet(out)
+
+    per_split = {
+        r["split"]: r["n"]
+        for r in spark.read.parquet(out).groupBy("split").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    print(f"funnel: raw={n0} quality={n1} exact_dedup={n2} "
+          f"neardup={n3} decontaminated={n4}")
+    print(f"chunks per split: {per_split}  → {out}")
+    assert n0 >= n1 >= n2 >= n3 >= n4 > 0
+    assert set(per_split) <= {"train", "val", "test"}
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
