@@ -63,6 +63,49 @@ def stream_to_parquet(
     return w.start()
 
 
+def batch_upsert_writer(path: str):
+    """foreachBatch body giving EXACTLY-ONCE parquet output on top of
+    the WAL's at-least-once batch replay.
+
+    The parquet streaming sink's own log already makes plain appends
+    exactly-once, but it cannot run arbitrary batch logic (joins,
+    repartitioning, merges) per micro-batch — foreachBatch can, at the
+    price of at-least-once replay after a crash.  Idempotence is
+    restored by making the batch id part of the LAYOUT: each batch
+    overwrites its own ``__batch_id=N`` partition (dynamic partition
+    overwrite), so a replayed batch replaces its previous, possibly
+    partial, output instead of appending duplicates.  Readers scan
+    ``path`` recursively and drop the housekeeping column.
+
+    Use with ``df.writeStream.foreachBatch(batch_upsert_writer(p))``.
+    """
+    from pyspark.sql import functions as F
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(path)
+        )
+
+    return write
+
+
+def stream_to_parquet_idempotent(
+    df: DataFrame, path: str, checkpoint: str
+) -> StreamingQuery:
+    """Append-mode stream through :func:`batch_upsert_writer` — the
+    fault-tolerant shape for sinks that need per-batch batch logic."""
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(batch_upsert_writer(path))
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def stream_to_memory(df: DataFrame, name: str, checkpoint: str) -> StreamingQuery:
     """Memory sink for tests/inspection (bounded data only)."""
     return (

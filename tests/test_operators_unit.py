@@ -202,3 +202,26 @@ def test_connected_components_transitive_closure(spark):
         for r in connected_components(verts, edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_minhash_keeps_shingle_lambda_out_of_scan_stage(spark, sf_dir):
+    """Regression guard for the InferFiltersFromGenerate trap: with a
+    bare explode, Catalyst infers size(shingles)>0 and pushes the whole
+    interpreted shingle lambda below the fan_out repartition into the
+    single-split scan (measured ~4 s single-threaded at sf0.1).  The
+    explode_outer construction must leave the scan stage free of any
+    array-transform filter."""
+    from flink_repartition_watermark_example_spark.operators.dedup import minhash_sig_array
+    from flink_repartition_watermark_example_spark.sources.tables import load_table
+
+    plan = (
+        minhash_sig_array(load_table(spark, sf_dir, "documents"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan_side = plan[plan.index("Exchange") :]  # scan is below the repartition
+    assert "transform" not in scan_side, (
+        "shingle lambda leaked below the repartition into the scan stage:\n"
+        + scan_side[:1500]
+    )

@@ -67,3 +67,45 @@ def test_salted_agg_matches_plain(spark, sf_dir):
         {"n": ("count", None), "sv": ("sum", "value"), "mx": ("max", "user_id")},
     ).collect()
     assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+def test_foreachbatch_upsert_writer_is_idempotent(spark, sf_dir, tmp_path):
+    """A replayed micro-batch (same batch_id) must REPLACE its prior —
+    possibly partial — output, not append duplicates; other batches'
+    partitions must survive the overwrite untouched."""
+    from flink_repartition_watermark_example_spark.sinks import batch_upsert_writer
+
+    p = str(tmp_path / "upsert_out")
+    write = batch_upsert_writer(p)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    b1 = spark.createDataFrame([(3, "c")], ["k", "v"])
+    write(b0.limit(1), 0)  # batch 0: crashed half-way (partial output)
+    write(b1, 1)           # batch 1 lands
+    write(b0, 0)           # batch 0 replayed in full
+    got = sorted(
+        map(tuple, spark.read.parquet(p).select("k", "v").collect())
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_stream_to_parquet_idempotent_drains_stream(spark, sf_dir, tmp_path):
+    from flink_repartition_watermark_example_spark.sinks import stream_to_parquet_idempotent
+
+    ev = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "src")
+    ev.coalesce(2).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .select("event_id", "event_type")
+    )
+    q = stream_to_parquet_idempotent(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert "__batch_id" in back.columns
+    assert back.count() == ev.count()
+    assert back.select("event_id").distinct().count() == ev.count()
