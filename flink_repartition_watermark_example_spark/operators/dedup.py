@@ -234,26 +234,42 @@ SIMHASH_BITS = 60  # stay inside a positive signed 64-bit int
 
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
     """60-bit simhash over the distinct token set: bit b of the hash is
-    set iff Σ_tokens (token_hash bit b ? +1 : −1) > 0.  Pure column
-    algebra (no UDF); one scan, no shuffle.
+    set iff Σ_tokens (token_hash bit b ? +1 : −1) > 0.
 
-    The per-bit loop is unrolled in Python (PySpark's shiftright/
-    shiftleft take literal ints, not Columns) — 60 static expressions
-    over a materialized hash array."""
-    hashes = F.transform(F.array_distinct(TX.tokens(text_col)), lambda t: md5_long(t))
-    hashed = fan_out(docs, "doc_id").select("doc_id", hashes.alias("hs"))
-
-    def vote(b: int):
-        return F.aggregate(
-            F.col("hs"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
+    Exploded-token formulation, mirroring minhash_sig_array: one md5
+    per (doc, distinct token) row, then the 60 per-bit vote sums are
+    ordinary map-side-combined hash aggregates — every expression runs
+    in whole-stage codegen.  (The earlier array form computed the
+    votes with 60 F.aggregate higher-order lambdas, which Spark
+    interprets per element — ~60·|tokens| lambda dispatches per doc;
+    this form is the same arithmetic at codegen speed, and the shuffle
+    carries only 60 partial longs per doc at any scale.)  Docs with
+    zero tokens keep simhash 0 via the left join.  explode_outer, not
+    explode: see minhash_sig_array (InferFiltersFromGenerate)."""
+    base = fan_out(docs, "doc_id").select(
+        "doc_id", F.array_distinct(TX.tokens(text_col)).alias("ts")
+    )
+    flat = (
+        base.select("doc_id", F.explode_outer("ts").alias("t"))
+        .where(F.col("t").isNotNull())
+        .select("doc_id", md5_long(F.col("t")).alias("h"))
+    )
+    votes = flat.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(bits)
+        ]
+    )
     sim = F.lit(0).cast("long")
     for b in range(bits):
-        sim = sim + F.when(vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+        sim = sim + F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return hashed.select("doc_id", sim.alias("simhash"))
+    return (
+        base.select("doc_id")
+        .join(votes, "doc_id", "left")
+        .select("doc_id", F.coalesce(sim, F.lit(0).cast("long")).alias("simhash"))
+    )

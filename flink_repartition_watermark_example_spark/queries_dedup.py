@@ -147,8 +147,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
     FROM h
     """,
-    doc="60-bit simhash over the distinct token set — column algebra "
-    "only, one scan, no shuffle.",
+    doc="60-bit simhash over the distinct token set — exploded-token "
+    "codegen form: one md5 per (doc, token), 60 map-side-combined "
+    "vote sums, O(docs × 60 longs) on the wire.",
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash(load_table(spark, sf_dir, "documents"))
