@@ -19,6 +19,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream–static dimension enrichment: join a streaming fact
+    against a batch dimension table.
+
+    Structured Streaming executes this as a per-micro-batch join with
+    NO streaming state at all — the dim side is a plain batch plan
+    re-evaluated per trigger (so slowly-changing dims are re-read
+    without restarting the query).  The explicit ``broadcast`` pins
+    the 100 TB-safe physical shape: the stream never shuffles for the
+    join, each task maps over its partition with a hashed copy of the
+    dim.  Inner and left-outer are the supported modes for
+    stream-static joins; right/full (static side preserved) are not,
+    by Structured Streaming's contract.
+    """
+    return stream.join(F.broadcast(dim), on=on, how=how)
+
+
 def interval_join_views_purchases(
     views: DataFrame,
     purchases: DataFrame,

@@ -76,3 +76,46 @@ def test_interval_join_matches_batch(spark, tmp_path):
         )
     )
     assert got == batch
+
+
+def test_stream_static_enrichment_matches_batch_and_is_stateless(
+    spark, sf_dir, tmp_path
+):
+    """Dimension enrichment of a stream: per-micro-batch broadcast
+    join, no watermark, no streaming state; result equals the batch
+    join over the same files."""
+    from flink_repartition_watermark_example_spark.sources.tables import load_table
+    from flink_repartition_watermark_example_spark.streaming.join import enrich_with_dim
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey as user_id", "c_mktsegment"
+    )
+    src = str(tmp_path / "ev_src")
+    ev.coalesce(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .select("event_id", "user_id")
+    )
+    name = "enrich_test"
+    q = (
+        enrich_with_dim(stream, cust, on="user_id", how="left")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table(name).collect()))
+    want = sorted(
+        map(
+            tuple,
+            ev.select("event_id", "user_id").join(cust, "user_id", "left").collect(),
+        )
+    )
+    assert got == want
+    assert any(r[-1] is not None for r in got), "dim join never matched"
