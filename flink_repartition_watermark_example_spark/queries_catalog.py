@@ -452,6 +452,66 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_extra(
+    "cdc_apply_orders",
+    """
+    WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+    changes AS (
+      SELECT o_orderkey, o_totalprice * 1.05 AS o_totalprice, 'U' AS op, 1 AS seq
+      FROM base WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey, o_totalprice * 1.1, 'U', 2
+      FROM base WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey, CAST(NULL AS DOUBLE), 'D', 1
+      FROM base WHERE o_orderkey % 10 = 7
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_totalprice, 'I', 1
+      FROM base WHERE o_orderkey % 10 = 1
+    ),
+    latest AS (
+      SELECT o_orderkey, o_totalprice, op FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                     ORDER BY seq DESC, op DESC) AS rn
+        FROM changes
+      ) WHERE rn = 1
+    )
+    SELECT b.o_orderkey, b.o_totalprice FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM latest l
+                      WHERE l.o_orderkey = b.o_orderkey)
+    UNION ALL
+    SELECT o_orderkey, o_totalprice FROM latest WHERE op <> 'D'
+    """,
+    doc="CDC / MERGE apply (operators/cdc.py): a deterministic "
+    "changeset (two sequenced updates per key, deletes, inserts) "
+    "applied to the orders snapshot — latest-seq-wins per key, "
+    "deletes drop, inserts and updates materialize. The base table "
+    "is never shuffled: latest-per-key shuffles only the changeset, "
+    "and the untouched-rows anti-join broadcasts the changed keys.",
+)
+def q_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_repartition_watermark_example_spark.operators.cdc import apply_changes
+
+    base = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    key, price = F.col("o_orderkey"), F.col("o_totalprice")
+
+    def ch(filter_mod, keyx, pricex, op, seq):
+        return base.where(key % 10 == filter_mod).select(
+            keyx.alias("o_orderkey"),
+            pricex.alias("o_totalprice"),
+            F.lit(op).alias("op"),
+            F.lit(seq).alias("seq"),
+        )
+
+    changes = (
+        ch(3, key, price * 1.05, "U", 1)
+        .unionByName(ch(3, key, price * 1.1, "U", 2))
+        .unionByName(ch(7, key, F.lit(None).cast("double"), "D", 1))
+        .unionByName(ch(1, key + 100000000, price, "I", 1))
+    )
+    return apply_changes(base, changes, ["o_orderkey"])
+
+
 @register(
     "orders_above_cust_avg",
     """
