@@ -169,6 +169,142 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where(h % 10 == 0).select("doc_id", "source")
 
 
+# Data-mixing rates per source bucket (per-ten-thousand, so membership
+# is an integer hash comparison): the "sample crawl A at 80%, curated
+# source B at 100%" knob of corpus assembly.  Rates are deterministic
+# literals; membership is hash(source:doc_id) — reproducible across
+# runs, engines, and partitionings, no sampling state.
+MIX_RATES_PERMYRIAD = {
+    "src0": 10000, "src1": 8000, "src2": 6000, "src3": 4000, "src4": 2000,
+}
+_MIX_DEFAULT = 5000
+
+
+@register_extra(
+    "source_mix_sample",
+    f"""
+    WITH m(source, rate) AS (VALUES
+      {', '.join(f"('{s}', {r})" for s, r in MIX_RATES_PERMYRIAD.items())}),
+    d AS (
+      SELECT doc_id, d.source,
+             coalesce(m.rate, {_MIX_DEFAULT}) AS rate,
+             {md5_long_sql("(d.source || '#' || CAST(doc_id AS VARCHAR))", salt='mix')}
+               % 10000 AS h
+      FROM documents d LEFT JOIN m ON m.source = d.source
+    )
+    SELECT source, count(*) AS n_sampled,
+           CAST(min(rate) AS BIGINT) AS rate_permyriad
+    FROM d WHERE h < rate GROUP BY source
+    """,
+    doc="Deterministic source mixing: per-source sampling rates "
+    "(permyriad literals) applied via hash(source#doc_id) mod 10000 — "
+    "the corpus-assembly knob that up/down-weights each source. The "
+    "rate table is a broadcast join, membership is a scan-side "
+    "integer comparison; re-running with new rates re-samples "
+    "consistently (a doc sampled at 40% stays sampled at 60%).",
+)
+def q_source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rates = docs.sparkSession.createDataFrame(
+        list(MIX_RATES_PERMYRIAD.items()), ["source", "rate"]
+    )
+    h = md5_long(
+        F.concat(F.col("source"), F.lit("#"), F.col("doc_id").cast("string")),
+        salt="mix",
+    ) % 10000
+    return (
+        docs.join(F.broadcast(rates), "source", "left")
+        .select("source", F.coalesce(F.col("rate"), F.lit(_MIX_DEFAULT)).alias("rate"), h.alias("h"))
+        .where(F.col("h") < F.col("rate"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("rate").cast("long").alias("rate_permyriad"),
+        )
+    )
+
+
+# Fixed training-sequence budget for packing (tokens per packed
+# sequence).  Greedy bin packing is inherently sequential; the
+# distributed-exact formulation is cumulative-sum packing within an
+# ordered (split, doc, chunk) stream: pack_id = floor(tokens-before /
+# budget) — every engine computes the identical assignment from a
+# window cumsum, and a pack overflows its budget by at most one
+# chunk (the standard concat-then-split approximation used when
+# packing corpora for pretraining).
+PACK_BUDGET_TOKENS = 256
+
+
+@register_extra(
+    "pack_chunks_into_sequences",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    c AS (SELECT doc_id, CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS chunk_id,
+                 CAST(least({TX.CHUNK_SIZE},
+                            len(t) - (generate_subscripts(chunks, 1) - 1)
+                                * {TX.CHUNK_STRIDE}) AS BIGINT) AS n_tok
+          FROM (SELECT doc_id, t, {TX.chunk_texts_sql('t')} AS chunks FROM toks)),
+    p AS (
+      SELECT doc_id, chunk_id, n_tok,
+             CAST((sum(n_tok) OVER (ORDER BY doc_id, chunk_id) - n_tok)
+                  // {PACK_BUDGET_TOKENS} AS BIGINT) AS pack_id
+      FROM c
+    )
+    SELECT pack_id, count(*) AS n_chunks,
+           CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM p GROUP BY pack_id
+    """,
+    doc="Sequence packing: chunks are assigned to fixed-token-budget "
+    "training sequences by cumulative token count over the "
+    "deterministic (doc_id, chunk_id) order — pack_id = "
+    "tokens-before // budget. NOTE the globally-ordered cumsum runs "
+    "the window in a single task (Spark's contract for partition-less "
+    "windows); that is fine at gate scale and exactly why the 100 TB "
+    "deployment adds a shard key (e.g. hash_split or source) to the "
+    "window PARTITION BY, packing each shard independently in "
+    "parallel — same plan, one extra key.",
+)
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    chunks = (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n"),
+            F.posexplode_outer(TX.chunk_texts(toks)).alias("chunk_id", "chunk_text"),
+        )
+        .where(F.col("chunk_text").isNotNull())
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.least(
+                F.lit(TX.CHUNK_SIZE),
+                F.col("n") - F.col("chunk_id") * TX.CHUNK_STRIDE,
+            ).cast("long").alias("n_tok"),
+        )
+    )
+    w = Window.orderBy("doc_id", "chunk_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = chunks.select(
+        "doc_id",
+        "chunk_id",
+        "n_tok",
+        F.floor(
+            (F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_BUDGET_TOKENS
+        ).cast("long").alias("pack_id"),
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tok").cast("long").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 @register_extra(
     "mask_numeric_ids",
     """
