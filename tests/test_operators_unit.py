@@ -225,3 +225,16 @@ def test_minhash_keeps_shingle_lambda_out_of_scan_stage(spark, sf_dir):
         "shingle lambda leaked below the repartition into the scan stage:\n"
         + scan_side[:1500]
     )
+
+
+def test_new_ops_broadcast_their_small_sides(spark, sf_dir):
+    """Scale-shape guards: the CDC anti-join must broadcast the changed
+    keys (base table never shuffles for it), and BM25 must broadcast
+    the per-term df table back onto the posting list."""
+    cdc = EXTRA_QUERIES["cdc_apply_orders"].spark(spark, sf_dir)
+    plan = cdc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+    bm25 = EXTRA_QUERIES["bm25_search"].spark(spark, sf_dir)
+    plan = bm25._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -130,3 +130,48 @@ def test_md5_hash_family_cross_engine_parity(spark):
         ).fetchone()
         assert got[s] == (h, h30), (s, got[s], (h, h30))
     con.close()
+
+
+# --- connected components vs union-find reference ------------------------
+
+cc_edges = st.lists(
+    st.tuples(st.integers(0, 24), st.integers(0, 24)),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(edges=cc_edges)
+@_slow
+def test_connected_components_matches_union_find(spark, edges):
+    """The distributed min-label propagation must agree with a
+    sequential union-find on arbitrary small graphs (self-loops,
+    duplicates, isolated vertices included)."""
+    from flink_repartition_watermark_example_spark.operators.graph import connected_components
+
+    verts = list(range(25))
+    parent = {v: v for v in verts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min vertex of each component
+    want = {}
+    for v in verts:
+        root = find(v)
+        want.setdefault(root, []).append(v)
+    expect = {v: min(vs) for vs in want.values() for v in vs}
+
+    vdf = spark.createDataFrame([(v,) for v in verts], ["v"])
+    edf = spark.createDataFrame(edges or [(0, 0)], ["src", "dst"])
+    got = {
+        r.v: r.component for r in connected_components(vdf, edf).collect()
+    }
+    assert got == expect
