@@ -34,6 +34,53 @@ def colocated_join(
     return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
 
 
+def zorder_key(c1, c2, bits: int = 16):
+    """Morton (Z-order) key interleaving the low ``bits`` of two
+    non-negative integer columns — bit i of each input lands at output
+    bits 2i / 2i+1.  Pure JVM bit algebra (shiftright/&/|), unrolled in
+    Python; no UDF."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(c1, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(c2, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col1: str,
+    col2: str,
+    num_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Lay the data down in Z-order on (col1, col2) so parquet
+    row-group/file min-max stats prune on BOTH columns.
+
+    A single-column sort clusters only its leading column; the Morton
+    curve keeps 2-D neighborhoods contiguous, so a selective predicate
+    on either column (or a box on both) touches a small fraction of
+    files.  ``repartitionByRange`` on the key both sorts and splits the
+    curve into ``num_files`` contiguous segments — one range shuffle,
+    then a parallel write; the helper column is dropped before landing.
+    """
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn("__z", zorder_key(F.col(col1), F.col(col2), bits))
+    (
+        keyed.repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def compact_parquet(
     spark: SparkSession,
     src_dir: str,

@@ -109,3 +109,38 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(dst).collect()))
     want = sorted(map(tuple, df.collect()))
     assert got == want
+
+
+def test_zorder_layout_localizes_both_columns(spark, tmp_path):
+    """Z-ordered files must have far tighter per-file bounding boxes on
+    (x, y) than a shuffled layout — the property parquet min/max
+    skipping exploits on BOTH columns; values must survive unchanged."""
+    from flink_repartition_watermark_example_spark.storage import write_zordered
+
+    n, files = 1 << 14, 16
+    df = (
+        spark.range(n)
+        .withColumn("x", (F.col("id") * 2654435761 % n))  # pseudo-shuffled
+        .withColumn("y", (F.col("id") * 40503 % n))
+        .select("x", "y")
+    )
+    p = str(tmp_path / "zorder")
+    write_zordered(df, p, "x", "y", num_files=files)
+
+    back = spark.read.parquet(p)
+    assert back.count() == n
+    assert back.agg(F.sum("x")).first()[0] == df.agg(F.sum("x")).first()[0]
+
+    spans = (
+        back.groupBy(F.col("_metadata.file_path").alias("f"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .agg(F.avg("sx").alias("ax"), F.avg("sy").alias("ay"))
+        .first()
+    )
+    # random layout would span ~n on both axes in every file; the
+    # Morton layout must cut the average per-file span on each axis
+    # to well under half the domain.
+    assert spans.ax < n / 2 and spans.ay < n / 2, spans
