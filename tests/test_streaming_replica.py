@@ -183,3 +183,40 @@ def test_late_row_into_evicted_window_is_dropped(spark, tmp_path):
     assert sorted(fired) == [(10, 6), (12, 1), (13, 1), (14, 1)], fired
     # exactly-once: no window key appears twice
     assert len({h for h, _ in fired}) == len(fired)
+
+
+def test_late_row_within_watermark_delay_is_included(spark, tmp_path):
+    """Bounded lateness (the engine-side generalization the reference's
+    delay-0 assigner doesn't need, Flink-next's allowedLateness): a
+    straggler older than the max event time seen but still above the
+    delayed watermark must be counted into its still-open window.
+
+    Replay (delay 1 h): 6 rows in [10:00,11:00), an 11:30 row pushing
+    the watermark to only 10:30 (window still open), a 10:55 straggler
+    → included; a 13:00 row then fires [10,11) with SEVEN rows."""
+    d = str(tmp_path / "bounded_late")
+    files = [
+        [("u", f"2016-02-01 10:{m:02d}:00") for m in range(0, 60, 10)],
+        [("u", "2016-02-01 11:30:00")],
+        [("u", "2016-02-01 10:55:00")],  # late, but watermark is 10:30
+        [("u", "2016-02-01 13:00:00")],
+    ]
+    for rows in files:
+        spark.createDataFrame(rows, ["url", "s"]).select(
+            "url", F.col("s").cast("timestamp").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(d)
+    write_close_sentinel(spark, d)
+    schema = spark.read.parquet(d).schema
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    out = windowed_count_stream([src], watermark_delay="1 hour")
+    emitted = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: emitted.extend(df.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    fired = sorted((r.window_start.hour, r.aggregate) for r in emitted)
+    assert fired == [(10, 7), (11, 1), (13, 1)], fired
