@@ -182,7 +182,17 @@ def ivf_topk(
     Scale shape: at 100 TB the index build samples/trains centroids
     once and ships them as literals exactly as here; candidate
     generation stays a broadcast hash join on list id.  Recall < 1 by
-    construction; `cosine_topk` is the exact baseline."""
+    construction; `cosine_topk` is the exact baseline.
+
+    Perf note (measured ~3 s at sf0.1): the 16 assignment cosines run
+    as interpreted higher-order folds, NOT codegen — deliberately.
+    The left-fold summation order is what makes the doubles
+    bit-identical to the DuckDB oracle's list fold; a BLAS/numpy
+    matmul (the production choice behind a Pandas UDF) or an
+    exploded groupBy-sum would reorder the float additions and break
+    value-hash comparability, buying seconds at the price of the
+    correctness gate.  The cost is one scan-side projection and does
+    not grow with query count."""
     cents = (
         emb.where(F.col("vec_id").isin(CENTROID_IDS))
         .select("vec_id", as_double("embedding").alias("v"))
