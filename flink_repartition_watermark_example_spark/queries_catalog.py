@@ -512,6 +512,86 @@ def q_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_changes(base, changes, ["o_orderkey"])
 
 
+@register_extra(
+    "value_histograms",
+    """
+    SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bin,
+           count(*) AS n_rows
+    FROM events GROUP BY event_type, CAST(floor(value / 25.0) AS BIGINT)
+    """,
+    doc="Equi-width histograms per key (floor-binning — the only "
+    "cross-engine-safe quantizer for doubles): one partial+final hash "
+    "agg, the profiling primitive behind NDV/selectivity estimation "
+    "and data-quality dashboards.",
+)
+def q_value_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") / 25.0).cast("long").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@register_extra(
+    "value_outliers_by_type",
+    """
+    WITH q AS (SELECT event_type,
+                      CAST(floor(value * 1000.0) AS BIGINT) AS vq
+               FROM events),
+    s AS (SELECT event_type, count(*) AS n,
+                 CAST(sum(vq) AS BIGINT) AS s1,
+                 CAST(sum(vq * vq) AS BIGINT) AS s2
+          FROM q GROUP BY event_type)
+    SELECT q.event_type,
+           CAST(min(s.n) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN abs(
+                 ((CAST(q.vq AS DOUBLE) / 1000.0)
+                  - ((CAST(s.s1 AS DOUBLE) / 1000.0) / CAST(s.n AS DOUBLE)))
+                 / sqrt(((CAST(s.s2 AS DOUBLE) / 1000000.0) / CAST(s.n AS DOUBLE))
+                        - ((CAST(s.s1 AS DOUBLE) / 1000.0) / CAST(s.n AS DOUBLE))
+                          * ((CAST(s.s1 AS DOUBLE) / 1000.0) / CAST(s.n AS DOUBLE)))
+               ) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM q JOIN s ON s.event_type = q.event_type
+    GROUP BY q.event_type
+    """,
+    doc="Per-key z-score outlier counts in two passes: quantized-"
+    "integer moment sums (order-independent — the repo's float-"
+    "determinism pattern) broadcast back onto the rows, then one "
+    "codegen'd |z|>3 count. sqrt IS IEEE-correctly-rounded, so "
+    "(unlike ln in BM25) it is cross-engine exact given identical "
+    "inputs. The anomaly-detection primitive of a quality pipeline.",
+)
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type", F.floor(F.col("value") * 1000.0).cast("long").alias("vq")
+    )
+    s = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vq").cast("long").alias("s1"),
+        F.sum(F.col("vq") * F.col("vq")).cast("long").alias("s2"),
+    )
+    mean = (F.col("s1").cast("double") / 1000.0) / F.col("n").cast("double")
+    var = (
+        (F.col("s2").cast("double") / 1000000.0) / F.col("n").cast("double")
+    ) - mean * mean
+    z = ((F.col("vq").cast("double") / 1000.0) - mean) / F.sqrt(var)
+    return (
+        q.join(F.broadcast(s), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("n").cast("long").alias("n_rows"),
+            F.sum(F.when(F.abs(z) > 3.0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
 @register(
     "orders_above_cust_avg",
     """
