@@ -1,0 +1,47 @@
+"""Repo-wide physical-plan audit: the whole registry must stay inside
+the 100 TB-safe envelope.
+
+Checked for EVERY registered batch query (primary + extras):
+
+- no CartesianProduct — an unkeyed pair blowup never survives scale;
+- no BroadcastNestedLoopJoin except the one documented case
+  (cosine_topk's exact-baseline crossJoin of a broadcast 10-row query
+  set — the two ANN paths beside it are the scale story);
+- no BatchEvalPython / row-at-a-time Python UDF — Python only at the
+  Arrow boundary (ArrowEvalPython / mapInPandas are the allowed
+  shapes).
+
+Streaming queries are excluded: invoking them executes a full replay
+(they are audited by their own tests); this audit is analysis-only and
+builds each plan without running it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES, QUERIES
+
+ALL = {**QUERIES, **EXTRA_QUERIES}
+BATCH = [n for n in ALL if not n.startswith("streaming_")]
+
+# Nested-loop joins allowed only where the build side is O(1) rows:
+# - cosine_topk: documented exact-baseline broadcast crossJoin of the
+#   10-row query set (operators/similarity.py);
+# - bm25_search: broadcast of the single-row corpus-stats aggregate
+#   (N, total_dl) onto the posting list.
+NESTED_LOOP_ALLOWED = {"cosine_topk", "bm25_search"}
+
+
+@pytest.mark.parametrize("name", BATCH)
+def test_plan_stays_in_scale_envelope(spark, sf_dir, name):
+    df = ALL[name].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan[:1500]}"
+    if name not in NESTED_LOOP_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join\n{plan[:1500]}"
+        )
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF in the plan\n{plan[:1500]}"
+    )
