@@ -82,3 +82,83 @@ def connected_components(
     return labels.select(
         F.col("__v").alias(vertex_col), F.col("__lbl").alias("component")
     )
+
+
+# PageRank fixed-point geometry: ranks are integer micro-units
+# (SCALE = 1e9) and the damping factor is the rational 17/20 (= 0.85),
+# so every update is integer multiply / integer divide — exactly
+# reproducible across engines and partition orders, unlike float
+# PageRank whose sums depend on reduction order.
+PAGERANK_SCALE = 1_000_000_000
+PAGERANK_D_NUM = 17
+PAGERANK_D_DEN = 20
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    vertex_col: str = "v",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    n_iter: int = 10,
+) -> DataFrame:
+    """Weighted PageRank, fixed-point: (vertex, rank_q) after exactly
+    ``n_iter`` synchronous iterations, rank_q in 1e-9 units.
+
+      r'(v) = BASE + (17 · Σ_{u→v} (r(u)·w_uv) DIV wout(u)) DIV 20
+      BASE  = (3 · SCALE) DIV (20 · N)          (teleport term, 1−d = 3/20)
+      r0    = SCALE DIV N
+
+    Each iteration is one broadcast-size join of ranks onto the edge
+    list plus a hash aggregation of integer contributions — the
+    canonical distributed shape; at web scale the rank table shuffles
+    by dst instead of broadcasting, same plan.  Dangling mass is not
+    redistributed (both engines implement the identical simplification,
+    so the oracle comparison is exact).  Lineage is truncated per
+    iteration as in :func:`connected_components`.
+    """
+    n = nodes.count()
+    base = (3 * PAGERANK_SCALE) // (PAGERANK_D_DEN * n)
+
+    wout = edges.groupBy(src_col).agg(F.sum(weight_col).alias("__wout"))
+    e = edges.join(wout, src_col).select(
+        F.col(src_col).alias("__s"),
+        F.col(dst_col).alias("__d"),
+        F.col(weight_col).alias("__w"),
+        "__wout",
+    ).localCheckpoint(eager=True)
+
+    ranks = nodes.select(
+        F.col(vertex_col).alias("__v"),
+        F.lit(PAGERANK_SCALE // n).cast("long").alias("__r"),
+    ).localCheckpoint(eager=True)
+
+    for _ in range(n_iter):
+        contribs = (
+            e.join(ranks, e["__s"] == ranks["__v"])
+            .select(
+                F.col("__d"),
+                F.expr("(__r * __w) DIV __wout").alias("__c"),
+            )
+            .groupBy("__d")
+            .agg(F.sum("__c").alias("__cs"))
+        )
+        ranks = (
+            ranks.select("__v")
+            .join(contribs, ranks["__v"] == contribs["__d"], "left")
+            .select(
+                "__v",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({PAGERANK_D_NUM} * coalesce(__cs, 0L)) DIV {PAGERANK_D_DEN}"
+                    )
+                ).cast("long").alias("__r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return ranks.select(
+        F.col("__v").alias(vertex_col), F.col("__r").alias("rank_q")
+    )

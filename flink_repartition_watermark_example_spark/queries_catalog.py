@@ -592,6 +592,75 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(n_iter: int = 10) -> str:
+    from flink_repartition_watermark_example_spark.operators.graph import (
+        PAGERANK_SCALE as S,
+    )
+
+    prs = [f"pr0 AS (SELECT v, CAST({S} // nn.n AS BIGINT) AS r FROM nodes CROSS JOIN nn)"]
+    for i in range(n_iter):
+        prs.append(f"""
+    pr{i + 1} AS (
+      SELECT n.v,
+             CAST((CAST(3 AS BIGINT) * {S}) // (20 * nn.n)
+                  + (17 * coalesce(s.c, 0)) // 20 AS BIGINT) AS r
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN (SELECT e.dst AS v,
+                        CAST(sum((p.r * e.w) // e.wout) AS BIGINT) AS c
+                 FROM pr{i} p JOIN e ON e.src = p.v GROUP BY e.dst) s
+        USING (v)
+    )""")
+    return f"""
+    WITH seq AS (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    edges AS (SELECT prev AS src, event_type AS dst, count(*) AS w
+              FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type),
+    wout AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout
+             FROM edges GROUP BY src),
+    e AS (SELECT edges.src, edges.dst, CAST(edges.w AS BIGINT) AS w, wout.wout
+          FROM edges JOIN wout USING (src)),
+    nodes AS (SELECT DISTINCT event_type AS v FROM events),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    {', '.join(prs)}
+    SELECT v AS event_type, r AS rank_q FROM pr{n_iter}
+    """
+
+
+@register_extra(
+    "pagerank_event_transitions",
+    _pagerank_oracle(),
+    doc="Fixed-point weighted PageRank (operators/graph.py) over the "
+    "per-user event-type transition graph (LAG-derived consecutive "
+    "pairs, counts as weights). Integer micro-unit ranks and a 17/20 "
+    "damping rational make every update exact and order-independent, "
+    "so 10 synchronous iterations hash-match the oracle's unrolled "
+    "recursive CTEs bit for bit — float PageRank cannot be compared "
+    "this way. Second genuinely iterative operator after connected "
+    "components; same per-iteration join+agg shape at web scale.",
+)
+def q_pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from flink_repartition_watermark_example_spark.operators.graph import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    )
+    edges = (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = ev.select(F.col("event_type").alias("v")).distinct()
+    pr = pagerank(nodes, edges)
+    return pr.select(F.col("v").alias("event_type"), "rank_q")
+
+
 @register(
     "orders_above_cust_avg",
     """
