@@ -183,6 +183,35 @@ def q_neardup_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "incremental_dedup_new_docs",
+    f"""
+    WITH toks AS (SELECT doc_id, {TX.tokens_sql('text')} AS t FROM documents),
+    fp AS (SELECT doc_id, {TX.fingerprint_sql('t')} AS f FROM toks),
+    seen AS (SELECT DISTINCT f FROM fp WHERE doc_id < 250),
+    new AS (SELECT doc_id, f FROM fp WHERE doc_id >= 250)
+    SELECT n.doc_id, n.f AS fingerprint
+    FROM new n WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.f = n.f)
+    """,
+    doc="Incremental dedup — the per-snapshot production shape: only "
+    "NEW arrivals (doc_id >= 250 models today's crawl) are "
+    "fingerprinted and anti-joined against the historical fingerprint "
+    "set, so each increment costs O(new + probe), never a re-scan of "
+    "the full corpus. At 100 TB the `seen` side is a bucketed "
+    "fingerprint table and the anti-join is shuffle-free against it "
+    "(storage.write_bucketed); the gate models it with the same "
+    "anti-join plan.",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", TX.fingerprint(TX.tokens("text")).alias("f"))
+    seen = fp.where(F.col("doc_id") < 250).select("f").distinct()
+    new = fp.where(F.col("doc_id") >= 250)
+    return new.join(seen, "f", "left_anti").select(
+        "doc_id", F.col("f").alias("fingerprint")
+    )
+
+
+@register_extra(
     "neardup_clusters",
     f"""
     WITH RECURSIVE {_SIG_CTES}, {_BANDS_CTE},
