@@ -237,3 +237,66 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# --- product quantization -------------------------------------------------
+# PQ geometry: 64-dim vectors → 4 subspaces × 16 dims, 8 codewords per
+# subspace (3 bits), codebook = fixed corpus rows (deterministic
+# "sampled" training, same device as the IVF centroids) — each vector
+# compresses 64 floats → 4 small ints.  At 100 TB this is the standard
+# memory story for ANN: the corpus lives in RAM as codes, full vectors
+# stay on disk for reranking.
+PQ_SUBSPACES = 4
+PQ_SUBDIM = 16  # EMBED_DIM // PQ_SUBSPACES
+PQ_CODEBOOK_IDS = [20 + 7 * j for j in range(8)]
+
+
+def _l2sq(a, b):
+    """Left-fold squared L2 distance — same fold order as the DuckDB
+    list_reduce twin, so the doubles (and hence the argmin codes) are
+    bit-identical across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codes(emb: DataFrame) -> DataFrame:
+    """(vec_id, code0..code3): per-subspace nearest-codeword ids
+    (ties → smaller codeword id).  The codebook is collected once
+    (8 rows) and shipped as literals; encoding is one scan-side
+    projection — no shuffle, no UDF, and the integer codes make the
+    operator exactly oracle-comparable (unlike float distances)."""
+    cb = (
+        emb.where(F.col("vec_id").isin(PQ_CODEBOOK_IDS))
+        .select("vec_id", as_double("embedding").alias("v"))
+        .collect()
+    )
+    cb = sorted((r["vec_id"], list(r["v"])) for r in cb)
+
+    v = fan_out(emb, "vec_id").select("vec_id", as_double("embedding").alias("v"))
+    cols = ["vec_id"]
+    for j in range(PQ_SUBSPACES):
+        sub = F.slice(F.col("v"), j * PQ_SUBDIM + 1, PQ_SUBDIM)
+        ranked = F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        _l2sq(
+                            sub,
+                            F.array(
+                                *[
+                                    F.lit(x)
+                                    for x in cv[j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM]
+                                ]
+                            ),
+                        ).alias("d"),
+                        F.lit(cid).cast("long").alias("cid"),
+                    )
+                    for cid, cv in cb
+                ]
+            )
+        )
+        cols.append(F.element_at(ranked, 1).getField("cid").alias(f"code{j}"))
+    return v.select(*cols)

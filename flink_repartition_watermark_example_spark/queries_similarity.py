@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_repartition_watermark_example_spark.functions.vectors import cosine_sql
 from flink_repartition_watermark_example_spark.operators import similarity as SIM
-from flink_repartition_watermark_example_spark.queries import register
+from flink_repartition_watermark_example_spark.queries import register, register_extra
 from flink_repartition_watermark_example_spark.sources.tables import load_table
 
 
@@ -153,3 +153,56 @@ def _centroid_id_list() -> str:
 )
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def _l2sq_sql(a: str, b: str, n: int) -> str:
+    """Left-fold squared L2 over n elements — lockstep with
+    operators/similarity._l2sq."""
+    return (
+        f"list_reduce(list_transform(range(1, {n} + 1), "
+        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) "
+        f"* ({a}[i]::DOUBLE - {b}[i]::DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+_PQ_IDS = ", ".join(str(i) for i in SIM.PQ_CODEBOOK_IDS)
+_PQ_CODE_COLS = ",\n           ".join(
+    f"CAST(max(CASE WHEN j = {j} THEN cid END) AS BIGINT) AS code{j}"
+    for j in range(SIM.PQ_SUBSPACES)
+)
+
+
+@register_extra(
+    "pq_codes",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+               WHERE vec_id IN ({_PQ_IDS})),
+    sub AS (
+      SELECT e.vec_id, r.j, c.cid,
+             {_l2sq_sql(
+                 f"e.embedding[(r.j * {SIM.PQ_SUBDIM} + 1):((r.j + 1) * {SIM.PQ_SUBDIM})]",
+                 f"c.cv[(r.j * {SIM.PQ_SUBDIM} + 1):((r.j + 1) * {SIM.PQ_SUBDIM})]",
+                 SIM.PQ_SUBDIM,
+             )} AS d
+      FROM embeddings e CROSS JOIN c CROSS JOIN range(0, {SIM.PQ_SUBSPACES}) r(j)
+    ),
+    best AS (
+      SELECT vec_id, j, cid,
+             row_number() OVER (PARTITION BY vec_id, j
+                                ORDER BY d ASC, cid ASC) AS rn
+      FROM sub
+    )
+    SELECT vec_id,
+           {_PQ_CODE_COLS}
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """,
+    doc="Product-quantization encoding: 64-dim float vectors → 4 "
+    "3-bit codes (4 subspaces × 8 fixed-row codewords) — the memory "
+    "compression behind RAM-resident ANN over a 100 TB corpus. "
+    "Encoding is one scan-side projection against a literal codebook "
+    "(no shuffle, no UDF); integer codes make the operator exactly "
+    "hash-comparable, and the left-fold L2 keeps the argmin "
+    "bit-stable across engines.",
+)
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.pq_codes(load_table(spark, sf_dir, "embeddings"))
