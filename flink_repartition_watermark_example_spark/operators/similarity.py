@@ -300,3 +300,79 @@ def pq_codes(emb: DataFrame) -> DataFrame:
         )
         cols.append(F.element_at(ranked, 1).getField("cid").alias(f"code{j}"))
     return v.select(*cols)
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    num_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance top-k over the PQ-compressed corpus: the
+    query keeps its full vector, each corpus vector is its 4 codes,
+    and distance ≈ Σ_j L2²(query_sub_j, codeword(code_j)).
+
+    The classic ADC decomposition makes the per-(query, corpus) work a
+    4-way integer lookup into a per-query distance table of
+    |Q|·SUBSPACES·8 rows — built once, broadcast, and equi-joined
+    against the exploded (vec_id, j, code) corpus codes, then summed.
+    No full-vector math touches the corpus at query time; at 100 TB
+    the codes table is ~60× smaller than the vectors it stands in
+    for.  Approximation error vs `cosine_topk` is the PQ quantization
+    error; ranking ties break by vec_id.
+    """
+    codes = pq_codes(emb)
+    corpus_codes = codes.where(F.col("vec_id") >= num_queries).select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"code{j}") for j in range(PQ_SUBSPACES)])
+        ).alias("j", "code"),
+    )
+    cb = (
+        emb.where(F.col("vec_id").isin(PQ_CODEBOOK_IDS))
+        .select("vec_id", as_double("embedding").alias("v"))
+        .collect()
+    )
+    cb = sorted((r["vec_id"], list(r["v"])) for r in cb)
+
+    q = emb.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    # per-query distance table: (query_id, j, code, d)
+    entries = []
+    for j in range(PQ_SUBSPACES):
+        qsub = F.slice(F.col("qv"), j * PQ_SUBDIM + 1, PQ_SUBDIM)
+        for cid, cv in cb:
+            entries.append(
+                F.struct(
+                    F.lit(j).cast("int").alias("j"),
+                    F.lit(cid).cast("long").alias("code"),
+                    _l2sq(
+                        qsub,
+                        F.array(
+                            *[F.lit(x) for x in cv[j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM]]
+                        ),
+                    ).alias("d"),
+                )
+            )
+    dtable = q.select(
+        "query_id", F.explode(F.array(*entries)).alias("e")
+    ).select("query_id", "e.j", "e.code", "e.d")
+
+    scored = (
+        corpus_codes.join(F.broadcast(dtable), ["j", "code"])
+        .groupBy("query_id", "vec_id")
+        # quantized-integer sum: 4 doubles per key, order-independent
+        .agg(
+            F.sum(F.floor(F.col("d") * 1000000000.0).cast("long")).alias("dist_q")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_q").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "dist_q", F.col("rank").cast("long").alias("rank")
+        )
+    )

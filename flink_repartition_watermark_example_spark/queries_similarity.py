@@ -206,3 +206,61 @@ _PQ_CODE_COLS = ",\n           ".join(
 )
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_codes(load_table(spark, sf_dir, "embeddings"))
+
+
+_PQ_SLICE_A = f"e.embedding[(r.j * {SIM.PQ_SUBDIM} + 1):((r.j + 1) * {SIM.PQ_SUBDIM})]"
+_PQ_SLICE_C = f"c.cv[(r.j * {SIM.PQ_SUBDIM} + 1):((r.j + 1) * {SIM.PQ_SUBDIM})]"
+_PQ_SLICE_Q = f"q.qv[(r.j * {SIM.PQ_SUBDIM} + 1):((r.j + 1) * {SIM.PQ_SUBDIM})]"
+
+
+@register_extra(
+    "pq_adc_topk",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+               WHERE vec_id IN ({_PQ_IDS})),
+    sub AS (
+      SELECT e.vec_id, r.j, c.cid,
+             {_l2sq_sql(_PQ_SLICE_A, _PQ_SLICE_C, SIM.PQ_SUBDIM)} AS d
+      FROM embeddings e CROSS JOIN c CROSS JOIN range(0, {SIM.PQ_SUBSPACES}) r(j)
+    ),
+    codes AS (
+      SELECT vec_id, j, cid AS code FROM (
+        SELECT vec_id, j, cid,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d ASC, cid ASC) AS rn
+        FROM sub
+      ) WHERE rn = 1 AND vec_id >= 10
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < 10),
+    dt AS (
+      SELECT q.query_id, r.j, c.cid AS code,
+             {_l2sq_sql(_PQ_SLICE_Q, _PQ_SLICE_C, SIM.PQ_SUBDIM)} AS d
+      FROM q CROSS JOIN c CROSS JOIN range(0, {SIM.PQ_SUBSPACES}) r(j)
+    ),
+    scored AS (
+      SELECT dt.query_id, codes.vec_id,
+             CAST(sum(CAST(floor(dt.d * 1000000000.0) AS BIGINT)) AS BIGINT)
+               AS dist_q
+      FROM codes JOIN dt ON dt.j = codes.j AND dt.code = codes.code
+      GROUP BY dt.query_id, codes.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dist_q ASC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, dist_q, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="Asymmetric-distance PQ search: queries keep full vectors, the "
+    "corpus is only its 4 codes; distance = Σ per-subspace table "
+    "lookups. The per-query distance table (|Q|×4×8 rows) broadcasts "
+    "and equi-joins the exploded code table — query-time cost is "
+    "independent of vector dimensionality, the property that makes "
+    "RAM-resident search over a 100 TB corpus possible. Per-subspace "
+    "distances are floor-quantized to integers before the sum, so "
+    "ranking is order-independent and exactly oracle-comparable.",
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.pq_adc_topk(load_table(spark, sf_dir, "embeddings"))
