@@ -39,6 +39,15 @@ class KeyedStream:
         Main.scala:25; floor semantics, half-open bounds)."""
         return WindowedStream(self.df, self.keys, self.ts, size)
 
+    def session_window(self, gap: str) -> "WindowedStream":
+        """Gap-based session windows (beyond the reference's tumbling
+        surface; Flink-next's `EventTimeSessionWindows` analogue) —
+        Spark's native `session_window` merges per-key state until a
+        quiet period of ``gap``."""
+        return WindowedStream(
+            self.df, self.keys, self.ts, gap, session=True
+        )
+
 
 @dataclass(frozen=True)
 class WindowedStream:
@@ -47,6 +56,7 @@ class WindowedStream:
     ts: str
     size: str
     slide: str | None = None
+    session: bool = False
 
     def sliding(self, slide: str) -> "WindowedStream":
         return WindowedStream(self.df, self.keys, self.ts, self.size, slide)
@@ -56,18 +66,22 @@ class WindowedStream:
         WindowAggregate.scala:22-37): arbitrary aggregates per
         key+window; key and window bounds are stamped on the output for
         free (S9)."""
-        if self.slide is not None:
-            grouped = self.df.groupBy(
-                F.window(F.col(self.ts), self.size, self.slide), *self.keys
+        if self.session:
+            win = F.session_window(F.col(self.ts), self.size)
+        elif self.slide is not None:
+            win = F.window(F.col(self.ts), self.size, self.slide)
+        else:
+            return windowed_agg(
+                self.df, self.ts, list(self.keys), list(aggs), self.size
             )
-            out = grouped.agg(*aggs)
-            return out.select(
-                F.col("window.start").alias("window_start"),
-                F.col("window.end").alias("window_end"),
-                *self.keys,
-                *[F.col(c) for c in out.columns[1 + len(self.keys):]],
-            )
-        return windowed_agg(self.df, self.ts, list(self.keys), list(aggs), self.size)
+        out = self.df.groupBy(win, *self.keys).agg(*aggs)
+        bounds = "session_window" if self.session else "window"
+        return out.select(
+            F.col(f"{bounds}.start").alias("window_start"),
+            F.col(f"{bounds}.end").alias("window_end"),
+            *self.keys,
+            *[F.col(c) for c in out.columns[1 + len(self.keys):]],
+        )
 
     def count(self) -> DataFrame:
         """The wrapper the reference wished for (package.scala:5-8)."""

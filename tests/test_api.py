@@ -40,3 +40,22 @@ def test_watermark_noop_in_batch(spark, sf_dir):
     a = keyed(ev, by="event_type", watermark="0 seconds").time_window("1 hour").count()
     b = keyed(ev, by="event_type").time_window("1 hour").count()
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_fluent_session_window_matches_gaps_and_islands(spark):
+    """keyed(...).session_window(gap).count() must merge rows closer
+    than the gap and split across quiet periods."""
+    from flink_repartition_watermark_example_spark.api import keyed
+
+    rows = [
+        ("u", "2024-01-01 10:00:00"),
+        ("u", "2024-01-01 10:03:00"),   # same session (< 5 min gap)
+        ("u", "2024-01-01 10:20:00"),   # new session
+        ("v", "2024-01-01 10:01:00"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "s"]).select(
+        "url", F.col("s").cast("timestamp").alias("ts")
+    )
+    out = keyed(df, by="url").session_window("5 minutes").count()
+    got = sorted((r.url, r.window_start.minute, r.aggregate) for r in out.collect())
+    assert got == [("u", 0, 2), ("u", 20, 1), ("v", 1, 1)]
