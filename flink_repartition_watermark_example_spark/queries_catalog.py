@@ -661,6 +661,44 @@ def q_pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("v").alias("event_type"), "rank_q")
 
 
+@register_extra(
+    "fuzzy_name_pairs",
+    """
+    WITH b AS (SELECT c_custkey, c_name, substr(c_name, 1, 14) AS blk
+               FROM customer)
+    SELECT a.c_custkey AS key_a, bb.c_custkey AS key_b,
+           CAST(levenshtein(a.c_name, bb.c_name) AS BIGINT) AS edit_dist
+    FROM b a JOIN b bb ON a.blk = bb.blk AND a.c_custkey < bb.c_custkey
+    WHERE levenshtein(a.c_name, bb.c_name) <= 1
+    """,
+    doc="Record linkage / entity resolution: near-identical customer "
+    "names by edit distance, with prefix BLOCKING so candidate "
+    "generation is an equi-join on the block key — the same "
+    "never-O(n²) discipline as the LSH dedup path, but for fuzzy "
+    "string keys. Levenshtein is an integer, so the operator is "
+    "exactly oracle-comparable on both engines.",
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", 1, 14).alias("blk")
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    lev = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .where(lev <= 1)
+        .select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            lev.cast("long").alias("edit_dist"),
+        )
+    )
+
+
 @register(
     "orders_above_cust_avg",
     """
