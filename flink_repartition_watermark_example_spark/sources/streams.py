@@ -50,3 +50,59 @@ def rate_pageviews(
         ).alias("ts"),
         F.md5(F.concat_ws("-", F.lit(seed), F.col("value"))).alias("event_id"),
     )
+
+
+def kafka_pageviews(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = 100_000,
+) -> DataFrame:
+    """Kafka source for the pageview stream — the production stand-in
+    for the reference's in-memory parallel collection (S1).
+
+    Values are JSON ``{"url", "ts_ms", "event_id"}`` parsed JVM-side
+    with ``from_json`` against an explicit schema (never inferred).
+    Kafka partitions map 1:1 onto Spark input partitions, so the
+    per-partition ordering the watermark logic needs (SURVEY §1.4)
+    is whatever the producer guarantees per partition — same contract
+    as Flink's per-partition watermarks. ``maxOffsetsPerTrigger``
+    bounds micro-batch size so a backlogged topic cannot produce an
+    unbounded first batch.
+
+    The spark-sql-kafka connector jar is not bundled in this
+    container, so this builds the plan only when the package is
+    available and raises a clear error otherwise (tested); the option
+    surface itself is the deliverable.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    try:
+        raw = reader.load()
+    except Exception as e:  # connector jar absent in this container
+        raise NotImplementedError(
+            "Kafka connector (spark-sql-kafka) not on the classpath; "
+            "submit with --packages org.apache.spark:spark-sql-kafka-0-10_2.13"
+        ) from e
+    schema = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("ts_ms", LongType()),
+            StructField("event_id", StringType()),
+        ]
+    )
+    v = F.from_json(F.col("value").cast("string"), schema).alias("j")
+    return raw.select(v).select(
+        F.col("j.url").alias("url"),
+        F.timestamp_millis(F.col("j.ts_ms")).alias("ts"),
+        F.col("j.event_id").alias("event_id"),
+    )

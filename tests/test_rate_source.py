@@ -44,3 +44,19 @@ def test_rate_stream_is_deterministic_and_dense(spark, tmp_path):
     }
     assert deltas == {1.0}
     assert all(r.url.startswith("http://site.com/") for r in a[:50])
+
+
+def test_kafka_source_raises_cleanly_without_connector(spark):
+    """The Kafka helper must fail with an actionable message (not a
+    raw ClassNotFoundException) when the connector jar is absent —
+    and if a jar IS present, it must build a streaming plan."""
+    import pytest
+
+    from flink_repartition_watermark_example_spark.sources.streams import kafka_pageviews
+
+    try:
+        df = kafka_pageviews(spark, "broker:9092", "pageviews")
+    except NotImplementedError as e:
+        assert "spark-sql-kafka" in str(e)
+    else:
+        assert df.isStreaming and set(df.columns) == {"url", "ts", "event_id"}
