@@ -7,7 +7,6 @@ from __future__ import annotations
 import hashlib
 
 import pytest
-from pyspark.sql import functions as F
 
 from flink_repartition_watermark_example_spark.operators import multimodal as MM
 from flink_repartition_watermark_example_spark.sources.tables import load_table

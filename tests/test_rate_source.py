@@ -50,8 +50,6 @@ def test_kafka_source_raises_cleanly_without_connector(spark):
     """The Kafka helper must fail with an actionable message (not a
     raw ClassNotFoundException) when the connector jar is absent —
     and if a jar IS present, it must build a streaming plan."""
-    import pytest
-
     from flink_repartition_watermark_example_spark.sources.streams import kafka_pageviews
 
     try:

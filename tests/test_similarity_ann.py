@@ -63,8 +63,6 @@ def test_pq_adc_recall_against_exact_l2(spark, sf_dir):
     qs = {q for q, _ in adc}
 
     v = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-    import itertools
-
     qrows = {r.vec_id: r.v for r in v.where(F.col("vec_id") < 10).collect()}
     crows = [(r.vec_id, r.v) for r in v.where(F.col("vec_id") >= 10).collect()]
     hits = total = 0

@@ -7,7 +7,6 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from flink_repartition_watermark_example_spark.sources.tables import load_table
-from flink_repartition_watermark_example_spark.streaming.replica import write_close_sentinel
 from flink_repartition_watermark_example_spark.streaming.stateful import sessionize
 
 

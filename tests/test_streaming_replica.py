@@ -16,7 +16,6 @@ Asserts the three invariants of reference README.md:49-58:
 
 from __future__ import annotations
 
-import os
 from datetime import datetime, timezone
 
 import pytest
