@@ -9,6 +9,7 @@ computations."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -696,6 +697,53 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.c_custkey").alias("key_b"),
             lev.cast("long").alias("edit_dist"),
         )
+    )
+
+
+@register_extra(
+    "mad_value_by_type",
+    """
+    WITH m AS (SELECT event_type, median(value) AS med FROM events
+               GROUP BY event_type)
+    SELECT e.event_type, count(*) AS n_rows,
+           median(abs(e.value - m.med)) AS mad
+    FROM events e JOIN m USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc="Median absolute deviation per key via a grouped-aggregate "
+    "Pandas UDAF — the UDAF extension point (SURVEY §2.2's "
+    "pandas_udf grouped-agg mapping of the reference's fold "
+    "WindowAggregate.scala:22-31) carrying a real robust statistic "
+    "Spark has no builtin for. Arrow-batched, one value out per "
+    "group; exactly oracle-comparable because medians are "
+    "selection-based (order-free), not summation-based. At scale the "
+    "group's values must fit one executor — the documented contract "
+    "of any exact-quantile UDAF; the sketch path "
+    "(approx_quantiles_sketch) is the unbounded-cardinality "
+    "alternative.",
+)
+def q_mad_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # module-level `pd` + real (non-stringified) hints: pandas_udf
+    # resolves the grouped-agg signature via typing.get_type_hints,
+    # which must see an importable pandas symbol despite this module's
+    # `from __future__ import annotations`.
+    from pyspark.sql.functions import pandas_udf
+
+    def mad_fn(v):
+        med = v.median()
+        return float((v - med).abs().median())
+
+    mad_fn.__annotations__ = {"v": pd.Series, "return": float}
+    mad = pandas_udf(mad_fn, "double")
+
+    ev = _t(spark, sf_dir, "events")
+    # a grouped-agg pandas UDF cannot share an agg() with JVM
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — two aggregations
+    # over the same shuffle, joined on the (few-row) group keys.
+    mads = ev.groupBy("event_type").agg(mad("value").alias("mad"))
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_rows"))
+    return counts.join(F.broadcast(mads), "event_type").select(
+        "event_type", "n_rows", "mad"
     )
 
 
