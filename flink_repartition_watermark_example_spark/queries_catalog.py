@@ -1247,3 +1247,54 @@ def q_top_suppliers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("nation", "supplier", "revenue", "rk")
     )
+
+
+# --- SCD Type-2 history build ---------------------------------------------
+
+
+@register_extra(
+    "scd2_user_state_history",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type AS state, ts AS valid_from
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, state) AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, state) IS NULL AS is_current
+    FROM changes
+    """,
+    doc="Slowly-changing-dimension type-2 build: collapse each user's "
+    "event stream into state-change validity intervals "
+    "[valid_from, valid_to) with an is_current flag — the warehouse "
+    "twin of the CDC apply (cdc_apply_orders keeps latest-wins "
+    "current state; this keeps full history).  One hash shuffle on "
+    "user_id serves both window passes — Catalyst reuses the "
+    "partitioning, so scale cost is a single sort per key group.",
+)
+def q_scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_chg = Window.partitionBy("user_id").orderBy("valid_from", "state")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w_ord))
+        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", F.col("event_type").alias("state"), F.col("ts").alias("valid_from"))
+    )
+    valid_to = F.lead("valid_from").over(w_chg)
+    return changes.select(
+        "user_id",
+        "state",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

@@ -316,3 +316,139 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("long").alias("rank"),
         )
     )
+
+
+# --- BPE vocabulary induction: the merge-scoring step ---------------------
+
+
+@register_extra(
+    "bpe_pair_counts",
+    """
+    WITH words AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents
+    ),
+    freq AS (SELECT word, count(*) AS n FROM words GROUP BY word),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, length(word)),
+                                     i -> substr(word, i, 2))) AS pair,
+               n
+        FROM freq WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
+    FROM pairs
+    GROUP BY pair
+    ORDER BY cnt DESC, pair ASC
+    LIMIT 40
+    """,
+    doc="First merge-scoring round of BPE vocabulary training: "
+    "adjacent-symbol pair frequencies over the corpus.  The corpus "
+    "collapses to (word, freq) FIRST (shuffle O(|vocab|)), then the "
+    "quadratic-ish pair fan-out runs over the vocabulary only — the "
+    "standard trick that makes BPE training feasible at 100 TB, "
+    "where |vocab| << |tokens|.",
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        freq.where(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+            ).alias("pair"),
+            "n",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(40)
+    )
+
+
+# --- model-based quality filtering: integer linear classifier -------------
+
+# Offline-fitted weights in integer micro-units.  Integer dot product
+# => exact, order-insensitive, reproducible across engines (a float
+# sigmoid would not hash-match; ranking and thresholding only need
+# the monotone linear score).
+_LRW_TOK = 120
+_LRW_STOP = 35_000
+_LRW_DIGIT = -900
+_LRW_PUNCT = -1_500
+_LRW_UPPER = -300
+_LRW_CHAR = 10
+_LR_THRESHOLD = 200_000
+
+_LR_STOPLIST = list(TX.STOPWORDS["en"])
+
+
+@register_extra(
+    "quality_lr_scores",
+    f"""
+    WITH feats AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS f_tok,
+               len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\\s+')),
+                                 {_LR_STOPLIST!r})) AS f_stop,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS f_digit,
+               length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \\t\\n]', '', 'g')) AS f_punct,
+               length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS f_upper,
+               length(trim(text)) AS f_char
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST({_LRW_TOK} * f_tok + {_LRW_STOP} * f_stop + {_LRW_DIGIT} * f_digit
+              + {_LRW_PUNCT} * f_punct + {_LRW_UPPER} * f_upper
+              + {_LRW_CHAR} * f_char AS BIGINT) AS score_micro,
+           CAST({_LRW_TOK} * f_tok + {_LRW_STOP} * f_stop + {_LRW_DIGIT} * f_digit
+              + {_LRW_PUNCT} * f_punct + {_LRW_UPPER} * f_upper
+              + {_LRW_CHAR} * f_char >= {_LR_THRESHOLD} AS BOOLEAN) AS kept
+    FROM feats
+    """,
+    doc="Model-based quality filter: a linear classifier (integer "
+    "micro-unit weights, fitted offline) over cheap scan-side "
+    "features — the fasttext-classifier stage of a curation "
+    "pipeline.  Pure column algebra, zero shuffles, zero UDFs; at "
+    "100 TB this runs at scan speed and the kept flag drives the "
+    "downstream corpus write.",
+)
+def q_quality_lr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    f_tok = F.size(toks)
+    f_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in _LR_STOPLIST])
+        )
+    )
+    strip = lambda pat: F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), pat, "")
+    )
+    f_digit = strip("[0-9]")
+    f_punct = strip("[^A-Za-z0-9 \\t\\n]")
+    f_upper = strip("[A-Z]")
+    f_char = F.length(F.trim(F.col("text")))
+    score = (
+        F.lit(_LRW_TOK) * f_tok
+        + F.lit(_LRW_STOP) * f_stop
+        + F.lit(_LRW_DIGIT) * f_digit
+        + F.lit(_LRW_PUNCT) * f_punct
+        + F.lit(_LRW_UPPER) * f_upper
+        + F.lit(_LRW_CHAR) * f_char
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        score.alias("score_micro"),
+        (score >= _LR_THRESHOLD).alias("kept"),
+    )
