@@ -70,3 +70,40 @@ def interval_join_views_purchases(
             <= F.col("view_ts") + F.expr(f"INTERVAL {range_hours} HOURS")
         ),
     ).select("view_id", "purchase_id", "user_id")
+
+
+def interval_join_left_outer(
+    views: DataFrame,
+    purchases: DataFrame,
+    *,
+    range_hours: int = 6,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Left-outer interval join: every view emits exactly once — with
+    its matching purchase, or with nulls once the purchase-side
+    watermark proves no match can still arrive (view_ts + range has
+    passed).  This is the streaming twin of the batch
+    ``asof``/outer-join family: null emission is *watermark-driven
+    finality*, not absence-at-query-time, so results are stable under
+    replay.  Both sides need watermarks — the outer side's buffered
+    rows are the join state, evicted at the same bound."""
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    return v.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {range_hours} HOURS")
+        ),
+        how="leftOuter",
+    ).select("view_id", "purchase_id", "user_id")

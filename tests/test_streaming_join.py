@@ -119,3 +119,51 @@ def test_stream_static_enrichment_matches_batch_and_is_stateless(
     )
     assert got == want
     assert any(r[-1] is not None for r in got), "dim join never matched"
+
+
+def test_left_outer_interval_join_emits_null_on_watermark_finality(spark, tmp_path):
+    """Unmatched views must emit (view, null) — but only once the
+    watermark proves no in-range purchase can still arrive."""
+    from flink_repartition_watermark_example_spark.streaming.join import (
+        interval_join_left_outer,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long"
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    views = [
+        [(1, t0, 7)],
+        [(2, t0 + timedelta(hours=2), 7), (3, t0 + timedelta(hours=2), 8)],
+        # close sentinel: advances the view-side watermark far past
+        # every real view; filtered out of the assertion below
+        [(999, t0 + timedelta(hours=100), -1)],
+    ]
+    purchases = [
+        [(101, t0 + timedelta(hours=1), 7)],
+        [(102, t0 + timedelta(hours=7), 7)],
+        # purchase-side sentinel: moves the watermark that gates
+        # null-emission for unmatched views
+        [(998, t0 + timedelta(hours=100), -2)],
+    ]
+    vdir, pdir = str(tmp_path / "views"), str(tmp_path / "purch")
+    _write_files(spark, vdir, views, schema)
+    _write_files(spark, pdir, purchases, schema)
+
+    vs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(vdir)
+    ps = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(pdir)
+    out = interval_join_left_outer(vs, ps, range_hours=6)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("loj_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_loj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        map(tuple, spark.sql("select * from loj_test where user_id >= 0").collect())
+    )
+    # view 1 pairs with purchase 101 (1h later), view 2 with 102 (5h),
+    # view 3 (user 8) has no purchase — emits null once the purchase
+    # watermark passes t0+8h
+    assert got == [(1, 101, 7), (2, 102, 7), (3, None, 8)]
