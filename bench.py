@@ -18,7 +18,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from flink_repartition_watermark_example_spark import get_spark
-from flink_repartition_watermark_example_spark.queries import QUERIES
+from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES, QUERIES
+
+# Extras benched alongside the primary 50: the vectorized ANN
+# production twins, so their speedup vs the oracle-exact paths
+# (cosine_topk / ivf_ann_topk) is recorded per round.
+BENCH_EXTRAS = ["cosine_topk_fast", "ivf_ann_topk_fast"]
 
 
 def main() -> None:
@@ -36,7 +41,10 @@ def main() -> None:
         load_table(spark, sf_dir, t).limit(1).collect()
 
     timings: dict[str, float] = {}
-    for name, q in QUERIES.items():
+    bench_set = list(QUERIES.items()) + [
+        (n, EXTRA_QUERIES[n]) for n in BENCH_EXTRAS
+    ]
+    for name, q in bench_set:
         t0 = time.perf_counter()
         q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)

@@ -239,6 +239,167 @@ def ivf_topk(
     )
 
 
+# --- vectorized production twins ------------------------------------------
+# The oracle-exact paths above keep float folds in interpreted
+# left-fold order for bit-identical DuckDB comparison (see ivf_topk's
+# perf note).  These twins are the production scorers: Arrow-batched
+# mapInPandas + numpy/BLAS matmuls.  Float summation order differs, so
+# they are NOT hash-comparable to the SQL oracles — their correctness
+# contract is the recall/agreement tests against `cosine_topk`
+# (tests/test_similarity_ann.py) and the registered integer recall
+# queries (queries_similarity.py).
+
+
+def _collect_queries(emb: DataFrame, num_queries: int):
+    """Driver-side query matrix — |Q| is small by contract (a query
+    *batch*, not the corpus); the corpus side never collects."""
+    rows = (
+        emb.where(F.col("vec_id") < num_queries)
+        .select("vec_id", as_double("embedding").alias("v"))
+        .collect()
+    )
+    return sorted((int(r["vec_id"]), list(r["v"])) for r in rows)
+
+
+def cosine_topk_fast(
+    emb: DataFrame,
+    num_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Vectorized production twin of `cosine_topk`: the query matrix is
+    shipped in the task closure; each Arrow batch of corpus vectors is
+    scored as ONE numpy matmul (|batch| × dim @ dim × |Q|) and only the
+    per-batch top-k survivors per query are emitted — a map-side
+    combine for top-k, so the final window ranks O(k·batches·|Q|) rows
+    however large the corpus is."""
+    import numpy as np
+    import pandas as pd
+
+    qs = _collect_queries(emb, num_queries)
+    qids = np.array([q[0] for q in qs], dtype=np.int64)
+    Q = np.array([q[1] for q in qs], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            S = (M / np.linalg.norm(M, axis=1, keepdims=True)) @ Qn.T
+            vec_ids = pdf["vec_id"].to_numpy()
+            kk = min(k, len(pdf))
+            # per-query local top-k (cos desc, vec_id asc tiebreak)
+            order = np.lexsort((vec_ids[:, None].repeat(len(qids), 1), -S), axis=0)
+            sel = order[:kk, :]
+            out_q = np.repeat(qids[None, :], kk, axis=0).ravel()
+            out_v = vec_ids[sel].ravel()
+            out_s = np.take_along_axis(S, sel, axis=0).ravel()
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_v, "cos_sim": out_s}
+            )
+
+    corpus = fan_out(emb.where(F.col("vec_id") >= num_queries), "vec_id").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    cand = corpus.mapInPandas(
+        score, schema="query_id long, vec_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
+def ivf_topk_fast(
+    emb: DataFrame,
+    num_queries: int = 10,
+    k: int = 5,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """Vectorized production twin of `ivf_topk`: identical index
+    geometry (same CENTROID_IDS, same nprobe, same tiebreaks) but the
+    whole probe runs as ONE mapInPandas pass — per Arrow batch, a
+    single (|batch| × dim @ dim × 16) matmul assigns lists, each
+    query's candidates are the rows assigned to its nprobe lists
+    (mask, no join), scoring is one matmul over the masked rows, and
+    only the per-batch top-k per query survives (map-side combine).
+    Query routing happens on the driver (|Q| rows).  One Python
+    stage, zero shuffles before the final O(k·batches·|Q|)-row
+    window."""
+    import numpy as np
+    import pandas as pd
+
+    cents = (
+        emb.where(F.col("vec_id").isin(CENTROID_IDS))
+        .select("vec_id", as_double("embedding").alias("v"))
+        .collect()
+    )
+    cents = sorted((int(r["vec_id"]), list(r["v"])) for r in cents)
+    cent_ids = np.array([c[0] for c in cents], dtype=np.int64)
+    C = np.array([c[1] for c in cents], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    qs = _collect_queries(emb, num_queries)
+    qids = np.array([q[0] for q in qs], dtype=np.int64)
+    Q = np.array([q[1] for q in qs], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # per-query probed list ids (cos desc, centroid_id asc — the
+    # cid-ascending column order + stable sort give the tiebreak)
+    probe_sets = []
+    for qn in Qn:
+        order = np.argsort(-(qn @ Cn.T), kind="stable")
+        probe_sets.append(set(cent_ids[order[:nprobe]].tolist()))
+
+    def probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            # ties → smaller centroid id: argmax returns the first max
+            # over cid-ascending columns
+            lists = cent_ids[np.argmax(Mn @ Cn.T, axis=1)]
+            vec_ids = pdf["vec_id"].to_numpy()
+            out_q, out_v, out_s = [], [], []
+            for qi, qn, pset in zip(qids, Qn, probe_sets):
+                mask = np.isin(lists, list(pset))
+                if not mask.any():
+                    continue
+                cos = Mn[mask] @ qn
+                cand_ids = vec_ids[mask]
+                kk = min(k, len(cand_ids))
+                sel = np.lexsort((cand_ids, -cos))[:kk]
+                out_q.extend([qi] * kk)
+                out_v.extend(cand_ids[sel])
+                out_s.extend(cos[sel])
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_v, "cos_sim": out_s}
+            )
+
+    corpus = fan_out(emb.where(F.col("vec_id") >= num_queries), "vec_id").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    scored = corpus.mapInPandas(
+        probe, schema="query_id long, vec_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
 # --- product quantization -------------------------------------------------
 # PQ geometry: 64-dim vectors → 4 subspaces × 16 dims, 8 codewords per
 # subspace (3 bits), codebook = fixed corpus rows (deterministic

@@ -264,3 +264,118 @@ _PQ_SLICE_Q = f"q.qv[(r.j * {SIM.PQ_SUBDIM} + 1):((r.j + 1) * {SIM.PQ_SUBDIM})]"
 )
 def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_adc_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+# --- vectorized production twins (no SQL oracle by design) ---------------
+# BLAS/numpy summation order differs from the left-fold oracles, so
+# float hash-comparison is impossible; their contract is the integer
+# recall queries below plus the agreement tests in
+# tests/test_similarity_ann.py.
+
+
+@register_extra(
+    "cosine_topk_fast",
+    None,
+    doc="Vectorized production twin of cosine_topk: per-Arrow-batch "
+    "numpy matmul scoring with map-side top-k combine (k rows per "
+    "query per batch reach the final window, whatever the corpus "
+    "size). No SQL oracle — float order differs from the left-fold "
+    "baseline; checked by exact-agreement test and ann_recall_fast.",
+)
+def q_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.cosine_topk_fast(load_table(spark, sf_dir, "embeddings"))
+
+
+@register_extra(
+    "ivf_ann_topk_fast",
+    None,
+    doc="Vectorized production twin of ivf_ann_topk: same coarse index "
+    "geometry (CENTROID_IDS, nprobe, tiebreaks), numpy-matmul "
+    "assignment + scoring in mapInPandas. No SQL oracle — checked by "
+    "recall agreement vs the oracle-exact path (ann_recall_fast / "
+    "tests).",
+)
+def q_ivf_ann_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.ivf_topk_fast(load_table(spark, sf_dir, "embeddings"))
+
+
+# --- ANN recall as first-class integer-oracled queries -------------------
+
+
+def _recall_df(approx: DataFrame, exact: DataFrame, method: str) -> DataFrame:
+    """hits@k per query: |approx ∩ exact| — integers, so the float
+    scoring differences between engines/paths never touch the hash."""
+    from pyspark.sql import functions as F
+
+    hits = (
+        exact.select("query_id", "vec_id")
+        .join(approx.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            F.lit(method).alias("method"),
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+        )
+    )
+
+
+def _recall_sql(approx_oracle: str, exact_oracle: str, method: str) -> str:
+    return f"""
+    WITH approx AS ({approx_oracle}),
+    exact AS ({exact_oracle}),
+    hits AS (
+      SELECT e.query_id, count(*) AS hits
+      FROM exact e JOIN approx a
+        ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+      GROUP BY e.query_id
+    )
+    SELECT '{method}' AS method, q.query_id,
+           COALESCE(h.hits, 0) AS hits
+    FROM (SELECT DISTINCT query_id FROM exact) q
+    LEFT JOIN hits h ON h.query_id = q.query_id
+    """
+
+
+from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES, QUERIES  # noqa: E402
+
+_EXACT_ORACLE = QUERIES["cosine_topk"].oracle
+
+
+@register_extra(
+    "ann_recall_lsh",
+    _recall_sql(QUERIES["lsh_ann_topk"].oracle, _EXACT_ORACLE, "lsh"),
+    doc="recall@5 of the LSH multi-probe ANN path against the exact "
+    "cosine baseline, as per-query integer intersection counts — the "
+    "approximate path's quality as a regression-checked number.",
+)
+def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _recall_df(SIM.lsh_ann_topk(emb), SIM.cosine_topk(emb), "lsh")
+
+
+@register_extra(
+    "ann_recall_ivf",
+    _recall_sql(QUERIES["ivf_ann_topk"].oracle, _EXACT_ORACLE, "ivf"),
+    doc="recall@5 of the IVF coarse-index ANN path against the exact "
+    "cosine baseline (integer intersection counts per query).",
+)
+def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _recall_df(SIM.ivf_topk(emb), SIM.cosine_topk(emb), "ivf")
+
+
+@register_extra(
+    "ann_recall_pq",
+    _recall_sql(EXTRA_QUERIES["pq_adc_topk"].oracle, _EXACT_ORACLE, "pq"),
+    doc="recall@5 of PQ asymmetric-distance search against the exact "
+    "cosine baseline (integer intersection counts per query).",
+)
+def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _recall_df(SIM.pq_adc_topk(emb), SIM.cosine_topk(emb), "pq")

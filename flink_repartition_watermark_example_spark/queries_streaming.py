@@ -34,11 +34,49 @@ from pyspark.sql import functions as F
 from flink_repartition_watermark_example_spark.queries import register, register_extra
 from flink_repartition_watermark_example_spark.sources.tables import load_table
 
-# Sentinel event times (epoch nanos, matching the raw parquet's int64
-# nanosecond ts encoding) and the cutoff that excludes them from
-# aggregation while still letting them advance the watermark.
-_SENTINEL_NANOS = (4102444800 * 10**9, 4102531200 * 10**9)  # 2100-01-01/02
+# Sentinel event times and the cutoff that excludes them from
+# aggregation while still letting them advance the watermark.  The
+# parquet ts column has shipped both as int64 epoch nanos and as
+# TIMESTAMP(MICROS); sentinels are built against whichever type the
+# file declares (epoch nanos for long, a wall-clock string cast for
+# timestamp — session timezone is pinned UTC so both are the same
+# instants).
+_SENTINEL_TIMES = ("2100-01-01 00:00:00", "2100-01-02 00:00:00")
 _CUTOFF = "2099-01-01 00:00:00"
+
+# `import ... as T` lives here (not at top) to keep the public imports
+# of this module unchanged.
+from pyspark.sql import types as T  # noqa: E402
+
+
+def _sentinel_lit(dtype, ts_str: str):
+    """A ts-typed literal for a close sentinel: epoch nanos for the
+    legacy int64-nanos encoding, else the string cast to the column's
+    own timestamp type (NTZ or LTZ — UTC session tz either way)."""
+    if isinstance(dtype, T.LongType):
+        import calendar
+        import time
+
+        secs = calendar.timegm(time.strptime(ts_str, "%Y-%m-%d %H:%M:%S"))
+        return F.lit(secs * 10**9)
+    return F.lit(ts_str).cast(dtype)
+
+
+def _event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the raw ts column to a watermark-compatible
+    ``TIMESTAMP`` (legacy int64 nanos rescaled, NTZ relabeled under
+    the UTC session tz — streaming/eventtime.py)."""
+    from flink_repartition_watermark_example_spark.streaming.eventtime import (
+        ensure_event_time,
+    )
+
+    return ensure_event_time(df)
+
+
+def _cutoff_lit(df: DataFrame):
+    """The sentinel-exclusion cutoff, cast to the ts column's own type
+    so the comparison never needs an implicit NTZ/LTZ coercion."""
+    return F.lit(_CUTOFF).cast(df.schema["ts"].dataType)
 
 
 def _replay_dir(spark: SparkSession, sf_dir: str, raw_schema) -> str:
@@ -47,14 +85,28 @@ def _replay_dir(spark: SparkSession, sf_dir: str, raw_schema) -> str:
     by modification time, so sentinels replay last)."""
     d = tempfile.mkdtemp(prefix="stream_replay_")
     try:
-        data = os.path.join(d, "0000_events.parquet")
-        shutil.copy(os.path.join(sf_dir, "events.parquet"), data)
-        now = os.stat(data).st_mtime
-        os.utime(data, (now - 60, now - 60))
-        for nanos in _SENTINEL_NANOS:
+        src = os.path.join(sf_dir, "events.parquet")
+        # Single-file testdata or a directory-shaped table (Spark's own
+        # multi-part write, e.g. the generated sf1 scale data) — either
+        # way the data files land first in mtime order, sentinels after.
+        parts = (
+            sorted(
+                os.path.join(src, p)
+                for p in os.listdir(src)
+                if p.endswith(".parquet")
+            )
+            if os.path.isdir(src)
+            else [src]
+        )
+        for i, part in enumerate(parts):
+            data = os.path.join(d, f"{i:04d}_events.parquet")
+            shutil.copy(part, data)
+            now = os.stat(data).st_mtime
+            os.utime(data, (now - 60, now - 60))
+        for ts_str in _SENTINEL_TIMES:
             sent = spark.range(1).select(
                 *[
-                    F.lit(nanos).cast(f.dataType).alias(f.name)
+                    _sentinel_lit(f.dataType, ts_str).alias(f.name)
                     if f.name == "ts"
                     else F.lit(None).cast(f.dataType).alias(f.name)
                     for f in raw_schema.fields
@@ -156,13 +208,12 @@ def q_streaming_windowed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             # watermark advances; availableNow runs no no-data batch).
             .option("maxFilesPerTrigger", 1)
             .parquet(replay)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            .withWatermark("ts", "0 seconds")
-            # Drop sentinels AFTER the watermark node; the predicate is
-            # on the event-time column so Catalyst keeps it above
-            # EventTimeWatermark (streaming/replica.py).
-            .where(F.col("ts") < F.lit(_CUTOFF).cast("timestamp"))
         )
+        stream = _event_ts(stream).withWatermark("ts", "0 seconds")
+        # Drop sentinels AFTER the watermark node; the predicate is
+        # on the event-time column so Catalyst keeps it above
+        # EventTimeWatermark (streaming/replica.py).
+        stream = stream.where(F.col("ts") < _cutoff_lit(stream))
         agg = (
             stream.groupBy(F.window("ts", "1 hour"), "event_type")
             .agg(F.count(F.lit(1)).alias("aggregate"))
@@ -203,14 +254,19 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "stream_ij_" + uuid.uuid4().hex[:8]
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
+    src = os.path.join(sf_dir, "events.parquet")
+    # pathGlobFilter matches leaf FILES: a directory-shaped table's
+    # parts are *.parquet inside it, a flat testdata file is
+    # events.parquet in sf_dir.
+    base, glob = (src, "*.parquet") if os.path.isdir(src) else (sf_dir, "events.parquet")
+
     def side(event_type: str) -> DataFrame:
-        return (
+        raw = (
             spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            .where(F.col("event_type") == event_type)
+            .option("pathGlobFilter", glob)
+            .parquet(base)
         )
+        return _event_ts(raw).where(F.col("event_type") == event_type)
 
     joined = interval_join_views_purchases(side("view"), side("purchase"))
     return _drain(joined, spark, name, "append")
@@ -250,12 +306,11 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     replay = _replay_dir(spark, sf_dir, raw_schema)
     try:
-        stream = (
+        stream = _event_ts(
             spark.readStream.schema(raw_schema)
             .option("pathGlobFilter", "*.parquet")
             .option("maxFilesPerTrigger", 1)
             .parquet(replay)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
         sess = sessionize(stream, gap="30 minutes", drop_after=_CUTOFF)
         return _drain(sess, spark, name, "append")

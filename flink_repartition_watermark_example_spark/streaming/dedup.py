@@ -16,6 +16,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from flink_repartition_watermark_example_spark.streaming.eventtime import (
+    ensure_event_time,
+)
+
 
 def dedup_stream(
     events: DataFrame,
@@ -27,5 +31,7 @@ def dedup_stream(
     horizon.  Duplicates arriving later than ``watermark_delay`` after
     the original are NOT caught (state already evicted) — that is the
     explicit at-scale contract."""
-    marked = events.withWatermark(ts_col, watermark_delay)
+    marked = ensure_event_time(events, ts_col).withWatermark(
+        ts_col, watermark_delay
+    )
     return marked.dropDuplicatesWithinWatermark(id_cols)

@@ -18,6 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flink_repartition_watermark_example_spark.streaming.eventtime import (
+    ensure_event_time,
+)
+
 
 def enrich_with_dim(
     stream: DataFrame,
@@ -51,6 +55,8 @@ def interval_join_views_purchases(
     """Pairs each view with same-user purchases that happen within
     ``range_hours`` after it.  Both inputs must be streaming DataFrames
     with columns (event_id, ts, user_id)."""
+    views = ensure_event_time(views)
+    purchases = ensure_event_time(purchases)
     v = views.select(
         F.col("event_id").alias("view_id"),
         F.col("user_id"),
@@ -87,6 +93,8 @@ def interval_join_left_outer(
     finality*, not absence-at-query-time, so results are stable under
     replay.  Both sides need watermarks — the outer side's buffered
     rows are the join state, evicted at the same bound."""
+    views = ensure_event_time(views)
+    purchases = ensure_event_time(purchases)
     v = views.select(
         F.col("event_id").alias("view_id"),
         F.col("user_id"),

@@ -68,7 +68,14 @@ def windowed_count_stream(
     Rows keyed ``FLUSH_KEY`` advance the watermark but are excluded
     from aggregation (see note above).
     """
-    marked = [df.withWatermark(ts_col, watermark_delay) for df in sources]
+    from flink_repartition_watermark_example_spark.streaming.eventtime import (
+        ensure_event_time,
+    )
+
+    marked = [
+        ensure_event_time(df, ts_col).withWatermark(ts_col, watermark_delay)
+        for df in sources
+    ]
     unioned = marked[0]
     for m in marked[1:]:
         unioned = unioned.unionByName(m)

@@ -116,7 +116,11 @@ def sessionize(
     def fn(key, pdfs, state):
         return _sessionize_group(key, pdfs, state, gap_seconds)
 
-    marked = events.withWatermark("ts", watermark_delay)
+    from flink_repartition_watermark_example_spark.streaming.eventtime import (
+        ensure_event_time,
+    )
+
+    marked = ensure_event_time(events).withWatermark("ts", watermark_delay)
     if drop_after is not None:
         from pyspark.sql import functions as F
 

@@ -1,0 +1,147 @@
+"""Generate scaled-up derivatives of the driver testdata for scale
+validation (VERDICT round-2 action #1: prove the 100×-scale claims).
+
+The driver's parquet tops out at sf0.1; every "100 TB-safe" claim in
+the tree rests on evidence there.  This script derives sfN from sf0.1
+by deterministic replication — each replica shifts every key domain by
+a fixed stride (FK integrity preserved: o_custkey shifts exactly like
+c_custkey), perturbs document text (new shingles per replica, so the
+dedup family scales like a mostly-unique corpus instead of a 10×
+exact-dup one) and embedding components (per-dim deterministic offsets
+so ANN candidates don't tie across replicas).
+
+Replication runs AS a Spark job (explode over a replica sequence — one
+scan, no driver loop), so generating sf1 is itself a test of the
+engine's write path.  Output goes under .scaledata/ (gitignored);
+dims (region, nation) are copied unscaled, like TPC-H.
+
+Usage: python scripts/gen_scale.py [--mult 10] [--src /root/testdata/sf0.1]
+       [--out .scaledata/sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from flink_repartition_watermark_example_spark import get_spark
+from flink_repartition_watermark_example_spark.datamodel import TABLES
+
+# Key-domain strides: every column in one domain shifts identically so
+# joins keep matching across replicas.  Strides far exceed sf0.1 max
+# keys; int64 headroom is ample (mult ≤ 1e6).
+STRIDE = {
+    "custkey": 10**6,
+    "orderkey": 10**7,
+    "partkey": 10**6,
+    "suppkey": 10**5,
+    "user": 10**6,
+    "event": 10**8,
+    "doc": 10**6,
+    "vec": 10**6,
+}
+
+KEY_SHIFTS: dict[str, list[tuple[str, int]]] = {
+    "customer": [("c_custkey", STRIDE["custkey"])],
+    "supplier": [("s_suppkey", STRIDE["suppkey"])],
+    "part": [("p_partkey", STRIDE["partkey"])],
+    "orders": [
+        ("o_orderkey", STRIDE["orderkey"]),
+        ("o_custkey", STRIDE["custkey"]),
+    ],
+    "lineitem": [
+        ("l_orderkey", STRIDE["orderkey"]),
+        ("l_partkey", STRIDE["partkey"]),
+        ("l_suppkey", STRIDE["suppkey"]),
+    ],
+    "events": [
+        ("event_id", STRIDE["event"]),
+        ("user_id", STRIDE["user"]),
+    ],
+    "documents": [("doc_id", STRIDE["doc"])],
+    "embeddings": [("vec_id", STRIDE["vec"])],
+}
+
+DIMS = ("region", "nation")
+
+
+def scale_table(spark, src_dir: str, out_dir: str, name: str, mult: int) -> int:
+    src = os.path.join(src_dir, f"{name}.parquet")
+    out = os.path.join(out_dir, f"{name}.parquet")
+    df = spark.read.parquet(src)
+    if name in DIMS or mult == 1:
+        df.write.mode("overwrite").parquet(out)
+        return df.count()
+
+    rep = df.withColumn(
+        "__r", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+    )
+    for col, stride in KEY_SHIFTS.get(name, []):
+        rep = rep.withColumn(
+            col, (F.col(col) + F.col("__r").cast("long") * F.lit(stride)).cast("long")
+        )
+    if name == "documents":
+        # new shingles per replica → near-dup structure stays sparse
+        rep = rep.withColumn(
+            "text",
+            F.when(F.col("__r") == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" zrep"), F.col("__r").cast("string"))
+            ),
+        ).withColumn("n_chars", F.length("text").cast("long"))
+    if name == "embeddings":
+        # deterministic per-replica, per-dim jitter so replicas aren't
+        # cosine-identical (ANN ranking would tie otherwise)
+        rep = rep.withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x
+                    + (
+                        ((F.col("__r") * 37 + i) % 11 - 5).cast("float")
+                        * F.lit(0.002)
+                    )
+                    * F.when(F.col("__r") == 0, F.lit(0.0)).otherwise(F.lit(1.0))
+                ).cast("float"),
+            ),
+        )
+    n = rep.count()
+    out_df = rep.drop("__r")
+    if name == "events":
+        # The streaming replay harness turns each input file into a
+        # micro-batch (maxFilesPerTrigger=1, close sentinels last);
+        # keep events in a few parts so the replay isn't dominated by
+        # per-batch state-store commits.
+        out_df = out_df.coalesce(max(1, mult // 4))
+    out_df.write.mode("overwrite").parquet(out)
+    return n
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--out",
+        default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".scaledata",
+            "sf1",
+        ),
+    )
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="gen-scale")
+    os.makedirs(args.out, exist_ok=True)
+    for name in TABLES:
+        n = scale_table(spark, args.src, args.out, name, args.mult)
+        print(f"{name}: {n} rows -> {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

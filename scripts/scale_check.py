@@ -1,0 +1,141 @@
+"""Scale-up validation: run the most expensive queries at sf0.1 AND at
+the generated sf1 (10×), record wall-times, growth ratios, and
+physical-plan shapes, and write BENCH_sf1.json at the repo root.
+
+What "passes" means (VERDICT round-2 action #1):
+- time(sf1)/time(sf0.1) stays well under ~20× for every checked query
+  (10× data with fixed overheads should land near-linear; 20× is the
+  alarm threshold for super-linear blowup — an accidental quadratic
+  candidate join would show 100×),
+- no plan-shape flip that breaks a scale claim: a broadcast join that
+  silently becomes a sort-merge join at 10× means the "small side"
+  wasn't actually bounded (AQE may legitimately flip the other way).
+
+Plan shapes are captured as node-type histograms of the formatted
+explain output so diffs are mechanical.  tests/test_scale_artifact.py
+asserts over the written artifact.
+
+Usage: python scripts/scale_check.py [--sf1 .scaledata/sf1]
+       [--baseline /root/testdata/sf0.1] [--queries q1,q2,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import io
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from flink_repartition_watermark_example_spark import get_spark
+from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES, QUERIES
+
+# The 10 most expensive sf0.1 queries (BENCH_r02) + the vectorized ANN
+# twin, spanning every heavy family: ANN (interpreted + BLAS), the
+# minhash/LSH dedup chain, streaming, multimodal, and the scan-heavy
+# TPC-H-style aggregations/joins.
+DEFAULT_QUERIES = [
+    "ivf_ann_topk",
+    "ivf_ann_topk_fast",
+    "streaming_windowed_count",
+    "streaming_interval_join",
+    "lsh_candidate_pairs",
+    "neardup_purged_docs",
+    "ngram_jaccard_pairs",
+    "simhash_docs",
+    "multimodal_fake_decode",
+    "pricing_summary",
+    "windowed_count",
+    "multi_join_revenue",
+    "minhash_signatures",
+    "cosine_topk_fast",
+]
+
+_NODE_RE = re.compile(r"^\* ([A-Za-z]+[A-Za-z0-9]*)", re.MULTILINE)
+
+
+def plan_signature(df) -> dict[str, int]:
+    """Node-type histogram of the formatted physical plan — enough to
+    detect join-strategy / exchange-count flips across scales."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    sig: dict[str, int] = {}
+    for m in _NODE_RE.finditer(buf.getvalue()):
+        sig[m.group(1)] = sig.get(m.group(1), 0) + 1
+    return sig
+
+
+def run_one(spark, q, sf_dir: str) -> tuple[float, dict[str, int]]:
+    df = q.spark(spark, sf_dir)
+    sig = plan_signature(df) if not df.isStreaming else {}
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0, sig
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf1", default=os.path.join(REPO, ".scaledata", "sf1"))
+    ap.add_argument("--baseline", default="/root/testdata/sf0.1")
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_sf1.json"))
+    args = ap.parse_args()
+
+    if not os.path.isdir(args.sf1):
+        raise SystemExit(
+            f"{args.sf1} missing — run scripts/gen_scale.py first"
+        )
+
+    all_queries = {**QUERIES, **EXTRA_QUERIES}
+    names = [n for n in args.queries.split(",") if n]
+    spark = get_spark(app_name="scale-check")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    report: dict[str, dict] = {}
+    for name in names:
+        q = all_queries[name]
+        t_small, sig_small = run_one(spark, q, args.baseline)
+        t_big, sig_big = run_one(spark, q, args.sf1)
+        flips = {
+            node: [sig_small.get(node, 0), sig_big.get(node, 0)]
+            for node in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                         "BroadcastNestedLoopJoin", "CartesianProduct")
+            if sig_small.get(node, 0) != sig_big.get(node, 0)
+        }
+        report[name] = {
+            "sec_sf01": round(t_small, 3),
+            "sec_sf1": round(t_big, 3),
+            "ratio": round(t_big / t_small, 2) if t_small > 0 else None,
+            "join_flips": flips,
+            "plan_sf01": sig_small,
+            "plan_sf1": sig_big,
+        }
+        print(
+            f"{name}: {t_small:.2f}s -> {t_big:.2f}s "
+            f"(x{t_big / t_small:.1f}) flips={flips or 'none'}",
+            flush=True,
+        )
+
+    artifact = {
+        "mult": 10,
+        "sf1_dir": args.sf1,
+        "queries": report,
+        "max_ratio": max(r["ratio"] for r in report.values()),
+        "total_sec_sf1": round(sum(r["sec_sf1"] for r in report.values()), 2),
+    }
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=2)
+    print(json.dumps({"metric": "scale_check_max_ratio",
+                      "value": artifact["max_ratio"],
+                      "unit": "x", "queries": len(report)}))
+
+
+if __name__ == "__main__":
+    main()

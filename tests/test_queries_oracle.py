@@ -27,7 +27,15 @@ def test_primary_registry_is_exactly_the_gate_window():
     assert len(QUERIES) == 50
 
 
-def test_every_query_runs_and_is_nonempty(spark, sf_dir):
-    for name, q in ALL_QUERIES.items():
-        df = q.spark(spark, sf_dir)
-        assert df.count() > 0, f"{name} returned no rows at {sf_dir}"
+# Queries with no SQL oracle (vectorized float twins etc.) don't run
+# in the parametrized oracle test above — give them a rows-land check
+# here.  Oracled queries are already executed (and row-counted) by
+# assert_matches_oracle, so re-running all 80+ of them — including the
+# streaming replays — would only duplicate coverage.
+NO_ORACLE = [n for n, q in ALL_QUERIES.items() if q.oracle is None]
+
+
+@pytest.mark.parametrize("name", NO_ORACLE)
+def test_no_oracle_query_runs_and_is_nonempty(spark, sf_dir, name):
+    df = ALL_QUERIES[name].spark(spark, sf_dir)
+    assert df.count() > 0, f"{name} returned no rows at {sf_dir}"

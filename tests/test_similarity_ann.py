@@ -82,3 +82,34 @@ def test_pq_adc_recall_against_exact_l2(spark, sf_dir):
     # not parity — reranking over full vectors is the production
     # second stage.
     assert total and hits / total > 0.05, f"ADC recall {hits/total:.2f}"
+
+
+def _id_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return out
+
+
+def test_vectorized_twins_agree_with_oracle_exact_paths(spark, sf_dir):
+    """The BLAS/mapInPandas production twins must reproduce the
+    oracle-exact paths' result sets: brute-force twin ≥ 0.95 recall vs
+    exact (expected 1.0 — only float rounding at exact ties can
+    differ), IVF twin ≥ 0.9 agreement vs the interpreted-HOF IVF
+    (same index geometry; only list-assignment boundary rounding can
+    differ)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    exact = _id_sets(SIM.cosine_topk(emb))
+    fast = _id_sets(SIM.cosine_topk_fast(emb))
+    assert set(fast) == set(exact)
+    hits = sum(len(exact[q] & fast[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.95, f"cosine fast-twin recall {hits/total:.2f}"
+
+    ivf = _id_sets(SIM.ivf_topk(emb))
+    ivf_fast = _id_sets(SIM.ivf_topk_fast(emb))
+    assert set(ivf_fast) == set(ivf)
+    hits = sum(len(ivf[q] & ivf_fast[q]) for q in ivf)
+    total = sum(len(ivf[q]) for q in ivf)
+    assert hits / total >= 0.9, f"ivf fast-twin agreement {hits/total:.2f}"
