@@ -73,11 +73,15 @@ def plan_signature(df) -> dict[str, int]:
 
 
 def run_one(spark, q, sf_dir: str) -> tuple[float, dict[str, int]]:
-    df = q.spark(spark, sf_dir)
-    sig = plan_signature(df) if not df.isStreaming else {}
+    # Time the WHOLE query call: streaming entries drain their replay
+    # inside q.spark() and return the already-materialized sink table,
+    # so starting the clock after it would miss all their work.
     t0 = time.perf_counter()
+    df = q.spark(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0, sig
+    elapsed = time.perf_counter() - t0
+    sig = plan_signature(df) if not df.isStreaming else {}
+    return elapsed, sig
 
 
 def main() -> None:
@@ -101,6 +105,10 @@ def main() -> None:
     report: dict[str, dict] = {}
     for name in names:
         q = all_queries[name]
+        # warmup at sf0.001 so neither measured run pays first-use
+        # JIT/codegen/Python-worker startup (it lands on whichever run
+        # goes first otherwise, skewing the ratio)
+        run_one(spark, q, "/root/testdata/sf0.001")
         t_small, sig_small = run_one(spark, q, args.baseline)
         t_big, sig_big = run_one(spark, q, args.sf1)
         flips = {

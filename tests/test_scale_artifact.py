@@ -1,0 +1,63 @@
+"""Scale-claim regression: assertions over the BENCH_sf1.json artifact
+written by scripts/scale_check.py (sf0.1 vs generated-sf1 = 10× data).
+
+Skips when the artifact hasn't been produced in this checkout — the
+artifact is committed, so CI normally sees it; regenerate with:
+    python scripts/gen_scale.py && python scripts/scale_check.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+ARTIFACT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_sf1.json")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(ARTIFACT), reason="BENCH_sf1.json not generated"
+)
+
+
+@pytest.fixture(scope="module")
+def artifact():
+    with open(ARTIFACT) as f:
+        return json.load(f)
+
+
+def test_no_super_linear_blowup(artifact):
+    # 10× data; near-linear plus fixed overheads should land well under
+    # 20× — an accidental quadratic candidate join would show ~100×.
+    for name, r in artifact["queries"].items():
+        assert r["ratio"] is not None, name
+        assert r["ratio"] < 20, f"{name} grew {r['ratio']}× on 10× data"
+
+
+def test_no_broadcast_join_degrades_to_sort_merge(artifact):
+    # A broadcast join whose side silently stopped being broadcast-able
+    # at 10× would flip to SortMergeJoin — the claim "dim sides stay
+    # bounded" must survive scale-up.  (AQE flipping SMJ→broadcast is
+    # fine and not flagged here.)
+    for name, r in artifact["queries"].items():
+        flips = r.get("join_flips", {})
+        bhj = flips.get("BroadcastHashJoin")
+        smj = flips.get("SortMergeJoin")
+        lost_broadcast = bhj is not None and bhj[1] < bhj[0]
+        gained_smj = smj is not None and smj[1] > smj[0]
+        assert not (lost_broadcast and gained_smj), (
+            f"{name}: broadcast join degraded to sort-merge at sf1: {flips}"
+        )
+
+
+def test_artifact_covers_the_heavy_families(artifact):
+    qs = set(artifact["queries"])
+    for required in (
+        "ivf_ann_topk",            # ANN interpreted
+        "ivf_ann_topk_fast",       # ANN vectorized twin
+        "lsh_candidate_pairs",     # minhash/LSH dedup chain
+        "streaming_windowed_count",  # streaming state
+        "pricing_summary",         # scan-heavy agg
+        "multi_join_revenue",      # multi-way join
+    ):
+        assert required in qs, f"scale check must cover {required}"
