@@ -376,6 +376,129 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- iterative BPE: k merge rounds ----------------------------------------
+
+_BPE_ROUNDS = 8
+
+
+def _bpe_round_ctes(rounds: int) -> str:
+    """Unrolled-CTE DuckDB twin of the Spark merge loop: round r counts
+    pairs over w{r}, b{r} picks the max (cnt DESC, pair ASC), w{r+1}
+    applies the merge with the same double-space replace."""
+    parts = []
+    for r in range(rounds):
+        parts.append(f"""
+    p{r} AS (
+        SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i+1])) AS pair,
+                   n
+            FROM (SELECT string_split(trim(s), '  ') AS toks, n FROM w{r})
+        ) GROUP BY pair
+    ),
+    b{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
+    w{r + 1} AS (
+        SELECT replace(s,
+                       ' ' || replace((SELECT pair FROM b{r}), ' ', '  ') || ' ',
+                       ' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' ') AS s,
+               n
+        FROM w{r}
+    )""")
+    return ",".join(parts)
+
+
+_BPE_ORACLE = f"""
+    WITH words AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents
+    ),
+    freq AS (SELECT word, count(*) AS n FROM words GROUP BY word),
+    w0 AS (
+        SELECT '  ' || array_to_string(regexp_extract_all(word, '.'), '  ')
+               || '  ' AS s,
+               n
+        FROM freq
+    ),{_bpe_round_ctes(_BPE_ROUNDS)}
+    SELECT * FROM (
+        {" UNION ALL ".join(f"SELECT {r + 1} AS round, pair, cnt FROM b{r}" for r in range(_BPE_ROUNDS))}
+    ) ORDER BY round
+"""
+
+
+@register_extra(
+    "bpe_merges",
+    _BPE_ORACLE,
+    doc=f"Iterative BPE vocabulary training, {_BPE_ROUNDS} merge rounds "
+    "(extends bpe_pair_counts' single scoring round to the real "
+    "training loop).  The corpus collapses to (word, freq) ONCE; each "
+    "round counts adjacent-symbol pairs over the vocabulary, collects "
+    "exactly one row (the winning pair — the same O(1)-per-iteration "
+    "driver round-trip as graph.py's convergence checks), and applies "
+    "the merge as a single string replace.  Words are represented as "
+    "double-space-joined symbol strings so the engines' shared "
+    "non-overlapping left-to-right replace() IS the greedy BPE merge "
+    "(each token gap donates one space to each adjacent match, so "
+    "consecutive pairs merge in one pass — verified identical in "
+    "Spark, DuckDB, and CPython).  Per-round state is localCheckpointed "
+    "|vocab|-sized, never the corpus; at 100 TB this is the standard "
+    "wordpiece-training shape.",
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = freq.select(
+        F.concat(
+            F.lit("  "), F.array_join(F.split("word", ""), "  "), F.lit("  ")
+        ).alias("s"),
+        "n",
+    ).localCheckpoint()
+
+    merges: list[tuple[int, str, int]] = []
+    for r in range(_BPE_ROUNDS):
+        # Spark's sequence(1, 0) is DESCENDING, not empty (unlike
+        # DuckDB's range) — fully-merged single-symbol words must be
+        # filtered out before the pair fan-out.
+        pairs = w.where(
+            F.size(F.split(F.trim(F.col("s")), "  ")) >= 2
+        ).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(trim(s), '  ')) - 1), "
+                    "i -> concat(element_at(split(trim(s), '  '), i), ' ', "
+                    "element_at(split(trim(s), '  '), i + 1)))"
+                )
+            ).alias("pair"),
+            "n",
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, cnt = top[0]["pair"], int(top[0]["cnt"])
+        merges.append((r + 1, pair, cnt))
+        pat = " " + pair.replace(" ", "  ") + " "
+        rep = " " + pair.replace(" ", "") + " "
+        w = w.select(
+            F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"), "n"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "round int, pair string, cnt bigint"
+    )
+
+
 # --- model-based quality filtering: integer linear classifier -------------
 
 # Offline-fitted weights in integer micro-units.  Integer dot product
