@@ -1,0 +1,201 @@
+"""Distributed Lloyd's k-means over the embeddings table, integer-
+quantized for exact cross-engine reproducibility — the trained
+replacement for `similarity.CENTROID_IDS`' fixed-corpus-row IVF index
+(VERDICT round-2 action #5).
+
+Why integers: a float k-means is not hash-comparable across engines
+(mean summation order).  Quantizing components to micro-units
+(floor(x·1e6) + OFFSET, all positive so floor-div == trunc-div in
+every engine) makes each iteration exact: distances are integer sums
+of squares (order-independent), new centroids are integer
+floor-divided sums.  The DuckDB twin unrolls the same iterations as
+CTEs and reproduces every centroid bit-for-bit.
+
+Scale shape (the classic broadcast-model loop, like graph.py):
+- centroids live on the driver between iterations (K×dim ints — tiny)
+  and ship as literals into the assignment expression; the corpus is
+  scanned once per iteration with NO shuffle for assignment;
+- the only wide op per iteration is the (cid, dim) partial+final sum
+  — Catalyst map-side-combines it, so the shuffle is O(K·dim·
+  partitions), independent of corpus size;
+- the per-iteration driver round-trip is K·dim integers, the same
+  O(1)-per-iteration contract as graph.py's convergence scalars.
+
+Overflow headroom: |q| ≤ ~3.2e6 (micro-units + offset); squared diffs
+× 64 dims ≈ 1e15 ≪ 2^63; mean sums ≈ 3e6 × |corpus|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_repartition_watermark_example_spark.operators.similarity import CENTROID_IDS
+
+SCALE = 1_000_000
+OFFSET = 2_097_152  # 2^21 > max |quantized component|; keeps values positive
+ITERS = 3
+DIM = 64
+
+
+def quantized(emb: DataFrame) -> DataFrame:
+    """(vec_id, q: array<bigint>) — micro-unit + offset encoding."""
+    return emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: (
+                F.floor(x.cast("double") * F.lit(float(SCALE))).cast("bigint")
+                + F.lit(OFFSET)
+            ),
+        ).alias("q"),
+    )
+
+
+def _dist_sq(vec_col, cv: list[int]):
+    """Integer squared L2 — order-independent, so exact under any
+    execution order."""
+    return F.aggregate(
+        F.zip_with(
+            vec_col,
+            F.array(*[F.lit(int(x)).cast("bigint") for x in cv]),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_col(vec_col, cents: list[tuple[int, list[int]]]):
+    """Nearest-centroid id (dist asc, centroid_id asc tiebreak) as a
+    scan-side expression over literal centroids — no shuffle."""
+    ranked = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    _dist_sq(vec_col, cv).alias("d"),
+                    F.lit(int(cid)).cast("bigint").alias("cid"),
+                )
+                for cid, cv in cents
+            ]
+        )
+    )
+    return F.element_at(ranked, 1).getField("cid")
+
+
+def initial_centroids(emb: DataFrame) -> list[tuple[int, list[int]]]:
+    """Deterministic seeding: the same fixed corpus rows the static IVF
+    index uses (similarity.CENTROID_IDS), quantized."""
+    rows = (
+        quantized(emb)
+        .where(F.col("vec_id").isin(CENTROID_IDS))
+        .select("vec_id", "q")
+        .collect()
+    )
+    return sorted((int(r["vec_id"]), [int(x) for x in r["q"]]) for r in rows)
+
+
+def train(emb: DataFrame, iters: int = ITERS) -> list[tuple[int, list[int]]]:
+    """Lloyd's iterations; returns the final quantized centroids as
+    [(centroid_id, [int]*dim)] keyed by the seed row ids."""
+    v = quantized(emb)
+    cents = initial_centroids(emb)
+    for _ in range(iters):
+        assigned = v.select(assign_col(F.col("q"), cents).alias("cid"), "q")
+        sums = (
+            assigned.select("cid", F.posexplode("q").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cid: dict[int, list[int]] = {}
+        for r in sums:
+            by_cid.setdefault(int(r["cid"]), [0] * DIM)[int(r["pos"])] = int(
+                r["s"]
+            ) // int(r["n"])
+        # a centroid that lost every member keeps its previous position
+        prev = dict(cents)
+        cents = sorted(
+            (cid, by_cid.get(cid, prev[cid])) for cid, _ in cents
+        )
+    return cents
+
+
+def centroids_df(emb: DataFrame, iters: int = ITERS) -> DataFrame:
+    """Trained centroids exploded to (centroid_id, dim, val_q) — dim is
+    1-based, val_q has the offset removed.  Integer rows, exactly
+    reproducible by the unrolled-CTE SQL twin."""
+    cents = train(emb, iters)
+    rows = [
+        (cid, d + 1, int(val) - OFFSET)
+        for cid, cv in cents
+        for d, val in enumerate(cv)
+    ]
+    return emb.sparkSession.createDataFrame(
+        rows, "centroid_id bigint, dim bigint, val_q bigint"
+    )
+
+
+def ivf_trained_topk(
+    emb: DataFrame,
+    num_queries: int = 10,
+    k: int = 5,
+    nprobe: int = 2,
+    iters: int = ITERS,
+) -> DataFrame:
+    """IVF search over lists from the TRAINED centroids (vs ivf_topk's
+    fixed-row index): corpus assignment is a scan-side literal-centroid
+    expression, each query probes its nprobe nearest lists, candidates
+    come from a broadcast equi-join on list id, and scoring is integer
+    squared L2 in micro-units — every value exact across engines."""
+    cents = train(emb, iters)
+    v = quantized(emb)
+
+    def ranked(vec_col):
+        return F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        _dist_sq(vec_col, cv).alias("d"),
+                        F.lit(int(cid)).cast("bigint").alias("cid"),
+                    )
+                    for cid, cv in cents
+                ]
+            )
+        )
+
+    corpus = v.where(F.col("vec_id") >= num_queries).select(
+        "vec_id",
+        "q",
+        F.element_at(ranked(F.col("q")), 1).getField("cid").alias("list_id"),
+    )
+    q = (
+        v.where(F.col("vec_id") < num_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qq"),
+            F.explode(F.slice(ranked(F.col("q")), 1, nprobe)).alias("probe"),
+        )
+        .select("query_id", "qq", F.col("probe.cid").alias("list_id"))
+    )
+    scored = corpus.join(F.broadcast(q), "list_id").select(
+        "query_id",
+        "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("qq"), F.col("q"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("dist_q"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_q").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "dist_q", F.col("rank").cast("long").alias("rank")
+        )
+    )

@@ -370,6 +370,124 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_df(SIM.ivf_topk(emb), SIM.cosine_topk(emb), "ivf")
 
 
+# --- trained k-means IVF (integer-exact Lloyd's) -------------------------
+
+from flink_repartition_watermark_example_spark.operators import kmeans as KM  # noqa: E402
+
+
+def _km_dist_sql(a: str, b: str) -> str:
+    """Integer squared-L2 fold — lockstep with kmeans._dist_sq (integer
+    sums are order-independent, so fold order is irrelevant here)."""
+    return (
+        f"list_reduce(list_transform(range(1, {KM.DIM} + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+
+
+def _kmeans_ctes(iters: int) -> str:
+    """qv (quantized vectors), c0 (seed centroids), then per iteration:
+    a{i} assignment (dist asc, cid asc) and c{i+1} floor-div means —
+    emptied clusters keep their previous position, like the Spark
+    loop."""
+    parts = [
+        f"""qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(x::DOUBLE * {KM.SCALE}) AS BIGINT)
+                                 + {KM.OFFSET}) AS q
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, q AS cv FROM qv
+           WHERE vec_id IN ({_centroid_id_list()}))"""
+    ]
+    for i in range(iters):
+        parts.append(f"""a{i} AS (
+      SELECT vec_id, q, cid FROM (
+        SELECT v.vec_id, v.q, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_km_dist_sql('v.q', 'c.cv')} ASC,
+                                           c.cid ASC) AS rn
+        FROM qv v CROSS JOIN c{i} c
+      ) WHERE rn = 1
+    ),
+    c{i + 1} AS (
+      SELECT c.cid, COALESCE(m.cv, c.cv) AS cv
+      FROM c{i} c LEFT JOIN (
+        SELECT cid, list(val ORDER BY dim) AS cv FROM (
+          SELECT a.cid, d.dim,
+                 CAST(sum(a.q[d.dim]) // count(*) AS BIGINT) AS val
+          FROM a{i} a CROSS JOIN range(1, {KM.DIM} + 1) d(dim)
+          GROUP BY a.cid, d.dim
+        ) GROUP BY cid
+      ) m ON m.cid = c.cid
+    )""")
+    return ",\n    ".join(parts)
+
+
+@register_extra(
+    "kmeans_centroids",
+    f"""
+    WITH {_kmeans_ctes(KM.ITERS)}
+    SELECT cid AS centroid_id, d.dim, cv[d.dim] - {KM.OFFSET} AS val_q
+    FROM c{KM.ITERS} CROSS JOIN range(1, {KM.DIM} + 1) d(dim)
+    """,
+    doc=f"Distributed Lloyd's k-means over the embeddings ({KM.ITERS} "
+    "iterations, 16 clusters seeded from the static IVF rows), "
+    "integer-quantized so every centroid is bit-exact across engines "
+    "— the trained replacement for the fixed-row IVF index. Per "
+    "iteration: scan-side literal-centroid assignment (no shuffle), "
+    "one map-side-combined (cid,dim) sum shuffle, a K×dim-int driver "
+    "round-trip. Exploded to (centroid_id, dim, val_q) rows.",
+)
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return KM.centroids_df(load_table(spark, sf_dir, "embeddings"))
+
+
+@register_extra(
+    "ivf_trained_topk",
+    f"""
+    WITH {_kmeans_ctes(KM.ITERS)},
+    corpus AS (
+      SELECT vec_id, q, cid AS list_id FROM (
+        SELECT v.vec_id, v.q, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_km_dist_sql('v.q', 'c.cv')} ASC,
+                                           c.cid ASC) AS rn
+        FROM qv v CROSS JOIN c{KM.ITERS} c
+        WHERE v.vec_id >= 10
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qq, cid AS list_id FROM (
+        SELECT v.vec_id AS query_id, v.q AS qq, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_km_dist_sql('v.q', 'c.cv')} ASC,
+                                           c.cid ASC) AS rn
+        FROM qv v CROSS JOIN c{KM.ITERS} c
+        WHERE v.vec_id < 10
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, co.vec_id, {_km_dist_sql('p.qq', 'co.q')} AS dist_q
+      FROM probes p JOIN corpus co ON co.list_id = p.list_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dist_q ASC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, dist_q, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="IVF top-5 over lists from the TRAINED k-means centroids "
+    "(ivf_ann_topk uses the untrained seed rows): integer micro-unit "
+    "squared-L2 end to end, so training, assignment, probing, and "
+    "ranking are all exactly oracle-comparable.",
+)
+def q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return KM.ivf_trained_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 @register_extra(
     "ann_recall_pq",
     _recall_sql(EXTRA_QUERIES["pq_adc_topk"].oracle, _EXACT_ORACLE, "pq"),

@@ -1,0 +1,46 @@
+"""Training contracts for the integer-quantized distributed k-means
+(operators/kmeans.py); exact oracle parity is covered by the
+parametrized oracle test over kmeans_centroids / ivf_trained_topk."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_repartition_watermark_example_spark.operators import kmeans as KM
+from flink_repartition_watermark_example_spark.sources.tables import load_table
+
+
+def _sse(emb, cents) -> int:
+    """Total within-cluster squared distance (integer, exact)."""
+    v = KM.quantized(emb)
+    best = F.sort_array(
+        F.array(
+            *[
+                F.struct(KM._dist_sq(F.col("q"), cv).alias("d"), F.lit(cid).alias("c"))
+                for cid, cv in cents
+            ]
+        )
+    )
+    return (
+        v.select(F.element_at(best, 1).getField("d").alias("d"))
+        .agg(F.sum("d"))
+        .collect()[0][0]
+    )
+
+
+def test_lloyds_iterations_never_increase_sse(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = KM.initial_centroids(emb)
+    sse_prev = _sse(emb, seed)
+    for it in (1, KM.ITERS):
+        trained = KM.train(emb, iters=it)
+        sse = _sse(emb, trained)
+        assert sse <= sse_prev, f"SSE rose at iter {it}: {sse_prev} -> {sse}"
+        sse_prev = sse
+
+
+def test_trained_ivf_returns_full_topk_per_query(spark, sf_dir):
+    out = KM.ivf_trained_topk(load_table(spark, sf_dir, "embeddings"))
+    per_q = {r["query_id"]: r["n"] for r in out.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert len(per_q) == 10
+    assert all(n == 5 for n in per_q.values())
