@@ -12,6 +12,8 @@ Scale notes baked in:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
@@ -104,6 +106,75 @@ def stream_to_parquet_idempotent(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def cdc_merge_writer(
+    snapshot_path: str,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+):
+    """foreachBatch body materializing a CDC stream as an upserted
+    snapshot — MERGE INTO semantics on plain parquet, exactly-once
+    under restart-replay.
+
+    Each micro-batch applies :func:`operators.cdc.apply_changes`
+    (latest-seq-wins upsert/delete) to the previous snapshot and
+    writes the result as ``v{batch_id}/`` under ``snapshot_path`` —
+    Delta-style versioning from first principles:
+
+    - the base read is always the newest version BELOW the current
+      batch id, so a crash-replayed batch N re-reads the same base it
+      saw the first time and OVERWRITES its own ``v{N}`` (possibly
+      partial) output instead of double-applying;
+    - readers resolve the snapshot as the highest complete version
+      (:func:`read_cdc_snapshot`), so a partial write is never
+      visible — the version directory is the commit point;
+    - old versions are retained for time travel / vacuum policy,
+      exactly the transactional-table-format story.
+
+    Use with ``stream.writeStream.foreachBatch(cdc_merge_writer(...))``.
+    """
+    from flink_repartition_watermark_example_spark.operators.cdc import apply_changes
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        payload = [c for c in batch_df.columns if c not in (seq_col, op_col)]
+        prior = [
+            v for v in _snapshot_versions(snapshot_path) if v < int(batch_id)
+        ]
+        if prior:
+            base = spark.read.parquet(
+                os.path.join(snapshot_path, f"v{max(prior)}")
+            )
+        else:
+            base = spark.createDataFrame([], batch_df.select(*payload).schema)
+        out = apply_changes(base, batch_df, key_cols, seq_col, op_col)
+        out.write.mode("overwrite").parquet(
+            os.path.join(snapshot_path, f"v{int(batch_id)}")
+        )
+
+    return write
+
+
+def _snapshot_versions(snapshot_path: str) -> list[int]:
+    if not os.path.isdir(snapshot_path):
+        return []
+    out = []
+    for name in os.listdir(snapshot_path):
+        if name.startswith("v") and name[1:].isdigit():
+            # only COMMITTED versions count (Spark writes _SUCCESS last)
+            if os.path.exists(os.path.join(snapshot_path, name, "_SUCCESS")):
+                out.append(int(name[1:]))
+    return sorted(out)
+
+
+def read_cdc_snapshot(spark, snapshot_path: str) -> DataFrame:
+    """Current materialized state: the highest committed version."""
+    versions = _snapshot_versions(snapshot_path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {snapshot_path}")
+    return spark.read.parquet(os.path.join(snapshot_path, f"v{versions[-1]}"))
 
 
 def stream_to_memory(df: DataFrame, name: str, checkpoint: str) -> StreamingQuery:

@@ -1,0 +1,129 @@
+"""End-to-end CDC upsert sink: a change stream materialized as a
+MERGE'd snapshot via foreachBatch (sinks.cdc_merge_writer), proven
+exactly-once under restart-replay — VERDICT round-2 action #6.
+
+The contract under test:
+  stream(changes) -> snapshot  ==  batch apply_changes(empty, changes)
+and the snapshot is unchanged by (a) re-running a drained stream from
+its checkpoint and (b) a crash-replayed micro-batch (same batch id
+re-applied)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_repartition_watermark_example_spark.operators.cdc import apply_changes
+from flink_repartition_watermark_example_spark.sinks import (
+    cdc_merge_writer,
+    read_cdc_snapshot,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("val", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+# three change files = three micro-batches (maxFilesPerTrigger=1)
+BATCH_1 = [(1, "a1", "I", 1), (2, "b1", "I", 2), (3, "c1", "I", 3)]
+BATCH_2 = [(2, "b2", "U", 4), (3, None, "D", 5), (4, "d1", "I", 6)]
+BATCH_3 = [(4, "d2", "U", 7), (1, None, "D", 8), (5, "e1", "I", 9)]
+
+
+def _write_change_file(spark, d: str, idx: int, rows) -> None:
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, f"{idx:04d}"))
+
+
+def _drain(spark, src: str, ckpt: str, snap: str) -> None:
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+        .writeStream.outputMode("append")
+        .foreachBatch(cdc_merge_writer(snap, ["k"]))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _state(spark, snap: str) -> set[tuple]:
+    return {
+        (r["k"], r["val"])
+        for r in read_cdc_snapshot(spark, snap).collect()
+    }
+
+
+def _expected(spark, rows) -> set[tuple]:
+    base = spark.createDataFrame([], T.StructType(SCHEMA.fields[:2]))
+    out = apply_changes(base, spark.createDataFrame(rows, SCHEMA), ["k"])
+    return {(r["k"], r["val"]) for r in out.collect()}
+
+
+def test_cdc_stream_merges_to_batch_state_and_survives_restart(
+    spark, tmp_path
+):
+    src = str(tmp_path / "changes")
+    ckpt = str(tmp_path / "ckpt")
+    snap = str(tmp_path / "snapshot")
+    os.makedirs(src)
+
+    # phase 1: two change files, drain
+    _write_change_file(spark, src, 1, BATCH_1)
+    _write_change_file(spark, src, 2, BATCH_2)
+    _drain(spark, src, ckpt, snap)
+    assert _state(spark, snap) == _expected(spark, BATCH_1 + BATCH_2)
+
+    # restart with NO new data: a drained checkpoint must not re-emit
+    before = _state(spark, snap)
+    _drain(spark, src, ckpt, snap)
+    assert _state(spark, snap) == before
+
+    # phase 2: new file arrives, restart from the same checkpoint —
+    # only the new batch is processed, state advances correctly
+    _write_change_file(spark, src, 3, BATCH_3)
+    _drain(spark, src, ckpt, snap)
+    assert _state(spark, snap) == _expected(spark, BATCH_1 + BATCH_2 + BATCH_3)
+
+
+def test_replayed_micro_batch_is_idempotent(spark, tmp_path):
+    """Crash-replay simulation: re-invoking the writer with the same
+    (batch_df, batch_id) — foreachBatch's at-least-once failure mode —
+    must leave the snapshot byte-identical, because the replayed batch
+    re-reads the same base version and overwrites its own v{N}."""
+    snap = str(tmp_path / "snapshot")
+    w = cdc_merge_writer(snap, ["k"])
+
+    w(spark.createDataFrame(BATCH_1, SCHEMA), 0)
+    w(spark.createDataFrame(BATCH_2, SCHEMA), 1)
+    after_once = _state(spark, snap)
+
+    # replay batch 1 (crash between sink write and WAL commit)
+    w(spark.createDataFrame(BATCH_2, SCHEMA), 1)
+    assert _state(spark, snap) == after_once
+
+    # replay must also not have produced a new version
+    from flink_repartition_watermark_example_spark.sinks import _snapshot_versions
+
+    assert _snapshot_versions(snap) == [0, 1]
+
+
+def test_deletes_and_upserts_resolve_latest_seq(spark, tmp_path):
+    snap = str(tmp_path / "snapshot")
+    w = cdc_merge_writer(snap, ["k"])
+    w(spark.createDataFrame(BATCH_1 + BATCH_2 + BATCH_3, SCHEMA), 0)
+    # k1 deleted(seq8), k2->b2, k3 deleted(seq5), k4->d2, k5 inserted
+    assert _state(spark, snap) == {(2, "b2"), (4, "d2"), (5, "e1")}
