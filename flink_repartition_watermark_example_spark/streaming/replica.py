@@ -94,6 +94,70 @@ def windowed_count_stream(
     )
 
 
+def salted_windowed_count_stream(
+    sources: list[DataFrame],
+    ts_col: str = "ts",
+    key_col: str = "url",
+    window_size: str = "1 hour",
+    watermark_delay: str = "0 seconds",
+    salt_buckets: int = 8,
+    salt_from: str = "event_id",
+) -> DataFrame:
+    """Skew-safe twin of :func:`windowed_count_stream`: the same
+    pipeline with the aggregation split into two chained stateful
+    stages (Spark 3.4+ multiple-stateful-operator support).
+
+    A hot key (one url carrying most of the traffic) makes the single
+    ``groupBy(window, key)`` a one-task straggler AND concentrates its
+    state in one store.  Stage 1 groups by (window, key, salt) —
+    ``salt = crc32(event_id) % buckets`` is deterministic, so replays
+    land in the same bucket — spreading the hot key's rows and state
+    across ``salt_buckets`` tasks; stage 2 re-windows the partials
+    (``window(window, size)`` — an identity re-window, no extra
+    latency) and sums the per-salt counts, touching only
+    ``buckets × keys × open-windows`` rows.  This is `scale.salted_agg`
+    under watermarks; both stages evict state in append mode as
+    windows close.
+
+    Emission contract unchanged: each (window, key) row appears exactly
+    once, when the min-of-sources watermark passes the window end —
+    tests assert stream == batch on a hot-key distribution.
+    """
+    from flink_repartition_watermark_example_spark.streaming.eventtime import (
+        ensure_event_time,
+    )
+
+    marked = [
+        ensure_event_time(df, ts_col).withWatermark(ts_col, watermark_delay)
+        for df in sources
+    ]
+    unioned = marked[0]
+    for m in marked[1:]:
+        unioned = unioned.unionByName(m)
+    unioned = unioned.where(
+        F.col(ts_col) < F.lit(_FLUSH_CUTOFF).cast("timestamp")
+    )
+    salted = unioned.withColumn(
+        "__salt",
+        F.pmod(F.crc32(F.col(salt_from).cast("string")), F.lit(salt_buckets)),
+    )
+    partial = salted.groupBy(
+        F.window(F.col(ts_col), window_size), F.col(key_col), F.col("__salt")
+    ).agg(F.count(F.lit(1)).alias("__partial"))
+    return (
+        partial.groupBy(
+            F.window(F.col("window"), window_size), F.col(key_col)
+        )
+        .agg(F.sum("__partial").alias("aggregate"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            F.col(key_col),
+            F.col("aggregate"),
+        )
+    )
+
+
 @dataclass
 class ReplayResult:
     """What the experiment observed, per micro-batch."""
