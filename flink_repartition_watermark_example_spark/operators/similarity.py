@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from flink_repartition_watermark_example_spark.functions.vectors import as_double, cosine, dot
+from flink_repartition_watermark_example_spark.functions.vectors import as_double, cosine, dot, norm
 from flink_repartition_watermark_example_spark.scale import fan_out
 
 EMBED_DIM = 64
@@ -61,15 +61,24 @@ def cosine_topk(
 
     The query side is broadcast — the corpus scan never shuffles; the
     only wide operation is the per-query top-k (TakeOrdered per
-    window partition over k·|Q| rows)."""
+    window partition over k·|Q| rows).
+
+    Parity-preserving perf: both sides carry their norm as a column
+    computed once (identical fold ⇒ identical double), so each scored
+    pair costs one interpreted dot fold instead of three."""
     q = emb.where(F.col("vec_id") < num_queries).select(
         F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
-    )
+    ).withColumn("nqv", norm(F.col("qv")))
     c = fan_out(emb.where(F.col("vec_id") >= num_queries), "vec_id").select(
         "vec_id", as_double("embedding").alias("v")
-    )
+    ).withColumn("nv", norm(F.col("v")))
     scored = c.crossJoin(F.broadcast(q)).select(
-        "query_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cos_sim")
+        "query_id",
+        "vec_id",
+        # dot/(norm(qv)·norm(v)) — operand order identical to cosine()
+        (dot(F.col("qv"), F.col("v")) / (F.col("nqv") * F.col("nv"))).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
@@ -100,8 +109,10 @@ def lsh_ann_topk(
     sublinear in corpus size.  Recall < 1 by construction; the exact
     `cosine_topk` is the correctness baseline."""
     planes = planes or hyperplanes()
-    v = emb.select("vec_id", as_double("embedding").alias("v")).withColumn(
-        "bucket", bucket_col(F.col("v"), planes)
+    v = (
+        emb.select("vec_id", as_double("embedding").alias("v"))
+        .withColumn("bucket", bucket_col(F.col("v"), planes))
+        .withColumn("nv", norm(F.col("v")))
     )
     probes = F.array(
         F.col("bucket"),
@@ -112,12 +123,18 @@ def lsh_ann_topk(
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
+            F.col("nv").alias("nqv"),
             F.explode(probes).alias("probe"),
         )
     )
     c = fan_out(v.where(F.col("vec_id") >= num_queries), "vec_id")
     scored = c.join(F.broadcast(q), F.col("probe") == F.col("bucket")).select(
-        "query_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cos_sim")
+        "query_id",
+        "vec_id",
+        # dot/(norm(qv)·norm(v)) — operand order identical to cosine()
+        (dot(F.col("qv"), F.col("v")) / (F.col("nqv") * F.col("nv"))).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
@@ -184,15 +201,21 @@ def ivf_topk(
     generation stays a broadcast hash join on list id.  Recall < 1 by
     construction; `cosine_topk` is the exact baseline.
 
-    Perf note (measured ~3 s at sf0.1): the 16 assignment cosines run
-    as interpreted higher-order folds, NOT codegen — deliberately.
-    The left-fold summation order is what makes the doubles
-    bit-identical to the DuckDB oracle's list fold; a BLAS/numpy
-    matmul (the production choice behind a Pandas UDF) or an
-    exploded groupBy-sum would reorder the float additions and break
-    value-hash comparability, buying seconds at the price of the
-    correctness gate.  The cost is one scan-side projection and does
-    not grow with query count."""
+    Perf note: the assignment cosines run as interpreted higher-order
+    folds, NOT codegen — deliberately.  The left-fold summation order
+    is what makes the doubles bit-identical to the DuckDB oracle's
+    list fold; a BLAS/numpy matmul (`ivf_topk_fast`, the production
+    twin) reorders the float additions and breaks value-hash
+    comparability.  Two parity-preserving reductions cut the
+    interpreted work from 48 folds per corpus row to 17: each row's
+    norm is computed ONCE and reused across all 16 cosines (identical
+    fold ⇒ identical double), and the centroid norms are left-folded
+    in Python and shipped as literals — IEEE double ops are
+    deterministic, so ``sqrt(0.0 + x₁² + x₂² + …)`` over the same
+    doubles in the same order gives the same bit pattern in CPython,
+    the JVM, and DuckDB."""
+    import math
+
     cents = (
         emb.where(F.col("vec_id").isin(CENTROID_IDS))
         .select("vec_id", as_double("embedding").alias("v"))
@@ -200,34 +223,58 @@ def ivf_topk(
     )
     cents = sorted((r["vec_id"], list(r["v"])) for r in cents)
 
-    def ranked_lists(vec_col):
+    def _py_norm(cv: list[float]) -> float:
+        acc = 0.0
+        for x in cv:
+            acc += x * x
+        return math.sqrt(acc)
+
+    cnorms = {cid: _py_norm(cv) for cid, cv in cents}
+
+    def ranked_lists(vec_col, norm_col):
         # array<struct<s: cosine, nc: -centroid_id>> sorted descending:
         # cosine desc, then centroid_id asc — same order as the oracle's
         # ROW_NUMBER() OVER (ORDER BY cos DESC, centroid_id ASC).
+        # cos = dot / (norm_v · norm_c): same operand order as cosine().
         structs = [
             F.struct(
-                cosine(vec_col, F.array(*[F.lit(x) for x in cv])).alias("s"),
+                (
+                    dot(vec_col, F.array(*[F.lit(x) for x in cv]))
+                    / (norm_col * F.lit(cnorms[cid]))
+                ).alias("s"),
                 F.lit(-cid).cast("long").alias("nc"),
             )
             for cid, cv in cents
         ]
         return F.sort_array(F.array(*structs), False)
 
-    v = emb.select("vec_id", as_double("embedding").alias("v"))
+    v = emb.select("vec_id", as_double("embedding").alias("v")).withColumn(
+        "nv", norm(F.col("v"))
+    )
     corpus = fan_out(v.where(F.col("vec_id") >= num_queries), "vec_id").select(
         "vec_id",
         "v",
-        (-F.element_at(ranked_lists(F.col("v")), 1).getField("nc")).alias("list_id"),
+        "nv",
+        (
+            -F.element_at(ranked_lists(F.col("v"), F.col("nv")), 1).getField("nc")
+        ).alias("list_id"),
     )
     q = v.where(F.col("vec_id") < num_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("nv").alias("nqv"),
         F.explode(
-            F.slice(ranked_lists(F.col("v")), 1, nprobe)
+            F.slice(ranked_lists(F.col("v"), F.col("nv")), 1, nprobe)
         ).alias("probe"),
-    ).select("query_id", "qv", (-F.col("probe.nc")).alias("list_id"))
+    ).select("query_id", "qv", "nqv", (-F.col("probe.nc")).alias("list_id"))
     scored = corpus.join(F.broadcast(q), "list_id").select(
-        "query_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cos_sim")
+        "query_id",
+        "vec_id",
+        # dot/(norm(qv)·norm(v)) with both norms reused — operand order
+        # identical to cosine(qv, v)
+        (dot(F.col("qv"), F.col("v")) / (F.col("nqv") * F.col("nv"))).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()

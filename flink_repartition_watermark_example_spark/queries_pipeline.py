@@ -75,6 +75,69 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "doc_chunks_udtf",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    c AS (SELECT doc_id, len(t) AS n,
+                 {TX.chunk_texts_sql('t')} AS chunks
+          FROM toks)
+    SELECT doc_id,
+           CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS chunk_id,
+           unnest(chunks) AS chunk_text,
+           CAST(least({TX.CHUNK_SIZE},
+                      n - (generate_subscripts(chunks, 1) - 1)
+                          * {TX.CHUNK_STRIDE}) AS BIGINT) AS n_chunk_tokens
+    FROM c
+    """,
+    doc="The doc_chunks operator re-expressed as a Spark 4 Python "
+    "UDTF applied via LATERAL join — the table-function extension "
+    "point made first-class (completing the UDF / grouped-agg UDAF / "
+    "applyInPandas trio). Same whitespace tokenization, window 32 / "
+    "stride 24, same oracle as doc_chunks, so the UDTF row expansion "
+    "is value-checked against the pure-expression twin. The "
+    "expression form remains the 100 TB hot path (UDTFs cross the "
+    "Python boundary per row); this entry is the extensibility "
+    "contract for logic that genuinely can't be expressed as "
+    "columns.",
+)
+def q_doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    size, stride = TX.CHUNK_SIZE, TX.CHUNK_STRIDE
+
+    @udtf(
+        returnType="doc_id bigint, chunk_id bigint, chunk_text string, "
+        "n_chunk_tokens bigint",
+        useArrow=True,  # Arrow-batched transfer → ArrowEvalPythonUDTF
+    )
+    class ChunkUdtf:
+        def eval(self, doc_id, text):
+            import re
+
+            # twin of textfns.tokens: split(trim(text), '\\s+') — a
+            # blank doc yields one empty token, hence one empty chunk
+            toks = re.split(r"\s+", (text or "").strip())
+            n = len(toks)
+            nc = 1 if n <= size else (n - size + stride - 1) // stride + 1
+            for i in range(nc):
+                yield (
+                    doc_id,
+                    i,
+                    " ".join(toks[i * stride : i * stride + size]),
+                    min(size, n - i * stride),
+                )
+
+    spark.udtf.register("doc_chunks_udtf_fn", ChunkUdtf)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__udtf_chunk_src"
+    )
+    return spark.sql(
+        "SELECT c.* FROM __udtf_chunk_src, "
+        "LATERAL doc_chunks_udtf_fn(doc_id, text) c"
+    )
+
+
+@register_extra(
     "repetition_signals",
     f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

@@ -316,3 +316,33 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _drain(sess, spark, name, "append")
     finally:
         shutil.rmtree(replay, ignore_errors=True)
+
+
+def q_streaming_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sessionization operator on Spark 4's
+    transformWithStateInPandas (typed ValueState + explicit event-time
+    timers — the successor stateful extension point to
+    applyInPandasWithState), over the same close-sentinel replay.
+
+    NOT in the query registry: the TWS Python runner needs
+    google.protobuf, absent in this container (streaming/tws.py
+    docstring) — tests/test_tws.py runs the oracle comparison where
+    the dependency exists and asserts the explicit guard where it
+    doesn't, mirroring the Kafka-source gating."""
+    from flink_repartition_watermark_example_spark.streaming.tws import sessionize_tws
+
+    load_table(spark, sf_dir, "events")  # sets the nanosAsLong conf
+    name = "stream_tws_" + uuid.uuid4().hex[:8]
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    replay = _replay_dir(spark, sf_dir, raw_schema)
+    try:
+        stream = _event_ts(
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+        )
+        sess = sessionize_tws(stream, gap="30 minutes", drop_after=_CUTOFF)
+        return _drain(sess, spark, name, "append")
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)

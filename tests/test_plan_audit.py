@@ -29,8 +29,16 @@ BATCH = [n for n in ALL if not n.startswith("streaming_")]
 # - cosine_topk: documented exact-baseline broadcast crossJoin of the
 #   10-row query set (operators/similarity.py);
 # - bm25_search: broadcast of the single-row corpus-stats aggregate
-#   (N, total_dl) onto the posting list.
-NESTED_LOOP_ALLOWED = {"cosine_topk", "bm25_search"}
+#   (N, total_dl) onto the posting list;
+# - ann_recall_*: embed cosine_topk as the exact side of the recall
+#   intersection, inheriting its allowed shape.
+NESTED_LOOP_ALLOWED = {
+    "cosine_topk",
+    "bm25_search",
+    "ann_recall_lsh",
+    "ann_recall_ivf",
+    "ann_recall_pq",
+}
 
 
 @pytest.mark.parametrize("name", BATCH)
