@@ -318,6 +318,45 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(replay, ignore_errors=True)
 
 
+@register_extra(
+    "streaming_dedup_union",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events
+    """,
+    doc="Watermark-scoped streaming exact dedup "
+    "(dropDuplicatesWithinWatermark) proven end-to-end: the input is "
+    "the UNION of two replays of the same event stream — every event "
+    "arrives exactly twice — and the deduped output must equal the "
+    "plain batch table, one row per event_id.  State is evicted as "
+    "the watermark passes (O(keys-per-horizon), not O(all keys ever) "
+    "— the only dedup shape that survives an unbounded stream).",
+)
+def q_streaming_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_repartition_watermark_example_spark.streaming.dedup import dedup_stream
+
+    load_table(spark, sf_dir, "events")  # sets the nanosAsLong conf
+    name = "stream_dd_" + uuid.uuid4().hex[:8]
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    src = os.path.join(sf_dir, "events.parquet")
+    base, glob = (
+        (src, "*.parquet") if os.path.isdir(src) else (sf_dir, "events.parquet")
+    )
+
+    def replay() -> DataFrame:
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", glob)
+            .parquet(base)
+        )
+
+    doubled = replay().unionByName(replay())
+    deduped = dedup_stream(doubled, id_cols=["event_id"], watermark_delay="1 hour")
+    return _drain(
+        deduped.select("event_id", "user_id", "event_type"), spark, name, "append"
+    )
+
+
 def q_streaming_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sessionization operator on Spark 4's
     transformWithStateInPandas (typed ValueState + explicit event-time

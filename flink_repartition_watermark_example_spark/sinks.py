@@ -169,12 +169,37 @@ def _snapshot_versions(snapshot_path: str) -> list[int]:
     return sorted(out)
 
 
-def read_cdc_snapshot(spark, snapshot_path: str) -> DataFrame:
-    """Current materialized state: the highest committed version."""
+def read_cdc_snapshot(spark, snapshot_path: str, version: int | None = None) -> DataFrame:
+    """Materialized state: the highest committed version, or — time
+    travel — the state as of a specific ``version`` (batch id), the
+    same AS OF contract transactional table formats expose."""
     versions = _snapshot_versions(snapshot_path)
     if not versions:
         raise FileNotFoundError(f"no committed snapshot under {snapshot_path}")
-    return spark.read.parquet(os.path.join(snapshot_path, f"v{versions[-1]}"))
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not committed under {snapshot_path}; "
+            f"have {versions}"
+        )
+    return spark.read.parquet(os.path.join(snapshot_path, f"v{version}"))
+
+
+def vacuum_cdc_snapshot(snapshot_path: str, keep_last: int = 2) -> list[int]:
+    """Retention: drop all but the newest ``keep_last`` committed
+    versions (each version is a full snapshot, so older ones are only
+    needed for time travel).  Returns the removed version numbers.
+    Never removes the newest version; ``keep_last < 1`` is rejected."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = _snapshot_versions(snapshot_path)
+    doomed = versions[:-keep_last] if keep_last < len(versions) else []
+    for v in doomed:
+        shutil.rmtree(os.path.join(snapshot_path, f"v{v}"), ignore_errors=True)
+    return doomed
 
 
 def stream_to_memory(df: DataFrame, name: str, checkpoint: str) -> StreamingQuery:

@@ -127,3 +127,31 @@ def test_deletes_and_upserts_resolve_latest_seq(spark, tmp_path):
     w(spark.createDataFrame(BATCH_1 + BATCH_2 + BATCH_3, SCHEMA), 0)
     # k1 deleted(seq8), k2->b2, k3 deleted(seq5), k4->d2, k5 inserted
     assert _state(spark, snap) == {(2, "b2"), (4, "d2"), (5, "e1")}
+
+
+def test_time_travel_and_vacuum(spark, tmp_path):
+    from flink_repartition_watermark_example_spark.sinks import (
+        _snapshot_versions,
+        vacuum_cdc_snapshot,
+    )
+
+    snap = str(tmp_path / "snapshot")
+    w = cdc_merge_writer(snap, ["k"])
+    w(spark.createDataFrame(BATCH_1, SCHEMA), 0)
+    w(spark.createDataFrame(BATCH_2, SCHEMA), 1)
+    w(spark.createDataFrame(BATCH_3, SCHEMA), 2)
+
+    # AS OF version 0: only the inserts
+    at0 = {
+        (r["k"], r["val"])
+        for r in read_cdc_snapshot(spark, snap, version=0).collect()
+    }
+    assert at0 == {(1, "a1"), (2, "b1"), (3, "c1")}
+
+    # vacuum keeps the newest 2; time travel to v0 now fails loudly
+    assert vacuum_cdc_snapshot(snap, keep_last=2) == [0]
+    assert _snapshot_versions(snap) == [1, 2]
+    with pytest.raises(FileNotFoundError):
+        read_cdc_snapshot(spark, snap, version=0)
+    # latest unaffected
+    assert _state(spark, snap) == {(2, "b2"), (4, "d2"), (5, "e1")}
