@@ -232,6 +232,62 @@ def ngram_jaccard_pairs(
 SIMHASH_BITS = 60  # stay inside a positive signed 64-bit int
 
 
+SIMHASH_BANDS = 4  # 4 × 15-bit bands: pigeonhole guarantees any pair
+# with Hamming distance ≤ 3 agrees on at least one band — banded
+# candidate generation has 100% recall at the ≤3 threshold.
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    bands: int = SIMHASH_BANDS,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Near-duplicate pairs by simhash Hamming distance: candidates are
+    pairs agreeing on ≥1 of ``bands`` equal-width bands of the hash
+    (equi-join on (band, key) — never all-pairs), verified by
+    ``bit_count(xor) <= max_hamming``.  With bands > max_hamming the
+    banding is lossless (pigeonhole), so this IS the exact Hamming
+    predicate, computed at hash-join scale; a pair colliding in
+    several bands is emitted once (distinct)."""
+    w = bits // bands
+    sh = simhash(docs, text_col, bits)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * w).bitwiseAND(
+                        F.lit((1 << w) - 1).cast("long")
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
     """60-bit simhash over the distinct token set: bit b of the hash is
     set iff Σ_tokens (token_hash bit b ? +1 : −1) > 0.

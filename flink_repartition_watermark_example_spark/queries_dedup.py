@@ -155,6 +155,48 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash(load_table(spark, sf_dir, "documents"))
 
 
+_SIMHASH_SQL = f"""
+    WITH toks AS (SELECT doc_id, list_distinct({TX.tokens_sql('text')}) AS t
+                  FROM documents),
+    h AS (SELECT doc_id, list_transform(t, x -> {md5_long_sql('x')}) AS hs FROM toks),
+    sh AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, {DD.SIMHASH_BITS}), b ->
+               CASE WHEN list_sum(list_transform(hs, h ->
+                      CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+      FROM h
+    )
+"""
+
+_SIMHASH_W = DD.SIMHASH_BITS // DD.SIMHASH_BANDS
+
+
+@register_extra(
+    "simhash_neardup_pairs",
+    f"""
+    {_SIMHASH_SQL},
+    banded AS (
+      SELECT doc_id, simhash, r.band,
+             (simhash >> (r.band * {_SIMHASH_W})) & {(1 << _SIMHASH_W) - 1} AS key
+      FROM sh CROSS JOIN range(0, {DD.SIMHASH_BANDS}) r(band)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {DD.SIMHASH_MAX_HAMMING}
+    """,
+    doc="Near-dup pairs by simhash Hamming distance ≤ 3: candidates "
+    "from a 4×15-bit band equi-join (pigeonhole makes banding "
+    "lossless at this threshold — bands > max_hamming guarantees a "
+    "shared band), verified by bit_count(xor). The exact Hamming "
+    "predicate at hash-join scale — never an all-pairs product.",
+)
+def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_neardup_pairs(load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "neardup_purged_docs",
     f"""

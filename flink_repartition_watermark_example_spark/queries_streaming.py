@@ -79,10 +79,28 @@ def _cutoff_lit(df: DataFrame):
     return F.lit(_CUTOFF).cast(df.schema["ts"].dataType)
 
 
-def _replay_dir(spark: SparkSession, sf_dir: str, raw_schema) -> str:
+def _replay_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    raw_schema,
+    sentinel_event_types: tuple[str, ...] | None = None,
+) -> str:
     """Stage a file-stream replay dir: the events file plus two close-
     sentinel files written afterwards (the file source orders batches
-    by modification time, so sentinels replay last)."""
+    by modification time, so sentinels replay last).
+
+    ``sentinel_event_types``: by default sentinel rows carry NULL in
+    every column but ts; queries that FILTER on event_type before
+    their watermark node (the two-sided interval joins) would drop
+    such sentinels below EventTimeWatermark — for those, each sentinel
+    file carries one row per listed type so every side's filter keeps
+    its own close signal.  Typed sentinels also carry user_id = -1
+    (non-null, matches no real user): Catalyst infers
+    ``isnotnull(user_id)`` from a join's equi-key on the non-preserved
+    side and pushes it into the scan, which would silently drop an
+    all-NULL sentinel below the watermark node — observed as the
+    purchase-side watermark freezing at its data max while the view
+    side advanced."""
     d = tempfile.mkdtemp(prefix="stream_replay_")
     try:
         src = os.path.join(sf_dir, "events.parquet")
@@ -104,14 +122,29 @@ def _replay_dir(spark: SparkSession, sf_dir: str, raw_schema) -> str:
             now = os.stat(data).st_mtime
             os.utime(data, (now - 60, now - 60))
         for ts_str in _SENTINEL_TIMES:
-            sent = spark.range(1).select(
-                *[
-                    _sentinel_lit(f.dataType, ts_str).alias(f.name)
-                    if f.name == "ts"
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in raw_schema.fields
-                ]
-            )
+
+            def row(event_type: str | None):
+                def col(f):
+                    if f.name == "ts":
+                        return _sentinel_lit(f.dataType, ts_str).alias(f.name)
+                    if f.name == "event_type":
+                        return F.lit(event_type).cast(f.dataType).alias(f.name)
+                    if f.name == "user_id" and event_type is not None:
+                        # non-null join key that matches no real user —
+                        # survives inferred isnotnull pushdown (see doc)
+                        return F.lit(-1).cast(f.dataType).alias(f.name)
+                    return F.lit(None).cast(f.dataType).alias(f.name)
+
+                return spark.range(1).select(
+                    *[col(f) for f in raw_schema.fields]
+                )
+
+            if sentinel_event_types:
+                sent = row(sentinel_event_types[0])
+                for et in sentinel_event_types[1:]:
+                    sent = sent.unionByName(row(et))
+            else:
+                sent = row(None)
             sent.coalesce(1).write.mode("append").parquet(d)
         return d
     except BaseException:
@@ -316,6 +349,65 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _drain(sess, spark, name, "append")
     finally:
         shutil.rmtree(replay, ignore_errors=True)
+
+
+@register_extra(
+    "streaming_interval_join_outer",
+    """
+    SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id
+    FROM events a LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+     AND b.event_type = 'purchase'
+    WHERE a.event_type = 'view'
+    """,
+    doc="LEFT-OUTER stream-stream interval join run THROUGH Structured "
+    "Streaming: every view emits exactly once — with its matching "
+    "purchase, or with NULLs once the purchase-side watermark PROVES "
+    "no match can arrive (watermark-driven finality, not "
+    "absence-at-query-time). Needs typed close sentinels: the "
+    "event-type filters sit below the watermark nodes, so each side's "
+    "sentinel must carry that side's type to survive to the watermark "
+    "collector; sentinel views are excluded from the output by an "
+    "event-time predicate.",
+)
+def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_repartition_watermark_example_spark.streaming.join import (
+        interval_join_left_outer,
+    )
+
+    load_table(spark, sf_dir, "events")  # sets the nanosAsLong conf
+    name = "stream_ijo_" + uuid.uuid4().hex[:8]
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    # One replay dir PER SIDE: two readStreams over one identical path
+    # share file-source bookkeeping, which left one side's watermark
+    # stuck at its data max — separate dirs make the two sources (and
+    # their sentinel-driven watermarks) fully independent.
+    replays = {
+        et: _replay_dir(spark, sf_dir, raw_schema, sentinel_event_types=(et,))
+        for et in ("view", "purchase")
+    }
+    try:
+
+        def side(event_type: str) -> DataFrame:
+            raw = (
+                spark.readStream.schema(raw_schema)
+                .option("pathGlobFilter", "*.parquet")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(replays[event_type])
+            )
+            return _event_ts(raw).where(F.col("event_type") == event_type)
+
+        joined = interval_join_left_outer(
+            side("view"), side("purchase"), keep_view_ts=True
+        )
+        out = joined.where(
+            F.col("view_ts") < F.lit(_CUTOFF).cast("timestamp")
+        ).select("view_id", "purchase_id", "user_id")
+        return _drain(out, spark, name, "append")
+    finally:
+        for d in replays.values():
+            shutil.rmtree(d, ignore_errors=True)
 
 
 @register_extra(

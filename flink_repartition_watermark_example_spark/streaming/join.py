@@ -84,6 +84,7 @@ def interval_join_left_outer(
     *,
     range_hours: int = 6,
     watermark: str = "0 seconds",
+    keep_view_ts: bool = False,
 ) -> DataFrame:
     """Left-outer interval join: every view emits exactly once — with
     its matching purchase, or with nulls once the purchase-side
@@ -114,4 +115,11 @@ def interval_join_left_outer(
             <= F.col("view_ts") + F.expr(f"INTERVAL {range_hours} HOURS")
         ),
         how="leftOuter",
-    ).select("view_id", "purchase_id", "user_id")
+    ).select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        # close-sentinel replays need the event-time column to filter
+        # sentinel views out of the output (queries_streaming)
+        *(["view_ts"] if keep_view_ts else []),
+    )
