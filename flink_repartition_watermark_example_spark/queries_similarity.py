@@ -280,7 +280,8 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "numpy matmul scoring with map-side top-k combine (k rows per "
     "query per batch reach the final window, whatever the corpus "
     "size). No SQL oracle — float order differs from the left-fold "
-    "baseline; checked by exact-agreement test and ann_recall_fast.",
+    "baseline; checked by the exact-agreement test in "
+    "tests/test_similarity_ann.py (recall >= 0.95 vs cosine_topk).",
 )
 def q_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk_fast(load_table(spark, sf_dir, "embeddings"))
@@ -292,8 +293,8 @@ def q_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Vectorized production twin of ivf_ann_topk: same coarse index "
     "geometry (CENTROID_IDS, nprobe, tiebreaks), numpy-matmul "
     "assignment + scoring in mapInPandas. No SQL oracle — checked by "
-    "recall agreement vs the oracle-exact path (ann_recall_fast / "
-    "tests).",
+    "the agreement test vs the oracle-exact ivf_topk "
+    "(tests/test_similarity_ann.py, >= 0.9 set agreement).",
 )
 def q_ivf_ann_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk_fast(load_table(spark, sf_dir, "embeddings"))
