@@ -244,6 +244,7 @@ def simhash_neardup_pairs(
     max_hamming: int = SIMHASH_MAX_HAMMING,
     bands: int = SIMHASH_BANDS,
     bits: int = SIMHASH_BITS,
+    max_bucket_docs: int = MAX_BUCKET_DOCS,
 ) -> DataFrame:
     """Near-duplicate pairs by simhash Hamming distance: candidates are
     pairs agreeing on ≥1 of ``bands`` equal-width bands of the hash
@@ -251,7 +252,15 @@ def simhash_neardup_pairs(
     ``bit_count(xor) <= max_hamming``.  With bands > max_hamming the
     banding is lossless (pigeonhole), so this IS the exact Hamming
     predicate, computed at hash-join scale; a pair colliding in
-    several bands is emitted once (distinct)."""
+    several bands is emitted once (distinct).
+
+    ``max_bucket_docs`` is the same degenerate-bucket cap as the LSH
+    path (MAX_BUCKET_DOCS, mirrored in the oracle): a band value
+    shared by a huge doc population — near-empty docs all simhash to
+    ~0 — would otherwise go quadratic in one bucket.  Pairs inside a
+    dropped bucket can still surface via their other (under-cap)
+    bands; only docs pathologically similar to a whole crowd lose
+    recall, the documented at-scale tradeoff."""
     w = bits // bands
     sh = simhash(docs, text_col, bits)
     banded = sh.select(
@@ -267,6 +276,14 @@ def simhash_neardup_pairs(
                 ]
             )
         ).alias("band", "key"),
+    )
+    from pyspark.sql.window import Window
+
+    bucket = Window.partitionBy("band", "key")
+    banded = (
+        banded.withColumn("__bsz", F.count(F.lit(1)).over(bucket))
+        .where(F.col("__bsz") <= max_bucket_docs)
+        .drop("__bsz")
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (

@@ -176,10 +176,16 @@ _SIMHASH_W = DD.SIMHASH_BITS // DD.SIMHASH_BANDS
     "simhash_neardup_pairs",
     f"""
     {_SIMHASH_SQL},
-    banded AS (
+    banded_all AS (
       SELECT doc_id, simhash, r.band,
              (simhash >> (r.band * {_SIMHASH_W})) & {(1 << _SIMHASH_W) - 1} AS key
       FROM sh CROSS JOIN range(0, {DD.SIMHASH_BANDS}) r(band)
+    ),
+    banded AS (
+      SELECT doc_id, simhash, band, key FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, key) AS bsz
+        FROM banded_all
+      ) WHERE bsz <= {DD.MAX_BUCKET_DOCS}
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
@@ -190,8 +196,11 @@ _SIMHASH_W = DD.SIMHASH_BITS // DD.SIMHASH_BANDS
     doc="Near-dup pairs by simhash Hamming distance ≤ 3: candidates "
     "from a 4×15-bit band equi-join (pigeonhole makes banding "
     "lossless at this threshold — bands > max_hamming guarantees a "
-    "shared band), verified by bit_count(xor). The exact Hamming "
-    "predicate at hash-join scale — never an all-pairs product.",
+    "shared band), verified by bit_count(xor), with the same "
+    "degenerate-bucket cap as the LSH path (near-empty docs all "
+    "simhash to ~0 — an uncapped zero-bucket goes quadratic). The "
+    "exact Hamming predicate at hash-join scale — never an all-pairs "
+    "product.",
 )
 def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_neardup_pairs(load_table(spark, sf_dir, "documents"))

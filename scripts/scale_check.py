@@ -49,12 +49,18 @@ DEFAULT_QUERIES = [
     "neardup_purged_docs",
     "ngram_jaccard_pairs",
     "simhash_docs",
+    "simhash_neardup_pairs",
     "multimodal_fake_decode",
     "pricing_summary",
     "windowed_count",
     "multi_join_revenue",
     "minhash_signatures",
     "cosine_topk_fast",
+    # iterative driver-loop operators: cost tracks |vocab| (BPE) and
+    # corpus×K (k-means), not raw corpus bytes — the artifact records
+    # that their growth stays bounded too
+    "bpe_merges",
+    "kmeans_centroids",
 ]
 
 _NODE_RE = re.compile(r"^\* ([A-Za-z]+[A-Za-z0-9]*)", re.MULTILINE)

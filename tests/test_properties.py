@@ -175,3 +175,69 @@ def test_connected_components_matches_union_find(spark, edges):
         r.v: r.component for r in connected_components(vdf, edf).collect()
     }
     assert got == expect
+
+
+# --- BPE merge-encoding property -----------------------------------------
+# The iterative-BPE oracle (queries_text.bpe_merges) rests on one
+# device: symbols joined by DOUBLE spaces make the engines' shared
+# non-overlapping left-to-right replace() equal the greedy BPE merge.
+# Verify that invariant against a direct reference implementation over
+# adversarial symbol sequences (consecutive/overlapping pairs), in
+# both CPython and DuckDB.
+
+
+def _bpe_merge_reference(syms: list[str], pair: tuple[str, str]) -> list[str]:
+    """Canonical greedy left-to-right non-overlapping BPE merge."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _encode(syms: list[str]) -> str:
+    return "  " + "  ".join(syms) + "  "
+
+
+def _merge_via_replace(s: str, pair: tuple[str, str]) -> str:
+    return s.replace(f" {pair[0]}  {pair[1]} ", f" {pair[0]}{pair[1]} ")
+
+
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "ab", "ba", "aa"]), min_size=1, max_size=12),
+    pair=st.tuples(
+        st.sampled_from(["a", "b", "ab", "ba", "aa"]),
+        st.sampled_from(["a", "b", "ab", "ba", "aa"]),
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_double_space_replace_is_greedy_bpe_merge(syms, pair):
+    merged = _merge_via_replace(_encode(syms), pair)
+    assert merged == _encode(_bpe_merge_reference(syms, pair)), (
+        f"python replace diverged for {syms} merging {pair}"
+    )
+
+
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "aa"]), min_size=1, max_size=8),
+    pair=st.tuples(st.sampled_from(["a", "b", "aa"]), st.sampled_from(["a", "b", "aa"])),
+)
+@settings(max_examples=60, deadline=None)
+def test_duckdb_replace_matches_reference_merge(syms, pair):
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        got = con.execute(
+            "SELECT replace(?, ?, ?)",
+            [_encode(syms), f" {pair[0]}  {pair[1]} ", f" {pair[0]}{pair[1]} "],
+        ).fetchone()[0]
+    finally:
+        con.close()
+    assert got == _encode(_bpe_merge_reference(syms, pair)), (
+        f"duckdb replace diverged for {syms} merging {pair}"
+    )
