@@ -152,9 +152,13 @@ def q_doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM b
     """,
     doc="Gopher-style repetition quality signals: duplicate-bigram "
-    "fraction and most-frequent-token share. Pure per-row column "
-    "algebra over the token arrays; a curation pipeline thresholds "
-    "these to drop boilerplate/spam before dedup.",
+    "fraction and most-frequent-token share. The max-token-count runs "
+    "as an exploded (doc, token) codegen aggregation — the earlier "
+    "array form (array_max over transform(distinct, filter-count)) "
+    "dispatched O(|distinct|·|tokens|) interpreted lambdas per doc, "
+    "quadratic in document length (~80 s at sf1 vs ~6 s for this "
+    "shape). Identical integer counts and the same final double "
+    "division, so the oracle is unchanged.",
 )
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -164,14 +168,31 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0)
         - F.size(F.array_distinct(bg)).cast("double") / F.size(bg).cast("double")
     )
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda x: F.size(F.filter(toks, lambda y: y == x)),
-        )
-    ).cast("double") / F.size(toks).cast("double")
-    return docs.select(
-        "doc_id", dup.alias("dup_2gram_ratio"), top.alias("top_token_ratio")
+    from flink_repartition_watermark_example_spark.scale import fan_out
+
+    # the bigram/distinct lambdas are interpreted per-row work — raise
+    # the (often single-split) scan's parallelism first, like the
+    # dedup family does
+    base = fan_out(docs, "doc_id").select(
+        "doc_id", toks.alias("t"), dup.alias("dup_2gram_ratio")
+    )
+    # explode_outer + null-filter (see operators/dedup.py on
+    # InferFiltersFromGenerate) — per-(doc, token) counts, then the max
+    # count per doc: two codegen hash aggregations, linear in tokens
+    per_tok = (
+        base.select("doc_id", F.explode_outer("t").alias("tok"))
+        .where(F.col("tok").isNotNull())
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    return base.join(per_tok, "doc_id").select(
+        "doc_id",
+        "dup_2gram_ratio",
+        (F.col("top_c").cast("double") / F.size(F.col("t")).cast("double")).alias(
+            "top_token_ratio"
+        ),
     )
 
 

@@ -85,6 +85,22 @@ def scale_table(spark, src_dir: str, out_dir: str, name: str, mult: int) -> int:
         rep = rep.withColumn(
             col, (F.col(col) + F.col("__r").cast("long") * F.lit(stride)).cast("long")
         )
+    if name == "customer":
+        # keep names consistent with shifted keys — duplicated names
+        # across replicas would inflate fuzzy-linkage blocks 10×
+        rep = rep.withColumn(
+            "c_name",
+            F.concat(
+                F.lit("Customer#"), F.lpad(F.col("c_custkey").cast("string"), 9, "0")
+            ),
+        )
+    if name == "supplier":
+        rep = rep.withColumn(
+            "s_name",
+            F.concat(
+                F.lit("Supplier#"), F.lpad(F.col("s_suppkey").cast("string"), 9, "0")
+            ),
+        )
     if name == "documents":
         # new shingles per replica → near-dup structure stays sparse
         rep = rep.withColumn(

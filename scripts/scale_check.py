@@ -61,6 +61,10 @@ DEFAULT_QUERIES = [
     # that their growth stays bounded too
     "bpe_merges",
     "kmeans_centroids",
+    # both found quadratic/serial at sf1 by the full sweep and fixed:
+    # entropy-window blocking + cap; exploded agg + fan_out
+    "fuzzy_name_pairs",
+    "repetition_signals",
 ]
 
 _NODE_RE = re.compile(r"^\* ([A-Za-z]+[A-Za-z0-9]*)", re.MULTILINE)
