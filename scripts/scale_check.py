@@ -65,6 +65,11 @@ DEFAULT_QUERIES = [
     # entropy-window blocking + cap; exploded agg + fan_out
     "fuzzy_name_pairs",
     "repetition_signals",
+    # hashing-family scale lever: 8-plane variant of the 16-bucket
+    # primary (bucket count must grow with the corpus)
+    "embedding_neardup_pairs_8p",
+    # iterative connected components over the LSH candidate graph
+    "neardup_clusters",
 ]
 
 _NODE_RE = re.compile(r"^\* ([A-Za-z]+[A-Za-z0-9]*)", re.MULTILINE)
