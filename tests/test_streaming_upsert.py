@@ -155,3 +155,29 @@ def test_time_travel_and_vacuum(spark, tmp_path):
         read_cdc_snapshot(spark, snap, version=0)
     # latest unaffected
     assert _state(spark, snap) == {(2, "b2"), (4, "d2"), (5, "e1")}
+
+
+def test_partial_version_without_success_marker_is_invisible(spark, tmp_path):
+    """Crash DURING a version write: the v{N} directory exists but has
+    no _SUCCESS marker — readers must serve the previous committed
+    version, and the replayed batch must repair the partial write."""
+    import shutil
+
+    from flink_repartition_watermark_example_spark.sinks import _snapshot_versions
+
+    snap = str(tmp_path / "snapshot")
+    w = cdc_merge_writer(snap, ["k"])
+    w(spark.createDataFrame(BATCH_1, SCHEMA), 0)
+    committed = _state(spark, snap)
+
+    # simulate the crash: batch 1 wrote files but died before commit
+    w(spark.createDataFrame(BATCH_2, SCHEMA), 1)
+    os.remove(os.path.join(snap, "v1", "_SUCCESS"))
+    assert _snapshot_versions(snap) == [0]
+    assert _state(spark, snap) == committed  # partial write invisible
+
+    # recovery replays batch 1: overwrites the partial v1, commits it
+    w(spark.createDataFrame(BATCH_2, SCHEMA), 1)
+    assert _snapshot_versions(snap) == [0, 1]
+    assert _state(spark, snap) == _expected(spark, BATCH_1 + BATCH_2)
+    shutil.rmtree(snap)
