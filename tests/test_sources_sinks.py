@@ -109,3 +109,61 @@ def test_stream_to_parquet_idempotent_drains_stream(spark, sf_dir, tmp_path):
     assert "__batch_id" in back.columns
     assert back.count() == ev.count()
     assert back.select("event_id").distinct().count() == ev.count()
+
+
+# --- batch format matrix (sources/formats.py) -----------------------------
+
+
+def test_format_round_trips_preserve_values(spark, sf_dir, tmp_path):
+    """lineitem sample must round-trip bit-exactly through every
+    natively-supported structured format (columnar AND interchange)."""
+    from flink_repartition_watermark_example_spark.sources.formats import (
+        read_table_fmt,
+        write_table,
+    )
+    from flink_repartition_watermark_example_spark.sources.tables import load_table
+
+    src = load_table(spark, sf_dir, "lineitem").limit(500)
+    want = sorted(map(tuple, src.collect()))
+    schema = src.schema
+    for fmt in ("parquet", "orc", "csv", "json"):
+        path = str(tmp_path / fmt)
+        write_table(src, path, fmt=fmt)
+        got = sorted(
+            map(tuple, read_table_fmt(spark, path, fmt=fmt, schema=schema).collect())
+        )
+        assert got == want, f"{fmt} round-trip diverged"
+
+
+def test_orc_scan_gets_pushdown(spark, sf_dir, tmp_path):
+    """ORC is a first-class columnar source: filters must reach the
+    scan and the schema must prune, same as parquet."""
+    from pyspark.sql import functions as F
+
+    from flink_repartition_watermark_example_spark.sources.formats import (
+        read_table_fmt,
+        write_table,
+    )
+    from flink_repartition_watermark_example_spark.sources.tables import load_table
+
+    path = str(tmp_path / "orc")
+    write_table(load_table(spark, sf_dir, "lineitem"), path, fmt="orc")
+    df = (
+        read_table_fmt(spark, path, fmt="orc")
+        .where(F.col("l_returnflag") == "N")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_returnflag" in plan
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_avro_absence_raises_explicit_guard(spark, tmp_path):
+    import pytest as _pytest
+
+    from flink_repartition_watermark_example_spark.sources.formats import AVRO_AVAILABLE, write_table
+
+    if AVRO_AVAILABLE:
+        _pytest.skip("avro module present")
+    with _pytest.raises(RuntimeError, match="spark-avro"):
+        write_table(spark.range(1), str(tmp_path / "a"), fmt="avro")
