@@ -11,6 +11,7 @@ so each stage is DuckDB-oracle-checkable.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -58,7 +59,11 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = SHINGLE_N) ->
 
 
 def minhash_sig_array(
-    docs: DataFrame, text_col: str = "text", num_perms: int = NUM_PERMS
+    docs: DataFrame | None = None,
+    text_col: str = "text",
+    num_perms: int = NUM_PERMS,
+    *,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document minhash signature as one array<long> column
     (doc_id, sig) — the compact carrier the LSH pipeline computes ONCE
@@ -74,9 +79,15 @@ def minhash_sig_array(
     with map-side partial mins, so the shuffle carries only
     #docs × #perms values at any scale.  Docs with no shingles
     (< n tokens) produce no rows and drop out.
+
+    ``shingles`` lets callers that already computed (and typically
+    persisted) the ``doc_shingles`` relation share it instead of
+    re-deriving it — Catalyst does not reuse common subplans across
+    DataFrame branches, so without sharing the interpreted shingle
+    lambda is the repo's single most re-executed stage.
     """
     a, b = perm_coeffs(num_perms)
-    sh = doc_shingles(fan_out(docs, "doc_id"), text_col)
+    sh = shingles if shingles is not None else doc_shingles(fan_out(docs, "doc_id"), text_col)
     # explode_OUTER + null-filter, not plain explode: from a bare
     # explode Catalyst's InferFiltersFromGenerate derives
     # size(shingles)>0 and pushes it below the repartition into the
@@ -135,10 +146,44 @@ def lsh_bands(sig_arr: DataFrame, rows_per_band: int = ROWS_PER_BAND) -> DataFra
     )
 
 
+def band_pair_ids(
+    sigs: DataFrame, max_bucket_docs: int = MAX_BUCKET_DOCS
+) -> DataFrame:
+    """Distinct candidate pair ids (doc_a, doc_b) from a signature
+    relation: band the signatures, drop degenerate buckets, self-join
+    on (band, band_hash).  The shared candidate-generation core of the
+    LSH family — callers pass a *persisted* ``sigs`` so the signature
+    pipeline executes once however many times the relation is scanned."""
+    from pyspark.sql.window import Window
+
+    bands = lsh_bands(sigs)
+    bucket = Window.partitionBy("band", "band_hash")
+    bands = (
+        bands.withColumn("__bsz", F.count(F.lit(1)).over(bucket))
+        .where(F.col("__bsz") <= max_bucket_docs)
+        .drop("__bsz")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     text_col: str = "text",
     max_bucket_docs: int = MAX_BUCKET_DOCS,
+    *,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing at least one LSH band
     bucket, with their estimated jaccard (fraction of equal minhash
@@ -151,30 +196,17 @@ def lsh_candidate_pairs(
     MAX_BUCKET_DOCS) so a degenerate bucket cannot go quadratic; the
     bucket-size count rides the same hash shuffle the join needs
     anyway, so the cap costs no extra exchange.
-    """
-    from pyspark.sql.window import Window
 
-    sigs = minhash_sig_array(docs, text_col)
-    bands = lsh_bands(sigs)
-    bucket = Window.partitionBy("band", "band_hash")
-    bands = (
-        bands.withColumn("__bsz", F.count(F.lit(1)).over(bucket))
-        .where(F.col("__bsz") <= max_bucket_docs)
-        .drop("__bsz")
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    The signature relation feeds three plan branches (banding + both
+    est_jaccard join sides); Catalyst does not share subplans across
+    branches, so it is persisted here (or passed pre-persisted via
+    ``sigs``) and the shingle→minhash stage runs exactly once.
+    """
+    if sigs is None:
+        sigs = minhash_sig_array(docs, text_col).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    pairs = band_pair_ids(sigs, max_bucket_docs)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     agree = F.size(
@@ -203,13 +235,29 @@ def ngram_jaccard_pairs(
 
     LSH proposes (subquadratic), exact set-jaccard over the shingle
     arrays disposes; only pairs ≥ threshold survive.
+
+    The whole chain hangs off ONE persisted shingle relation: the
+    signature pipeline derives from it and the two verify join sides
+    scan it from cache, so the interpreted shingle lambda — the
+    expensive stage — executes once instead of three times (it used to
+    be re-derived for candidates and for each verify side; at sf1 that
+    was 3× the query's cost).  est_jaccard is skipped entirely for the
+    candidate ids: the exact jaccard verdict supersedes it, and the
+    sig-array joins that computed it would be dead weight here.
     """
-    cand = lsh_candidate_pairs(docs, text_col).select("doc_a", "doc_b")
     # fan_out: documents.parquet is typically few splits relative to
     # cores, and the shingle lambda is the expensive projection — hash
     # repartition the cheap (doc_id, text) rows first so it computes
     # at full width instead of per-scan-split.
-    sh = doc_shingles(fan_out(docs, "doc_id"), text_col)
+    sh = doc_shingles(fan_out(docs, "doc_id"), text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # sigs persisted too: the band self-join scans its input twice, and
+    # each scan would re-run the md5 + 16-min aggregation over the
+    # cached shingles.  The signature relation is docs × 17 longs —
+    # negligible to hold, expensive to recompute.
+    sigs = minhash_sig_array(shingles=sh).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = band_pair_ids(sigs, MAX_BUCKET_DOCS)
     j = (
         cand.join(sh.alias("ha"), F.col("ha.doc_id") == F.col("doc_a"))
         .join(sh.alias("hb"), F.col("hb.doc_id") == F.col("doc_b"))

@@ -8,13 +8,14 @@ when a and c were never proposed as a pair).
 
 This is inherently iterative, so it is the one operator family where a
 driver-side loop over DataFrame actions is the *correct* Spark shape
-(the loop runs O(component-diameter) rounds; each round is fully
-distributed).  The reference engine has no graph surface; this extends
-the dedup family (operators/dedup.py) to its standard end point
-(cf. the alternating-star formulation of Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC'14 — the label-propagation
-below is the simple variant; near-dup components are shallow, so
-rounds ≈ 2-3 in practice).
+(each round is fully distributed).  The reference engine has no graph
+surface; this extends the dedup family (operators/dedup.py) to its
+standard end point.  ``connected_components`` is the alternating
+large-star/small-star contraction of Kiveris et al., "Connected
+Components in MapReduce and Beyond" (SoCC'14): O(log n) rounds on any
+graph, vs O(component diameter) for plain min-label propagation (kept
+below as :func:`connected_components_minlabel`, the easy-to-audit twin
+the property tests cross-check against).
 """
 
 from __future__ import annotations
@@ -23,7 +24,114 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every neighbor v of u with v > u is re-linked
+    to m(u) = min(N(u) ∪ {u}).  One symmetric explode + one hash agg +
+    one equi-join back on u — all keyed on vertex id."""
+    sym = e.select("__a", "__b").union(
+        e.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
+    )
+    m = (
+        sym.groupBy("__a")
+        .agg(F.min("__b").alias("__mn"))
+        .select("__a", F.least("__mn", "__a").alias("__m"))
+    )
+    return (
+        sym.join(m, "__a")
+        .where(F.col("__b") > F.col("__a"))
+        .select(F.col("__b").alias("__a"), F.col("__m").alias("__b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient each edge high→low; every low neighbor
+    (and u itself) is linked to m(u) = min of u's low neighborhood."""
+    o = e.select(
+        F.greatest("__a", "__b").alias("__a"), F.least("__a", "__b").alias("__b")
+    ).where(F.col("__a") != F.col("__b"))
+    m = o.groupBy("__a").agg(F.min("__b").alias("__m"))
+    relink = (
+        o.join(m, "__a")
+        .where(F.col("__b") != F.col("__m"))
+        .select(F.col("__b").alias("__a"), F.col("__m").alias("__b"))
+    )
+    direct = m.select("__a", F.col("__m").alias("__b"))
+    return relink.union(direct).distinct()
+
+
 def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    vertex_col: str = "v",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(vertex, component) with component = min vertex id reachable.
+
+    Alternating large-star/small-star contraction (Kiveris et al.,
+    SoCC'14): each round re-links vertices toward their neighborhood
+    minimum, provably converging in O(log n) rounds — independent of
+    component diameter, which is what makes it the 100 TB shape (a
+    chain-shaped component of length d costs min-label d rounds but
+    star contraction only O(log d)).  Every phase is hash-agg +
+    equi-join on vertex id; no per-row driver work, no collect of
+    vertex data.
+
+    The edge set is ``localCheckpoint``-ed up front — it is typically
+    the output of the whole LSH near-dup chain, and without truncation
+    every iteration would re-execute that upstream pipeline inside the
+    join.  Each round's result is checkpointed too: the plan otherwise
+    doubles per iteration and Catalyst analysis goes exponential.  On
+    a real cluster with executor-loss concerns, swap in reliable
+    ``checkpoint()``; semantics are identical.
+
+    Convergence is detected by an (edge-count, xxhash64 sum) checksum —
+    two scalar aggregates of the checkpointed edges, no driver-side
+    edge data.  At the fixpoint every edge is (member, component-min),
+    so labels fall out of one min-agg; ``vertices`` supplies isolated
+    vertices, which become singleton components via the left join.
+
+    Edges are treated as undirected and may contain duplicates or
+    self-loops (dropped up front).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("__a"), F.col(dst_col).alias("__b"))
+        .where(F.col("__a") != F.col("__b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _chk(df: DataFrame):
+        # decimal sum: a long sum of 64-bit hashes overflows under ANSI
+        return df.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("__a", "__b").cast("decimal(38,0)")),
+        ).collect()[0]
+
+    prev = tuple(_chk(e))
+    for _ in range(max_iter):
+        if prev[0] == 0:
+            break
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = tuple(_chk(e))
+        if cur == prev:
+            break
+        prev = cur
+
+    roots = e.groupBy("__a").agg(F.min("__b").alias("__lbl"))
+    return (
+        vertices.select(F.col(vertex_col).alias("__v"))
+        .join(roots, F.col("__v") == F.col("__a"), "left")
+        .select(
+            F.col("__v").alias(vertex_col),
+            F.coalesce("__lbl", "__v").alias("component"),
+        )
+    )
+
+
+def connected_components_minlabel(
     vertices: DataFrame,
     edges: DataFrame,
     vertex_col: str = "v",
@@ -31,33 +139,20 @@ def connected_components(
     dst_col: str = "dst",
     max_iter: int = 25,
 ) -> DataFrame:
-    """(vertex, component) with component = min vertex id reachable.
+    """Min-label propagation twin of :func:`connected_components` —
+    label(v) ← min(label(v), min label over neighbors) to a fixpoint.
 
-    Min-label propagation to a fixpoint:
-
-      label(v) ← min(label(v), min_{(u,v)∈E} label(u))
-
-    Each round is one shuffle join (labels through edges) plus one
-    partial+final hash aggregation — no per-row driver work, no
-    collect of vertex data.  Convergence is detected by the global
-    sum of labels (a single scalar action): labels only ever
-    decrease, so an unchanged sum IS the fixpoint — cheaper than a
-    change-counting self-join.
-
-    Lineage is truncated every round with ``localCheckpoint`` —
-    without it the plan doubles per iteration and Catalyst analysis
-    goes exponential.  On a real cluster with executor loss concerns,
-    swap in reliable ``checkpoint()`` against the cluster checkpoint
-    dir; semantics are identical.
-
-    ``vertices`` must contain every vertex (isolated ones become
-    singleton components); edges are treated as undirected and may
-    contain duplicates or self-loops (both are harmless: union +
-    min-agg dedups).
+    O(component-diameter) rounds, so the star contraction supersedes it
+    as the production path; kept because its correctness is obvious by
+    inspection, which makes it the ideal cross-check in the property
+    tests (both implementations must agree on random graphs).
+    Convergence via the global label sum: labels only decrease, so an
+    unchanged sum IS the fixpoint.
     """
     sym = edges.select(
         F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
     ).union(edges.select(F.col(dst_col).alias("__s"), F.col(src_col).alias("__d")))
+    sym = sym.localCheckpoint(eager=True)
 
     labels = vertices.select(
         F.col(vertex_col).alias("__v"), F.col(vertex_col).alias("__lbl")

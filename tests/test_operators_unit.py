@@ -204,6 +204,32 @@ def test_connected_components_transitive_closure(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_star_contraction_agrees_with_minlabel(spark):
+    """The O(log n) alternating-star production path and the
+    obviously-correct min-label twin must agree — exercised on a graph
+    with a long chain (the diameter case star contraction exists for),
+    a dense clique, dups, self-loops, and isolated vertices."""
+    import random
+
+    from flink_repartition_watermark_example_spark.operators.graph import (
+        connected_components,
+        connected_components_minlabel,
+    )
+
+    rng = random.Random(7)
+    edges = [(v, v + 1) for v in range(0, 19)]              # chain 0..19
+    edges += [(a, b) for a in range(30, 36) for b in range(30, 36)]  # clique
+    edges += [(rng.randint(40, 60), rng.randint(40, 60)) for _ in range(25)]
+    verts = spark.createDataFrame([(v,) for v in range(0, 70)], ["v"])
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    star = {r.v: r.component for r in connected_components(verts, edf).collect()}
+    ml = {
+        r.v: r.component
+        for r in connected_components_minlabel(verts, edf).collect()
+    }
+    assert star == ml
+
+
 def test_minhash_keeps_shingle_lambda_out_of_scan_stage(spark, sf_dir):
     """Regression guard for the InferFiltersFromGenerate trap: with a
     bare explode, Catalyst infers size(shingles)>0 and pushes the whole
