@@ -6,12 +6,22 @@ Execution is measured with the ``noop`` sink so the full distributed
 pipeline (scan → shuffle → agg) runs without driver-side collect cost.
 The reference baseline (BASELINE.md) is ~223 s for 345,600 events,
 throttle-bound; sf0.1 here is ~1.2M events + 600k lineitem.
+
+Each query is timed REPS times and the per-query MEDIAN is reported
+(with max-min spread alongside): this box carries external load
+(loadavg 5-11 at idle), and a single-shot run once drifted 1.4×
+uniformly across all queries between rounds — pure noise that cost a
+full comparison cycle.  Reading the artifact: ``queries`` holds the
+medians (sum = ``value``); a query whose ``spread`` rivals its median
+is noise-dominated and only large non-uniform median deltas are real.
+Set SPARK_GRAFT_BENCH_REPS to override (1 = old single-shot mode).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -40,14 +50,20 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).limit(1).collect()
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     bench_set = list(QUERIES.items()) + [
         (n, EXTRA_QUERIES[n]) for n in BENCH_EXTRAS
     ]
     for name, q in bench_set:
-        t0 = time.perf_counter()
-        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 4)
+        spreads[name] = round(max(runs) - min(runs), 4)
 
     print(
         json.dumps(
@@ -56,6 +72,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "reps": reps,
                 "sf": sf,
             }
         )

@@ -22,17 +22,20 @@ from pyspark.sql import types as T
 
 NATIVE_FORMATS = ("parquet", "orc", "csv", "json", "text")
 
-# Avro ships as an external spark-avro module, not deployed here.
-try:  # pragma: no cover - trivial availability probe
-    import importlib
-
-    AVRO_AVAILABLE = (
-        importlib.util.find_spec("pyspark") is not None and False
-    )  # the JVM-side avro DataSource is absent in this build
-except Exception:  # noqa: BLE001
-    AVRO_AVAILABLE = False
-
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """Whether the external spark-avro module is deployed, probed
+    against the JVM DataSource registry itself (the same lookup the
+    reader/writer would hit) — not a Python-side guess."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:  # noqa: BLE001 - absent module surfaces as ClassNotFound
+        return False
 
 
 def write_table(
@@ -44,12 +47,13 @@ def write_table(
 ) -> None:
     """Write ``df`` in any natively-supported format; CSV/JSON get the
     header/timestamp defaults that make them round-trip cleanly."""
-    if fmt == "avro" and not AVRO_AVAILABLE:
-        raise RuntimeError(
-            "the spark-avro external module is not deployed in this "
-            "build; use parquet or orc for columnar storage"
-        )
-    if fmt not in NATIVE_FORMATS:
+    if fmt == "avro":
+        if not avro_available(df.sparkSession):
+            raise RuntimeError(
+                "the spark-avro external module is not deployed in this "
+                "build; use parquet or orc for columnar storage"
+            )
+    elif fmt not in NATIVE_FORMATS:
         raise ValueError(f"unknown format {fmt!r}; native: {NATIVE_FORMATS}")
     w = df.write.mode(mode).format(fmt)
     if fmt == "csv":
@@ -70,11 +74,12 @@ def read_table_fmt(
 ) -> DataFrame:
     """Read any natively-supported format.  For CSV/JSON pass the
     schema — inference costs a full extra scan and widens types."""
-    if fmt == "avro" and not AVRO_AVAILABLE:
-        raise RuntimeError(
-            "the spark-avro external module is not deployed in this build"
-        )
-    if fmt not in NATIVE_FORMATS:
+    if fmt == "avro":
+        if not avro_available(spark):
+            raise RuntimeError(
+                "the spark-avro external module is not deployed in this build"
+            )
+    elif fmt not in NATIVE_FORMATS:
         raise ValueError(f"unknown format {fmt!r}; native: {NATIVE_FORMATS}")
     r = spark.read.format(fmt)
     if schema is not None:

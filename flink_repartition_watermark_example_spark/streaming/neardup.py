@@ -6,10 +6,10 @@ Per micro-batch (foreachBatch, like the CDC MERGE sink):
 
 1. the batch's docs get minhash signatures + LSH band hashes
    (operators/dedup.py — identical geometry to the batch pipeline);
-2. candidate pairs = new-vs-INDEX (equi-join on (band, band_hash)
-   against the persisted index) plus new-vs-new (within-batch
-   self-join) — an arriving doc is checked against everything seen
-   WITHOUT rescanning it;
+2. candidate pairs = new-vs-INDEX (equi-join on (band, bucket,
+   band_hash) against the persisted index) plus new-vs-new
+   (within-batch self-join) — an arriving doc is checked against
+   everything seen WITHOUT rescanning it;
 3. confirmed pairs (estimated jaccard ≥ threshold over the signature
    arrays) append to the pairs output, and the batch's signatures and
    bands merge into the index.
@@ -19,27 +19,59 @@ device as sinks.cdc_merge_writer: each batch writes its own
 ``v{batch_id}`` delta of the index and its own pairs partition, so a
 replayed batch overwrites itself instead of duplicating.
 
-Scale shape: the index is partitioned by (band, band_hash) on disk;
-per batch the join touches only the buckets the new docs hash into
-(partition pruning does the index lookup), so per-batch cost is
-O(new docs × bucket sizes), independent of corpus age.  State is the
-parquet index — disk-bounded, restart-safe, shared by any number of
-readers — not executor memory.
+Scale shape: each index version is written ``partitionBy("band",
+"bucket")`` with bucket = band_hash mod INDEX_BUCKETS, and the
+new-vs-index join carries (band, bucket) in its keys — so the lookup
+prunes to the partitions the new docs hash into (statically when the
+new side is literal-foldable, via dynamic partition pruning when it is
+broadcast), and per-batch cost is O(new docs × touched-bucket sizes),
+independent of corpus age.  (bucket rather than raw band_hash is the
+partition key: band_hash is ~unique per doc, and one directory per
+distinct hash would be a small-files explosion — 4×INDEX_BUCKETS
+directories per version caps the fanout.)  State is the parquet index
+— disk-bounded, restart-safe, shared by any number of readers — not
+executor memory.
 
-Equivalence contract (tested): streaming the corpus in ANY batch
-split yields exactly the pairs of the batch ``lsh_candidate_pairs``
-(sans bucket cap) over the full corpus, because minhash signatures
+Degenerate buckets get the SAME cap as every batch twin
+(operators/dedup.MAX_BUCKET_DOCS): a (band, band_hash) population —
+new docs plus indexed docs — larger than the cap is excluded from
+candidate generation for this batch (its docs are still indexed).  An
+uncapped hot bucket (near-empty docs all hashing together) would make
+the per-batch joins quadratic.  One divergence from the batch
+discipline is inherent to streaming and documented here: the cap is
+evaluated against the population KNOWN AT EMISSION TIME, so pairs
+emitted before a bucket crossed the cap stay in the output, whereas a
+batch run over the final corpus would have dropped the whole bucket.
+
+Equivalence contract (tested): with the cap disabled
+(max_bucket_docs=None), streaming the corpus in ANY batch split yields
+exactly the pairs of the batch ``lsh_candidate_pairs`` (bucket cap
+likewise disabled) over the full corpus, because minhash signatures
 are per-doc and bucket membership is order-independent.
 """
 
 from __future__ import annotations
 
 import os
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_repartition_watermark_example_spark.operators.dedup import lsh_bands, minhash_sig_array
+from flink_repartition_watermark_example_spark.operators.dedup import (
+    MAX_BUCKET_DOCS,
+    lsh_bands,
+    minhash_sig_array,
+)
+
+# Partition fanout per index version: 4 bands × this many hash-mod
+# buckets.  Coarse enough to avoid a small-files problem, fine enough
+# that a batch touching few buckets prunes most of the index.
+INDEX_BUCKETS = 64
+
+
+def _bucket(col):
+    return F.pmod(F.col(col), F.lit(INDEX_BUCKETS)).cast("int")
 
 
 def _versions(path: str) -> list[int]:
@@ -58,9 +90,14 @@ def _read_index(spark: SparkSession, index_path: str, below: int) -> DataFrame |
     vs = [v for v in _versions(index_path) if v < below]
     if not vs:
         return None
-    return spark.read.parquet(
-        *[os.path.join(index_path, f"v{v}") for v in vs]
-    )
+    # One partition-discovering read per version, then unionByName:
+    # passing several partitioned roots to a single read would make
+    # Spark hunt for a common base path and mis-infer the v{n} dirs as
+    # partition values.
+    parts = [
+        spark.read.parquet(os.path.join(index_path, f"v{v}")) for v in vs
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def _est_jaccard():
@@ -78,10 +115,17 @@ def neardup_index_writer(
     pairs_path: str,
     text_col: str = "text",
     threshold: float = 0.0,
+    max_bucket_docs: int | None = MAX_BUCKET_DOCS,
 ):
     """foreachBatch body: maintain the LSH index and emit near-dup
     candidate pairs (doc_a < doc_b, est_jaccard ≥ threshold) for each
-    arriving batch of (doc_id, text) rows."""
+    arriving batch of (doc_id, text) rows.
+
+    ``max_bucket_docs``: degenerate-bucket cap over the combined
+    new+indexed population (None disables — only for equivalence
+    testing against the uncapped batch pipeline; see module docstring
+    for the emission-time semantics).
+    """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -89,34 +133,65 @@ def neardup_index_writer(
 
         sigs = minhash_sig_array(batch_df, text_col)
         bands = lsh_bands(sigs)
-        new = bands.join(sigs, "doc_id").select("doc_id", "band", "band_hash", "sig")
+        new = bands.join(sigs, "doc_id").select(
+            "doc_id",
+            "band",
+            _bucket("band_hash").alias("bucket"),
+            "band_hash",
+            "sig",
+        )
 
         old = _read_index(spark, index_path, below=bid)
+
         a = new.select(
             F.col("doc_id").alias("doc_a"),
             "band",
+            "bucket",
             "band_hash",
             F.col("sig").alias("sig_a"),
         )
+        if max_bucket_docs is not None:
+            # Hot-bucket cap over everything known at this batch's
+            # horizon.  Filtering the `a` side alone suffices: every
+            # candidate join below takes its left leg from `a`, so a
+            # dropped bucket proposes nothing.  `hot` is tiny (bucket
+            # keys over the cap) — broadcast anti-join, no extra pass
+            # over the index beyond the count.
+            pop = new.select("doc_id", "band", "band_hash")
+            if old is not None:
+                pop = pop.unionByName(old.select("doc_id", "band", "band_hash"))
+            hot = (
+                pop.groupBy("band", "band_hash")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") > max_bucket_docs)
+                .select("band", "band_hash")
+            )
+            a = a.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
+
         # new-vs-new: within-batch candidates
         b_new = new.select(
             F.col("doc_id").alias("doc_b"),
             "band",
+            "bucket",
             "band_hash",
             F.col("sig").alias("sig_b"),
         )
-        cand = a.join(b_new, ["band", "band_hash"]).where(
+        cand = a.join(b_new, ["band", "bucket", "band_hash"]).where(
             F.col("doc_a") < F.col("doc_b")
         )
         if old is not None:
-            # new-vs-index: both orientations, normalized to a < b
+            # new-vs-index: (band, bucket) in the join keys lines up
+            # with the index partitioning so the scan prunes to the
+            # buckets this batch touches; both orientations normalized
+            # to a < b.
             b_old = old.select(
                 F.col("doc_id").alias("doc_b"),
                 "band",
+                "bucket",
                 "band_hash",
                 F.col("sig").alias("sig_b"),
             )
-            cross = a.join(b_old, ["band", "band_hash"]).select(
+            cross = a.join(b_old, ["band", "bucket", "band_hash"]).select(
                 F.least("doc_a", "doc_b").alias("doc_a_n"),
                 F.greatest("doc_a", "doc_b").alias("doc_b_n"),
                 F.when(F.col("doc_a") < F.col("doc_b"), F.col("sig_a"))
@@ -145,7 +220,7 @@ def neardup_index_writer(
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_path, f"v{bid}")
         )
-        new.write.mode("overwrite").parquet(
+        new.write.mode("overwrite").partitionBy("band", "bucket").parquet(
             os.path.join(index_path, f"v{bid}")
         )
 
@@ -160,3 +235,24 @@ def read_neardup_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
     return spark.read.parquet(
         *[os.path.join(pairs_path, f"v{v}") for v in vs]
     )
+
+
+def compact_index(spark: SparkSession, index_path: str) -> int:
+    """Fold all committed index versions into a single v{max}
+    partitioned snapshot and drop the olders — bounds the
+    versions-per-read cost for long-running streams.  Returns the
+    surviving version number.  Not crash-atomic against a concurrent
+    writer; run from the maintenance path (same operational slot as
+    sinks.vacuum_versions)."""
+    import shutil
+
+    vs = _versions(index_path)
+    if len(vs) <= 1:
+        return vs[0] if vs else -1
+    merged = _read_index(spark, index_path, below=vs[-1] + 1)
+    tmp = os.path.join(index_path, "_compact_tmp")
+    merged.write.mode("overwrite").partitionBy("band", "bucket").parquet(tmp)
+    for v in vs:
+        shutil.rmtree(os.path.join(index_path, f"v{v}"))
+    os.rename(tmp, os.path.join(index_path, f"v{vs[-1]}"))
+    return vs[-1]

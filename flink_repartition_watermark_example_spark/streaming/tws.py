@@ -79,11 +79,19 @@ class SessionizeProcessor(StatefulProcessor):
         )
 
     def _rearm_timer(self, last_us: int) -> None:
+        # Register only if the horizon moved: re-registering an
+        # already-armed timer is an error/warning in the
+        # transformWithState runner (replayed or duplicate events leave
+        # the horizon unchanged).
         horizon_ms = last_us // 1000 + self.gap_seconds * 1000
+        already_armed = False
         for t in list(self.handle.listTimers()):
             if t != horizon_ms:
                 self.handle.deleteTimer(t)
-        self.handle.registerTimer(horizon_ms)
+            else:
+                already_armed = True
+        if not already_armed:
+            self.handle.registerTimer(horizon_ms)
 
     def handleInputRows(
         self,

@@ -130,10 +130,16 @@ def scale_table(spark, src_dir: str, out_dir: str, name: str, mult: int) -> int:
     out_df = rep.drop("__r")
     if name == "events":
         # The streaming replay harness turns each input file into a
-        # micro-batch (maxFilesPerTrigger=1, close sentinels last);
-        # keep events in a few parts so the replay isn't dominated by
-        # per-batch state-store commits.
-        out_df = out_df.coalesce(max(1, mult // 4))
+        # micro-batch (maxFilesPerTrigger=1, close sentinels last), so
+        # part files must be EVENT-TIME ORDERED across parts: with a
+        # 0-second watermark delay, a part holding earlier events than
+        # an already-replayed part would have its rows silently dropped
+        # as late.  repartitionByRange(ts) makes part-i hold a
+        # contiguous ts range below part-(i+1) (plain coalesce gave no
+        # such guarantee); few parts keep per-batch state-store commit
+        # overhead bounded.  scale_check.py additionally asserts
+        # stream==batch row counts so a regression here is loud.
+        out_df = out_df.repartitionByRange(max(1, mult // 4), "ts")
     out_df.write.mode("overwrite").parquet(out)
     return n
 

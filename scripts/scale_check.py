@@ -146,10 +146,31 @@ def main() -> None:
             flush=True,
         )
 
+    # Stream==batch row counts at both scales: the replay treats each
+    # part file as a micro-batch with a 0-delay watermark, so scaled
+    # events parts that aren't event-time ordered would silently drop
+    # late rows and the wall-times above would measure a reduced-state
+    # workload.  Recording the counts makes that failure loud
+    # (tests/test_scale_artifact.py asserts equality).
+    stream_batch: dict[str, dict] = {}
+    for s_name, b_name in (("streaming_windowed_count", "windowed_count"),):
+        if s_name not in report:
+            continue
+        for label, d in (("sf01", args.baseline), ("sf1", args.sf1)):
+            sc = all_queries[s_name].spark(spark, d).count()
+            bc = all_queries[b_name].spark(spark, d).count()
+            stream_batch[f"{s_name}@{label}"] = {
+                "stream_rows": sc,
+                "batch_rows": bc,
+                "equal": sc == bc,
+            }
+            print(f"{s_name}@{label}: stream={sc} batch={bc}", flush=True)
+
     artifact = {
         "mult": 10,
         "sf1_dir": args.sf1,
         "queries": report,
+        "stream_batch_rows": stream_batch,
         "max_ratio": max(r["ratio"] for r in report.values()),
         "total_sec_sf1": round(sum(r["sec_sf1"] for r in report.values()), 2),
     }

@@ -158,12 +158,26 @@ def test_orc_scan_gets_pushdown(spark, sf_dir, tmp_path):
     assert "l_extendedprice" not in plan.split("ReadSchema")[1][:200]
 
 
-def test_avro_absence_raises_explicit_guard(spark, tmp_path):
-    import pytest as _pytest
+def test_avro_gate_follows_jvm_registry(spark, tmp_path):
+    """The avro gate is a live probe of the JVM DataSource registry: if
+    the module is absent the guard raises; if it is deployed, the
+    format round-trips through the same writer/reader as the native
+    formats (so flipping the environment flips behavior, no dead
+    branch either way)."""
+    from flink_repartition_watermark_example_spark.sources.formats import (
+        avro_available,
+        read_table_fmt,
+        write_table,
+    )
 
-    from flink_repartition_watermark_example_spark.sources.formats import AVRO_AVAILABLE, write_table
+    df = spark.range(3).selectExpr("id", "cast(id as string) AS s")
+    path = str(tmp_path / "a")
+    if avro_available(spark):
+        write_table(df, path, fmt="avro")
+        got = read_table_fmt(spark, path, fmt="avro")
+        assert sorted(r.id for r in got.collect()) == [0, 1, 2]
+    else:
+        import pytest as _pytest
 
-    if AVRO_AVAILABLE:
-        _pytest.skip("avro module present")
-    with _pytest.raises(RuntimeError, match="spark-avro"):
-        write_table(spark.range(1), str(tmp_path / "a"), fmt="avro")
+        with _pytest.raises(RuntimeError, match="spark-avro"):
+            write_table(df, path, fmt="avro")
