@@ -32,8 +32,8 @@ from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES, QUE
 
 # Extras benched alongside the primary 50: the vectorized ANN
 # production twins, so their speedup vs the oracle-exact paths
-# (cosine_topk / ivf_ann_topk) is recorded per round.
-BENCH_EXTRAS = ["cosine_topk_fast", "ivf_ann_topk_fast"]
+# (cosine_topk / ivf_ann_topk / pq_adc_topk) is recorded per round.
+BENCH_EXTRAS = ["cosine_topk_fast", "ivf_ann_topk_fast", "pq_adc_topk_fast"]
 
 
 def main() -> None:

@@ -584,3 +584,100 @@ def pq_adc_topk(
             "query_id", "vec_id", "dist_q", F.col("rank").cast("long").alias("rank")
         )
     )
+
+
+def pq_adc_topk_fast(
+    emb: DataFrame,
+    num_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Vectorized production twin of `pq_adc_topk`: identical PQ
+    geometry (same codebook rows, same subspace split, same
+    floor(d·1e9) integer quantization, same tiebreaks) but the whole
+    encode→lookup→rank pipeline runs as ONE mapInPandas pass — per
+    Arrow batch, codes are numpy argmins per subspace, ADC distances
+    are 4 integer table lookups summed, and only the per-batch top-k
+    per query survives (map-side combine).  No exploded codes
+    relation, no broadcast join, zero shuffles before the final
+    O(k·batches·|Q|)-row window.
+
+    Distance arithmetic reproduces the interpreted path's LEFT-FOLD
+    summation order (dim 0 → 15 sequentially), so the doubles — and
+    hence the quantized ints, codes, and ranks — are bit-identical to
+    `pq_adc_topk`, which the exact-agreement test pins.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _fold_l2(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+        # (n, d) × (m, d) → (n, m), accumulating dims sequentially to
+        # match F.aggregate's left fold bit-for-bit.
+        acc = np.zeros((A.shape[0], B.shape[0]))
+        for i in range(A.shape[1]):
+            d = A[:, i : i + 1] - B[None, :, i]
+            acc = acc + d * d
+        return acc
+
+    cb = (
+        emb.where(F.col("vec_id").isin(PQ_CODEBOOK_IDS))
+        .select("vec_id", as_double("embedding").alias("v"))
+        .collect()
+    )
+    cb = sorted((int(r["vec_id"]), list(r["v"])) for r in cb)
+    cb_ids = np.array([c[0] for c in cb], dtype=np.int64)  # cid-ascending
+    CB = np.array([c[1] for c in cb], dtype=np.float64)
+
+    qs = _collect_queries(emb, num_queries)
+    qids = np.array([q[0] for q in qs], dtype=np.int64)
+    Q = np.array([q[1] for q in qs], dtype=np.float64)
+    # per-query ADC table: DT[q, j, c] = floor(1e9 · l2sq(Q_sub, CB_sub))
+    DT = np.zeros((len(qids), PQ_SUBSPACES, len(cb_ids)), dtype=np.int64)
+    for j in range(PQ_SUBSPACES):
+        sub = slice(j * PQ_SUBDIM, (j + 1) * PQ_SUBDIM)
+        DT[:, j, :] = np.floor(_fold_l2(Q[:, sub], CB[:, sub]) * 1e9).astype(
+            np.int64
+        )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            vec_ids = pdf["vec_id"].to_numpy()
+            # encode: per-subspace argmin (first min ⇒ smallest cid,
+            # CB rows are cid-ascending)
+            codes = np.empty((len(M), PQ_SUBSPACES), dtype=np.int64)
+            for j in range(PQ_SUBSPACES):
+                sub = slice(j * PQ_SUBDIM, (j + 1) * PQ_SUBDIM)
+                codes[:, j] = np.argmin(_fold_l2(M[:, sub], CB[:, sub]), axis=1)
+            # ADC: dist[q, row] = Σ_j DT[q, j, codes[row, j]]
+            dist = np.zeros((len(qids), len(M)), dtype=np.int64)
+            for j in range(PQ_SUBSPACES):
+                dist += DT[:, j, codes[:, j]]
+            kk = min(k, len(M))
+            out_q, out_v, out_s = [], [], []
+            for qi_idx, qi in enumerate(qids):
+                sel = np.lexsort((vec_ids, dist[qi_idx]))[:kk]
+                out_q.extend([qi] * kk)
+                out_v.extend(vec_ids[sel])
+                out_s.extend(dist[qi_idx][sel])
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_v, "dist_q": out_s}
+            )
+
+    corpus = fan_out(emb.where(F.col("vec_id") >= num_queries), "vec_id").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    cand = corpus.mapInPandas(
+        score, schema="query_id long, vec_id long, dist_q long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_q").asc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "dist_q", F.col("rank").cast("long").alias("rank")
+        )
+    )

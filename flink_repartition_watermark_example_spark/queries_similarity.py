@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_repartition_watermark_example_spark.functions.vectors import cosine_sql
 from flink_repartition_watermark_example_spark.operators import similarity as SIM
-from flink_repartition_watermark_example_spark.queries import register, register_extra
+from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES, register, register_extra
 from flink_repartition_watermark_example_spark.sources.tables import load_table
 
 
@@ -326,6 +326,22 @@ def q_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ivf_ann_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk_fast(load_table(spark, sf_dir, "embeddings"))
+
+
+@register_extra(
+    "pq_adc_topk_fast",
+    EXTRA_QUERIES["pq_adc_topk"].oracle,
+    doc="Vectorized production twin of pq_adc_topk: encode + ADC table "
+    "lookup + map-side top-k in ONE mapInPandas pass, zero shuffles "
+    "before the final k·batches·|Q|-row window. Unlike the float "
+    "twins this one carries the SAME DuckDB oracle as its interpreted "
+    "sibling: the ADC distances are floor-quantized to integers "
+    "per-subspace and the numpy arithmetic reproduces the left-fold "
+    "summation order, so codes, distances, and ranks are bit-identical "
+    "across all three implementations.",
+)
+def q_pq_adc_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.pq_adc_topk_fast(load_table(spark, sf_dir, "embeddings"))
 
 
 # --- ANN recall as first-class integer-oracled queries -------------------

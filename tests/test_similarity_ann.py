@@ -113,3 +113,22 @@ def test_vectorized_twins_agree_with_oracle_exact_paths(spark, sf_dir):
     hits = sum(len(ivf[q] & ivf_fast[q]) for q in ivf)
     total = sum(len(ivf[q]) for q in ivf)
     assert hits / total >= 0.9, f"ivf fast-twin agreement {hits/total:.2f}"
+
+
+def test_pq_fast_twin_is_bit_identical(spark, sf_dir):
+    """pq_adc_topk_fast must agree with pq_adc_topk EXACTLY — not just
+    set overlap: the ADC distances are integer-quantized per subspace
+    and the numpy arithmetic reproduces the interpreted path's
+    left-fold order, so every (query_id, vec_id, dist_q, rank) row is
+    identical.  (The fast twin also carries the same DuckDB oracle in
+    the registry — this test pins the twins to each other directly.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    slow = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["dist_q"])
+        for r in SIM.pq_adc_topk(emb).collect()
+    }
+    fast = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["dist_q"])
+        for r in SIM.pq_adc_topk_fast(emb).collect()
+    }
+    assert slow == fast
