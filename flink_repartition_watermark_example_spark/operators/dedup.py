@@ -163,7 +163,12 @@ def band_pair_ids(
         .where(F.col("__bsz") <= max_bucket_docs)
         .drop("__bsz")
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    # merge hint: the band relation is O(corpus) — it must NEVER be a
+    # broadcast build side, but a pre-materialization InMemoryRelation
+    # reports its (tiny, array-blind) child estimate and Catalyst will
+    # happily pick a 1.5 GB broadcast at sf1.  Sort-merge on the band
+    # key is the only strategy that is safe at every scale.
+    a, b = bands.alias("a").hint("merge"), bands.alias("b").hint("merge")
     return (
         a.join(
             b,
@@ -207,8 +212,14 @@ def lsh_candidate_pairs(
             StorageLevel.MEMORY_AND_DISK
         )
     pairs = band_pair_ids(sigs, max_bucket_docs)
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    # merge hints: the signature relation is O(corpus) — see
+    # band_pair_ids for why it must not become a broadcast build side.
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+    ).hint("merge")
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+    ).hint("merge")
     agree = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
@@ -249,8 +260,15 @@ def ngram_jaccard_pairs(
     # cores, and the shingle lambda is the expensive projection — hash
     # repartition the cheap (doc_id, text) rows first so it computes
     # at full width instead of per-scan-split.
+    #
+    # DISK_ONLY, deliberately: the shingle relation is the largest
+    # intermediate in the chain (O(corpus bytes) of string arrays);
+    # holding it in storage memory starves the 32 concurrent join
+    # tasks' execution memory on the default 1 g heap and OOMs at sf1.
+    # Local-disk columnar batches re-read in ~scan time, and the win —
+    # not re-running the interpreted shingle lambda 3× — is preserved.
     sh = doc_shingles(fan_out(docs, "doc_id"), text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+        StorageLevel.DISK_ONLY
     )
     # sigs persisted too: the band self-join scans its input twice, and
     # each scan would re-run the md5 + 16-min aggregation over the
@@ -258,9 +276,12 @@ def ngram_jaccard_pairs(
     # negligible to hold, expensive to recompute.
     sigs = minhash_sig_array(shingles=sh).persist(StorageLevel.MEMORY_AND_DISK)
     cand = band_pair_ids(sigs, MAX_BUCKET_DOCS)
+    # merge hints: the shingle relation is O(corpus bytes), the largest
+    # relation in the whole chain — broadcast would OOM at scale (see
+    # band_pair_ids); sort-merge on doc_id holds at any corpus size.
     j = (
-        cand.join(sh.alias("ha"), F.col("ha.doc_id") == F.col("doc_a"))
-        .join(sh.alias("hb"), F.col("hb.doc_id") == F.col("doc_b"))
+        cand.join(sh.alias("ha").hint("merge"), F.col("ha.doc_id") == F.col("doc_a"))
+        .join(sh.alias("hb").hint("merge"), F.col("hb.doc_id") == F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",

@@ -56,6 +56,8 @@ DEFAULT_QUERIES = [
     "multi_join_revenue",
     "minhash_signatures",
     "cosine_topk_fast",
+    "pq_adc_topk",
+    "pq_adc_topk_fast",
     # iterative driver-loop operators: cost tracks |vocab| (BPE) and
     # corpus×K (k-means), not raw corpus bytes — the artifact records
     # that their growth stays bounded too

@@ -14,8 +14,20 @@ from tests.oracle import assert_matches_oracle
 ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
 WITH_ORACLE = [n for n, q in ALL_QUERIES.items() if q.oracle is not None]
 
+# Minute-class oracle cases — streaming replays and iterative
+# driver-loop operators — carry the slow marker so the quick tier
+# (pytest -m "not slow") still runs the other ~85 oracle checks.
+_SLOW_ORACLE = {"neardup_clusters", "kmeans_centroids", "bpe_merges",
+                "pagerank_suppliers", "ivf_trained_topk"}
 
-@pytest.mark.parametrize("name", WITH_ORACLE)
+
+def _param(name: str):
+    if name.startswith("streaming_") or name in _SLOW_ORACLE:
+        return pytest.param(name, marks=pytest.mark.slow)
+    return pytest.param(name)
+
+
+@pytest.mark.parametrize("name", [_param(n) for n in WITH_ORACLE])
 def test_query_matches_oracle(spark, sf_dir, name):
     assert_matches_oracle(spark, ALL_QUERIES[name], sf_dir)
 

@@ -6,6 +6,9 @@ from __future__ import annotations
 from datetime import datetime, timezone
 
 from flink_repartition_watermark_example_spark.sources.streams import rate_pageviews
+import pytest
+
+pytestmark = pytest.mark.slow  # streaming replays: minute-class
 
 
 def _run(spark, name, tmp, n_batches=3):

@@ -61,3 +61,34 @@ def test_artifact_covers_the_heavy_families(artifact):
         "multi_join_revenue",      # multi-way join
     ):
         assert required in qs, f"scale check must cover {required}"
+
+
+def test_streaming_replay_drops_no_rows_at_scale(artifact):
+    # The scaled events must replay stream==batch: part files not in
+    # event-time order would silently drop late rows (0-delay
+    # watermark) and the streaming wall-times would measure a
+    # reduced-state workload.  scale_check.py records the counts.
+    sb = artifact.get("stream_batch_rows")
+    if not sb:
+        pytest.skip("artifact predates stream/batch row recording")
+    for key, r in sb.items():
+        assert r["equal"], (
+            f"{key}: stream {r['stream_rows']} != batch {r['batch_rows']} — "
+            "scaled events parts are not event-time ordered"
+        )
+
+
+SF10 = os.path.join(os.path.dirname(ARTIFACT), "BENCH_sf10.json")
+
+
+@pytest.mark.skipif(not os.path.exists(SF10), reason="BENCH_sf10.json not generated")
+def test_sf10_spot_sweep_stays_sub_linear():
+    """One more decade of evidence for the worst sf1 ratios: at 10×
+    sf1 (100× the bench SF) the growth ratio must stay well inside
+    linear-plus-overheads territory for the spot-checked queries."""
+    with open(SF10) as f:
+        art = json.load(f)
+    assert art["queries"], "sf10 artifact is empty"
+    for name, r in art["queries"].items():
+        assert r["ratio"] is not None, name
+        assert r["ratio"] < 20, f"{name} grew {r['ratio']}× on 10× data (sf1→sf10)"

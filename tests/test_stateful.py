@@ -8,6 +8,9 @@ from pyspark.sql import functions as F
 
 from flink_repartition_watermark_example_spark.sources.tables import load_table
 from flink_repartition_watermark_example_spark.streaming.stateful import sessionize
+import pytest
+
+pytestmark = pytest.mark.slow  # streaming replays: minute-class
 
 
 def test_custom_sessionize_equals_builtin(spark, sf_dir, tmp_path):

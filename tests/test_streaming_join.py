@@ -10,6 +10,9 @@ from pyspark.sql import functions as F
 from flink_repartition_watermark_example_spark.streaming.join import (
     interval_join_views_purchases,
 )
+import pytest
+
+pytestmark = pytest.mark.slow  # streaming replays: minute-class
 
 
 def _write_files(spark, path, rows, schema):

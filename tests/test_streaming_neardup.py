@@ -16,6 +16,10 @@ from flink_repartition_watermark_example_spark.streaming.neardup import (
     read_neardup_pairs,
 )
 
+import pytest
+
+pytestmark = pytest.mark.slow  # streaming replays: minute-class
+
 
 def _pair_map(df):
     return {

@@ -28,6 +28,8 @@ from flink_repartition_watermark_example_spark.streaming.replica import (
     write_close_sentinel,
 )
 
+pytestmark = pytest.mark.slow  # streaming replays: minute-class
+
 
 def _utc(*a):
     return datetime(*a, tzinfo=timezone.utc)

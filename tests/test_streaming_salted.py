@@ -16,6 +16,8 @@ from flink_repartition_watermark_example_spark.streaming.replica import (
     write_close_sentinel,
 )
 
+pytestmark = pytest.mark.slow  # streaming replays: minute-class
+
 HOT = "http://site.com/hot"
 
 

@@ -23,6 +23,8 @@ from flink_repartition_watermark_example_spark.sinks import (
     read_cdc_snapshot,
 )
 
+pytestmark = pytest.mark.slow  # streaming replays: minute-class
+
 SCHEMA = T.StructType(
     [
         T.StructField("k", T.LongType()),

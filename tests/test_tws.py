@@ -11,6 +11,8 @@ import pytest
 
 from flink_repartition_watermark_example_spark.streaming.tws import TWS_AVAILABLE, sessionize_tws
 
+pytestmark = pytest.mark.slow  # streaming replays: minute-class
+
 
 @pytest.mark.skipif(not TWS_AVAILABLE, reason="google.protobuf absent")
 def test_tws_sessionize_matches_oracle(spark, sf_dir):
