@@ -266,14 +266,16 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
-    doc="Fact-dim join with explicit broadcast of the dim side — no "
-    "shuffle of the fact table for the join at any scale.",
+    doc="Fact-side join against customer — customer grows with the "
+    "corpus, so the join is a plain custkey equi-join and AQE picks "
+    "broadcast only while the side measures small; at scale both "
+    "sides co-partition on custkey.",
 )
 def q_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("order_count"),

@@ -37,9 +37,17 @@ def _t(spark, sf_dir, name):
     WHERE r.r_name IN ('ASIA', 'EUROPE')
     GROUP BY n.n_name
     """,
-    doc="TPC-H Q5-style 5-way star join: lineitem⋈orders shuffles on "
-    "orderkey; customer/nation/region are broadcast so the fact "
-    "pipeline never re-shuffles for dimensions.",
+    doc="TPC-H Q5-style 5-way star join, canonical scale order: nation "
+    "and region (genuinely bounded dims) broadcast onto customer and "
+    "filter it to the target regions FIRST; orders equi-joins the "
+    "reduced 2-column customer side on custkey; lineitem joins that "
+    "2-column intermediate on orderkey.  customer/orders/lineitem all "
+    "grow with the corpus, so none is force-broadcast — AQE promotes "
+    "the reduced sides to broadcast when they measure small (sf0.1) "
+    "and keeps shuffle joins when they don't (sf10+).  The sf1→sf10 "
+    "sweep showed the earlier forced broadcast(customer) going 12.9× "
+    "on 10× data (a 1.5M-row broadcast built per executor); this "
+    "shape is the fix.",
 )
 def q_multi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
@@ -48,12 +56,18 @@ def q_multi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "nation"),
         _t(spark, sf_dir, "region"),
     )
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    cust = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .where(F.col("r_name").isin("ASIA", "EUROPE"))
+        .select("c_custkey", "n_name")
+    )
+    oc = (
+        o.join(cust, o.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "n_name")
+    )
+    return (
+        l.join(oc, l.l_orderkey == oc.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("line_count"),
@@ -117,8 +131,10 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    # customer grows with the corpus — equi-join on custkey, AQE
+    # decides the strategy per scale (broadcast only while small)
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .select(
             F.col("c_mktsegment").alias("mktsegment"),
             F.col("o_orderstatus").alias("orderstatus"),
@@ -1009,7 +1025,8 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
-    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    # customer grows with the corpus — no forced broadcast (AQE picks)
+    j = o.join(c, o.o_custkey == c.c_custkey)
     # Session-global temp views collide across concurrent callers
     # sharing the SparkSession — use a unique name per invocation.
     view = "gs_rev_input_" + uuid.uuid4().hex[:8]
@@ -1199,13 +1216,15 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
     doc="TPC-H Q14-style conditional-aggregate ratio (promo revenue "
-    "share per ship year): part is broadcast so lineitem never "
-    "re-shuffles for the dimension; both sums stay exact decimal until "
-    "a single cast each, then one double division — "
-    "oracle-deterministic under any row order.",
+    "share per ship year): part grows with SF, so the join is a plain "
+    "partkey equi-join — AQE broadcasts it while it measures small "
+    "and co-partitions both sides on partkey once it doesn't; both "
+    "sums stay exact decimal until a single cast each, then one "
+    "double division — oracle-deterministic under any row order.",
 )
 def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     l, p = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    p = p.select("p_partkey", "p_type")
     rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1) - F.col("l_discount")
     ).cast("decimal(18,2)")
@@ -1213,7 +1232,7 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(18,2)")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
         .agg(
             (
@@ -1268,7 +1287,11 @@ def q_top_suppliers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revenue").desc(), F.col("s_suppkey").asc()
     )
     return (
-        rev.join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        # supplier scales with SF and the left side is already
+        # O(suppliers) after the aggregate-below-join rewrite — plain
+        # supkey equi-join (AQE broadcasts while small); nation is a
+        # genuinely bounded dim and stays pinned.
+        rev.join(s, rev.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),

@@ -173,14 +173,22 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the bigram/distinct lambdas are interpreted per-row work — raise
     # the (often single-split) scan's parallelism first, like the
     # dedup family does
-    base = fan_out(docs, "doc_id").select(
-        "doc_id", toks.alias("t"), dup.alias("dup_2gram_ratio")
+    fanned = fan_out(docs, "doc_id")
+    # per-doc scalars only on the join's left side: shipping the token
+    # ARRAY through the doc_id shuffle just to read size(t) after the
+    # join moved corpus-sized payloads through the exchange (the
+    # sf1→sf10 sweep priced it) — project n_toks before the join so
+    # the shuffle carries 3 scalar columns
+    base = fanned.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        dup.alias("dup_2gram_ratio"),
     )
     # explode_outer + null-filter (see operators/dedup.py on
     # InferFiltersFromGenerate) — per-(doc, token) counts, then the max
     # count per doc: two codegen hash aggregations, linear in tokens
     per_tok = (
-        base.select("doc_id", F.explode_outer("t").alias("tok"))
+        fanned.select("doc_id", F.explode_outer(toks).alias("tok"))
         .where(F.col("tok").isNotNull())
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -190,7 +198,7 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(per_tok, "doc_id").select(
         "doc_id",
         "dup_2gram_ratio",
-        (F.col("top_c").cast("double") / F.size(F.col("t")).cast("double")).alias(
+        (F.col("top_c").cast("double") / F.col("n_toks").cast("double")).alias(
             "top_token_ratio"
         ),
     )

@@ -384,11 +384,18 @@ _BPE_ROUNDS = 8
 def _bpe_round_ctes(rounds: int) -> str:
     """Unrolled-CTE DuckDB twin of the Spark merge loop: round r counts
     pairs over w{r}, b{r} picks the max (cnt DESC, pair ASC), w{r+1}
-    applies the merge with the same double-space replace."""
+    applies the merge with the same double-space replace.
+
+    Every CTE is MATERIALIZED: each b{r} is referenced 2+ times
+    (twice in w{r+1}, again in consumers like the encode chain) and
+    its definition transitively contains all earlier rounds — letting
+    the optimizer inline instead of materialize doubles the plan per
+    reference, i.e. an exponential 2^rounds blowup (measured: the
+    8-round encode oracle went from >3 min to sub-second)."""
     parts = []
     for r in range(rounds):
         parts.append(f"""
-    p{r} AS (
+    p{r} AS MATERIALIZED (
         SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
             SELECT unnest(list_transform(range(1, len(toks)),
                                          i -> toks[i] || ' ' || toks[i+1])) AS pair,
@@ -396,8 +403,9 @@ def _bpe_round_ctes(rounds: int) -> str:
             FROM (SELECT string_split(trim(s), '  ') AS toks, n FROM w{r})
         ) GROUP BY pair
     ),
-    b{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
-    w{r + 1} AS (
+    b{r} AS MATERIALIZED (
+        SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
+    w{r + 1} AS MATERIALIZED (
         SELECT replace(s,
                        ' ' || replace((SELECT pair FROM b{r}), ' ', '  ') || ' ',
                        ' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' ') AS s,
@@ -444,8 +452,14 @@ _BPE_ORACLE = f"""
     "wordpiece-training shape.",
 )
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    freq = (
+    merges = _bpe_train(load_table(spark, sf_dir, "documents"))
+    return spark.createDataFrame(merges, "round int, pair string, cnt bigint")
+
+
+def _bpe_word_freq(docs: DataFrame) -> DataFrame:
+    """Corpus collapsed to (word, freq) — the one corpus-sized pass
+    the whole BPE family shares."""
+    return (
         docs.select(
             F.explode(
                 F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
@@ -454,6 +468,14 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def _bpe_train(docs: DataFrame) -> list[tuple[int, str, int]]:
+    """Run the 8-round merge loop; returns [(round, pair, cnt)].  One
+    1-row collect per round (the argmax) — the same O(1) driver
+    round-trip as graph.py's convergence checks; per-round state is a
+    localCheckpointed |vocab|-sized relation, never the corpus."""
+    freq = _bpe_word_freq(docs)
     w = freq.select(
         F.concat(
             F.lit("  "), F.array_join(F.split("word", ""), "  "), F.lit("  ")
@@ -494,8 +516,190 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = w.select(
             F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"), "n"
         ).localCheckpoint()
-    return spark.createDataFrame(
-        merges, "round int, pair string, cnt bigint"
+    return merges
+
+
+def _bpe_encode_replace_sql() -> str:
+    """DuckDB twin of the encode chain: the word's symbol string with
+    the 8 trained merges applied in training order (each round's
+    winning pair comes from the same b{r} CTEs the trainer uses)."""
+    s = "'  ' || array_to_string(regexp_extract_all(word, '.'), '  ') || '  '"
+    for r in range(_BPE_ROUNDS):
+        pair = f"(SELECT pair FROM b{r})"
+        s = (
+            f"replace({s}, ' ' || replace({pair}, ' ', '  ') || ' ', "
+            f"' ' || replace({pair}, ' ', '') || ' ')"
+        )
+    return s
+
+
+_BPE_ENCODE_ORACLE = f"""
+    WITH words AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents
+    ),
+    freq AS (SELECT word, count(*) AS n FROM words GROUP BY word),
+    w0 AS (
+        SELECT '  ' || array_to_string(regexp_extract_all(word, '.'), '  ')
+               || '  ' AS s,
+               n
+        FROM freq
+    ),{_bpe_round_ctes(_BPE_ROUNDS)},
+    enc AS (
+        SELECT word,
+               len(string_split(trim({_bpe_encode_replace_sql()}), '  ')) AS n_tok
+        FROM freq
+    ),
+    dw AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents
+    ),
+    dwc AS (SELECT doc_id, word, count(*) AS cnt FROM dw GROUP BY doc_id, word)
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(sum(cnt * n_tok) AS BIGINT) AS n_bpe_tokens
+    FROM dwc JOIN enc USING (word)
+    GROUP BY doc_id
+"""
+
+
+@register_extra(
+    "bpe_encode_token_counts",
+    _BPE_ENCODE_ORACLE,
+    doc="Tokenizer APPLICATION — the other half of the bpe_merges "
+    "training loop: encode every document with the trained merge list "
+    "and report exact per-document word and BPE-token counts.  Scale "
+    "shape: the merge chain is applied to the DISTINCT-word relation "
+    "(|vocab| rows), never to the corpus — each merge is one literal "
+    "string replace inside whole-stage codegen — and the per-word "
+    "token count is broadcast-joined back to the per-(doc, word) "
+    "occurrence counts.  At 100 TB the encode cost is O(|vocab|) + "
+    "one map-side-combined word-count aggregation, the standard "
+    "offline-tokenization shape; the trained vocabulary itself is the "
+    "broadcast dimension.",
+)
+def q_bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = _bpe_train(docs)
+
+    s = F.concat(F.lit("  "), F.array_join(F.split("word", ""), "  "), F.lit("  "))
+    for _, pair, _ in merges:
+        pat = " " + pair.replace(" ", "  ") + " "
+        rep = " " + pair.replace(" ", "") + " "
+        s = F.replace(s, F.lit(pat), F.lit(rep))
+    enc = _bpe_word_freq(docs).select(
+        "word", F.size(F.split(F.trim(s), "  ")).alias("n_tok")
+    )
+
+    dwc = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        dwc.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_tok")).cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+# --- cross-document boilerplate detection ---------------------------------
+
+# A word 4-gram that appears in at least this many DISTINCT documents
+# is boilerplate (navigation chrome, license headers, templated
+# spans) — the cross-document complement of repetition_signals'
+# intra-document repetition.
+_BOILER_N = 4
+_BOILER_MIN_DOCS = 3
+
+_BOILER_SH_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({TX.shingles_sql('t', _BOILER_N)})) AS g
+           FROM toks),
+    boiler AS (SELECT g, CAST(count(*) AS BIGINT) AS n_docs
+               FROM sh GROUP BY g HAVING count(*) >= {_BOILER_MIN_DOCS})
+"""
+
+
+def _boiler_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, g): each document's DISTINCT word 4-grams — dedup
+    before the fan-out so a doc repeating its own template counts
+    once (document frequency, not term frequency)."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(TX.shingles(TX.tokens("text"), _BOILER_N))
+        ).alias("g"),
+    )
+
+
+@register_extra(
+    "boilerplate_ngrams",
+    _BOILER_SH_SQL + "SELECT g AS shingle, n_docs FROM boiler",
+    doc="Cross-document boilerplate inventory: word 4-grams present in "
+    f">= {_BOILER_MIN_DOCS} distinct documents, with document "
+    "frequency.  The suffix-array-style substring-dedup signal "
+    "approximated the Spark-native way: per-doc DISTINCT shingles "
+    "(array_distinct before the explode caps each doc's contribution "
+    "at its unique-template count) feeding one map-side-combined "
+    "hash aggregation — same scan shape as minhash_signatures, no "
+    "join, no skew (a hot shingle is just a hot agg key handled by "
+    "partial aggregation).",
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _boiler_shingles(docs)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= _BOILER_MIN_DOCS)
+        .select(F.col("g").alias("shingle"), "n_docs")
+    )
+
+
+@register_extra(
+    "boilerplate_flagged_docs",
+    _BOILER_SH_SQL
+    + """
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_boiler,
+           CAST(max(boiler.n_docs) AS BIGINT) AS max_df
+    FROM sh JOIN boiler ON sh.g = boiler.g
+    GROUP BY sh.doc_id
+    """,
+    doc="Documents carrying boilerplate: per doc, how many of its "
+    "distinct 4-grams are in the boilerplate inventory and the worst "
+    "offender's document frequency — the flag a curation pipeline "
+    "filters or strips on.  The inventory side is the >=K-docs "
+    "aggregate (small relative to the corpus); the join is a plain "
+    "equi-join on the shingle so both sides shuffle-partition by g — "
+    "deliberately NOT a forced broadcast, because at 100 TB the "
+    "boilerplate inventory of a web corpus is itself large; AQE "
+    "promotes it to broadcast when it measures small.",
+)
+def q_boilerplate_flagged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _boiler_shingles(docs)
+    boiler = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= _BOILER_MIN_DOCS)
+    )
+    return (
+        sh.join(boiler, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_boiler"),
+            F.max("n_docs").cast("long").alias("max_df"),
+        )
     )
 
 

@@ -107,6 +107,13 @@ def main() -> None:
     ap.add_argument("--baseline", default="/root/testdata/sf0.1")
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_sf1.json"))
+    ap.add_argument(
+        "--mult",
+        type=int,
+        default=10,
+        help="data multiplier of --sf1 relative to --baseline (artifact "
+        "metadata only; e.g. 10 for sf0.1->sf1, also 10 for sf1->sf10)",
+    )
     args = ap.parse_args()
 
     if not os.path.isdir(args.sf1):
@@ -169,7 +176,8 @@ def main() -> None:
             print(f"{s_name}@{label}: stream={sc} batch={bc}", flush=True)
 
     artifact = {
-        "mult": 10,
+        "mult": args.mult,
+        "baseline_dir": args.baseline,
         "sf1_dir": args.sf1,
         "queries": report,
         "stream_batch_rows": stream_batch,

@@ -34,12 +34,30 @@ def test_no_super_linear_blowup(artifact):
         assert r["ratio"] < 20, f"{name} grew {r['ratio']}× on 10× data"
 
 
+# Queries whose join strategy is deliberately LEFT TO AQE because a
+# side scales with the corpus (customer/part/supplier grow with SF, so
+# forcing broadcast was the sf10-sweep-diagnosed 12.9× blowup):
+# broadcast at small SF flipping to shuffle join at large SF is the
+# intended adaptive behavior there, not a degraded bounded-dim claim.
+AQE_DECIDED = {
+    "multi_join_revenue",
+    "rollup_revenue",
+    "grouping_sets_revenue",
+    "revenue_by_segment",
+    "promo_revenue_share",
+    "top_suppliers_by_nation",
+}
+
+
 def test_no_broadcast_join_degrades_to_sort_merge(artifact):
     # A broadcast join whose side silently stopped being broadcast-able
     # at 10× would flip to SortMergeJoin — the claim "dim sides stay
     # bounded" must survive scale-up.  (AQE flipping SMJ→broadcast is
-    # fine and not flagged here.)
+    # fine and not flagged here; AQE_DECIDED queries may flip either
+    # way by design.)
     for name, r in artifact["queries"].items():
+        if name in AQE_DECIDED:
+            continue
         flips = r.get("join_flips", {})
         bhj = flips.get("BroadcastHashJoin")
         smj = flips.get("SortMergeJoin")
