@@ -56,12 +56,21 @@ def main() -> None:
     bench_set = list(QUERIES.items()) + [
         (n, EXTRA_QUERIES[n]) for n in BENCH_EXTRAS
     ]
+    import gc
+
     for name, q in bench_set:
         runs = []
         for _ in range(reps):
             t0 = time.perf_counter()
             q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+            # Isolate reps/queries from each other: persisted shared
+            # stages (dedup chain) and per-round localCheckpoints
+            # (clustering, k-means, BPE) otherwise accumulate across
+            # the run and tax whatever happens to execute after them.
+            spark.catalog.clearCache()
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
         timings[name] = round(statistics.median(runs), 4)
         spreads[name] = round(max(runs) - min(runs), 4)
 

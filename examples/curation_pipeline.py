@@ -5,12 +5,16 @@ from this engine's operators — every stage is an oracle-checked
 registry query or storage primitive, wired here in production order:
 
   1. quality gate      — repetition/quality thresholds (scan-side)
-  2. exact dedup       — one representative per identical text
-  3. near-dup clusters — minhash → LSH → jaccard → connected
+  2. boilerplate gate  — drop docs dominated by cross-document
+                         templated 4-grams (document-frequency join)
+  3. exact dedup       — one representative per identical text
+  4. near-dup clusters — minhash → LSH → jaccard → connected
                          components; keep each cluster's min doc_id
-  4. decontamination   — drop train docs overlapping the eval split
-  5. split + chunk     — deterministic hash split, fixed-window chunks
-  6. compacted layout  — partitioned-by-split parquet, right-sized files
+  5. decontamination   — drop train docs overlapping the eval split
+  6. split + chunk     — deterministic hash split, fixed-window chunks
+  7. compacted layout  — partitioned-by-split parquet, right-sized files
+  8. token accounting  — train BPE on the surviving train split and
+                         report the exact token budget per split
 
 Run:  python examples/curation_pipeline.py [sf_dir]
 
@@ -49,6 +53,31 @@ def main(sf_dir: str) -> None:
     )
     gated = docs.where((F.size(toks) >= 10) & (dup_ratio <= 0.5))
     n1 = gated.count()
+
+    # 1b. boilerplate gate: a doc more than half of whose distinct
+    # 4-grams are corpus-wide boilerplate (df >= 3) is template chrome.
+    from flink_repartition_watermark_example_spark.queries_text import (
+        _BOILER_MIN_DOCS,
+        _boiler_shingles,
+    )
+
+    sh = _boiler_shingles(gated)
+    boiler = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= _BOILER_MIN_DOCS)
+    )
+    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    boiler_docs = (
+        sh.join(boiler, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+        .join(per_doc, "doc_id")
+        .where(F.col("n_boiler") * 2 > F.col("n_sh"))
+        .select("doc_id")
+    )
+    gated = gated.join(boiler_docs, "doc_id", "left_anti")
+    n1b = gated.count()
 
     # 2. exact dedup: min doc_id survives per identical text.
     survivors = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
@@ -114,11 +143,52 @@ def main(sf_dir: str) -> None:
             F.count(F.lit(1)).alias("n")
         ).collect()
     }
-    print(f"funnel: raw={n0} quality={n1} exact_dedup={n2} "
-          f"neardup={n3} decontaminated={n4}")
+    # 8. token accounting: train the tokenizer on the curated TRAIN
+    # split only (no eval leakage into the vocab), then price every
+    # split in exact BPE tokens — the number the training run budgets.
+    from flink_repartition_watermark_example_spark.queries_text import (
+        _bpe_train,
+        _bpe_word_freq,
+    )
+
+    train_docs = clean.where(F.col("split") == "train")
+    merges = _bpe_train(train_docs)
+    s = F.concat(F.lit("  "), F.array_join(F.split("word", ""), "  "), F.lit("  "))
+    for _, pair, _ in merges:
+        s = F.replace(
+            s,
+            F.lit(" " + pair.replace(" ", "  ") + " "),
+            F.lit(" " + pair.replace(" ", "") + " "),
+        )
+    enc = _bpe_word_freq(clean).select(
+        "word", F.size(F.split(F.trim(s), "  ")).alias("n_tok")
+    )
+    tokens_by_split = {
+        r["split"]: r["n_tokens"]
+        for r in (
+            clean.select(
+                "split",
+                F.explode(
+                    F.regexp_extract_all(
+                        F.lower(F.col("text")), F.lit("[a-z]+"), 0
+                    )
+                ).alias("word"),
+            )
+            .join(F.broadcast(enc), "word")
+            .groupBy("split")
+            .agg(F.sum("n_tok").cast("long").alias("n_tokens"))
+            .collect()
+        )
+    }
+
+    print(f"funnel: raw={n0} quality={n1} boilerplate={n1b} "
+          f"exact_dedup={n2} neardup={n3} decontaminated={n4}")
     print(f"chunks per split: {per_split}  → {out}")
-    assert n0 >= n1 >= n2 >= n3 >= n4 > 0
+    print(f"BPE tokens per split (vocab trained on train only): "
+          f"{tokens_by_split}")
+    assert n0 >= n1 >= n1b >= n2 >= n3 >= n4 > 0
     assert set(per_split) <= {"train", "val", "test"}
+    assert tokens_by_split.get("train", 0) > 0
 
 
 if __name__ == "__main__":

@@ -98,6 +98,20 @@ def run_one(spark, q, sf_dir: str) -> tuple[float, dict[str, int]]:
     df.write.format("noop").mode("overwrite").save()
     elapsed = time.perf_counter() - t0
     sig = plan_signature(df) if not df.isStreaming else {}
+    # Isolate measurements: the dedup/ANN chains persist shared stages
+    # and the iterative operators localCheckpoint per round — left in
+    # place across queries they accumulate storage memory/disk and
+    # contaminate LATER timings (one sweep measured the same query at
+    # 3 s and 40 s at the same SF purely by run order).  Drop all
+    # cached relations and nudge both GCs so checkpoint RDDs whose
+    # references died are actually released before the next clock
+    # starts.
+    import gc
+
+    spark.catalog.clearCache()
+    del df
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
     return elapsed, sig
 
 
