@@ -70,10 +70,12 @@ def q_multi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (revenue, line count) row per orderkey BEFORE the join — the
     # orderkey exchange then carries O(orders) narrow rows instead of
     # O(lineitem) wide ones, and the partial hash agg combines
-    # map-side.  The shuffle_hash hint keeps the join sort-free: a
-    # sort-merge join here sorts the fact side (n log n — the sf1→sf10
-    # sweep measured 13× on 10× data); a shuffled hash join builds on
-    # the order side per partition and streams the probe.
+    # map-side.  Join strategy deliberately unhinted: A/B-measured at
+    # sf0.1/sf1/sf10, AQE's runtime pick (broadcast while the reduced
+    # order side is small, sort-merge over the already-narrow agg
+    # output after) beat a pinned shuffle_hash at every scale
+    # (1.5/8.4/23.6 s vs 5.7/12.7/55.9 s); the original fact-side
+    # sort-merge the sweep flagged went 13× on 10× data.
     lrev = (
         l.groupBy("l_orderkey")
         .agg(
@@ -85,7 +87,7 @@ def q_multi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        lrev.join(oc.hint("shuffle_hash"), lrev.l_orderkey == oc.o_orderkey)
+        lrev.join(oc, lrev.l_orderkey == oc.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.sum("lc").alias("line_count"),
