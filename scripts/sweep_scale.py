@@ -39,6 +39,7 @@ SKIP = {
     "kmeans_centroids",
     "ivf_trained_topk",
     "bpe_merges",
+    "bpe_encode_token_counts",  # trains bpe_merges' loop before encoding
     "neardup_clusters",
     "embedding_neardup_pairs",
 }
@@ -74,6 +75,13 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — report and continue
             failed.append((name, str(e)[:200]))
             print(f"    FAIL  {name}: {str(e)[:150]}", flush=True)
+        # isolate queries from each other (see scale_check.run_one):
+        # persisted shared stages otherwise tax whatever runs next
+        import gc
+
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     print(f"\nswept {len(names)} queries; slow: {slow or 'none'}; "
           f"failed: {failed or 'none'}")
