@@ -2,10 +2,11 @@
 shapes, analytic window functions, grouping sets, set ops, as-of logic,
 sliding and session windows.
 
-Scale notes are per-query; the recurring theme is: broadcast every
-dimension table (datamodel.BROADCAST_TABLES), shuffle only fact
-tables, and express rankings as bounded per-partition window
-computations."""
+Scale notes are per-query; the recurring theme is: pin broadcast ONLY
+for genuinely bounded relations (nation/region, per-type aggregates),
+leave SF-scaling tables (customer/part/supplier) to AQE's runtime
+choice, shuffle only fact tables, and express rankings as bounded
+per-partition window computations."""
 
 from __future__ import annotations
 
@@ -1368,4 +1369,48 @@ def q_scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
+    )
+
+
+# --- explicit skew-join salting -------------------------------------------
+
+
+@register_extra(
+    "salted_join_above_type_avg",
+    """
+    WITH stats AS (
+        SELECT event_type,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                 AS avg_v
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, count(*) AS n_above
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE CAST(e.value AS DOUBLE) > s.avg_v
+    GROUP BY e.event_type
+    """,
+    doc="Events above their type's average value, joined through "
+    "scale.salted_join: the per-type stats side is replicated 16x and "
+    "fact rows are salted by pmod(hash(event_id), 16), so the join "
+    "executes on (event_type, salt) and a 90%%-hot type spreads over "
+    "16 tasks instead of one straggler.  This is the pre-salting "
+    "complement to AQE's skew-join splitting (which only fires for "
+    "oversized sort-merge partitions after the fact): the plan-level "
+    "guarantee for KNOWN skew, like salted_agg for aggregations and "
+    "salted_windowed_count_stream for streaming state.  The salt is "
+    "deterministic, so the result hash-matches the plain-join oracle "
+    "exactly.",
+)
+def q_salted_join_above_type_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_repartition_watermark_example_spark.scale import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        (dec_sum("value", "_s") / F.count(F.lit(1))).alias("avg_v")
+    )
+    joined = salted_join(ev, stats, "event_type", spread_col="event_id")
+    return (
+        joined.where(F.col("value").cast("double") > F.col("avg_v"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_above"))
     )

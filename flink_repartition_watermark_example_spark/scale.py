@@ -56,3 +56,40 @@ def salted_agg(
     return partial.groupBy(*keys).agg(
         *[recombine[op](out).alias(out) for out, (op, _) in aggs.items()]
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    spread_col: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the non-broadcastable ``dim`` side is
+    replicated ``salt_buckets`` times and ``fact`` rows are salted
+    deterministically, so one hot join key spreads across
+    ``salt_buckets`` tasks instead of one straggler partition.
+
+    AQE's skew-join splitting only kicks in for sort-merge joins with
+    detectably oversized partitions AFTER a shuffle materializes them;
+    pre-salting is the plan-level guarantee (and the only option when
+    the skew is known up front — e.g. a join keyed by event_type where
+    one type is 90% of 100 TB of traffic).
+
+    ``spread_col``: a high-cardinality fact column (a unique id) whose
+    hash distributes the hot key's rows uniformly over the salt —
+    deterministic (pmod of the column hash), so results are exactly
+    reproducible, unlike a rand() salt.  Cost: dim shuffles
+    ``salt_buckets``× its size — use only when dim is too big to
+    broadcast AND the fact key is skewed.
+    """
+    from pyspark.sql import functions as F
+
+    rep = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    salted = fact.withColumn(
+        "__salt", F.pmod(F.hash(F.col(spread_col)), F.lit(salt_buckets))
+    )
+    return salted.join(rep, [key, "__salt"], how).drop("__salt")

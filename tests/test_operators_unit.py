@@ -264,3 +264,30 @@ def test_new_ops_broadcast_their_small_sides(spark, sf_dir):
     bm25 = EXTRA_QUERIES["bm25_search"].spark(spark, sf_dir)
     plan = bm25._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# --- skew-join salting: the salt must be IN the join key ------------------
+
+
+def test_salted_join_spreads_hot_key_and_matches_plain_join(spark):
+    from flink_repartition_watermark_example_spark.scale import salted_join
+
+    # 90%-hot key distribution, like the streaming salted-count test
+    rows = [(i, "hot" if i % 10 else "cold", i * 3 % 7) for i in range(1000)]
+    fact = spark.createDataFrame(rows, "id long, k string, v long")
+    dim = spark.createDataFrame(
+        [("hot", 100), ("cold", 200)], "k string, bonus long"
+    )
+
+    j = salted_join(fact, dim, "k", spread_col="id", salt_buckets=8)
+    plain = fact.join(dim, "k")
+    assert sorted(map(tuple, j.collect())) == sorted(map(tuple, plain.collect()))
+
+    # the join must execute on (k, __salt): the physical plan's join
+    # keys (and the exchanges feeding it) carry the salt column, which
+    # is what splits the hot key across salt_buckets tasks
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan, plan[:1500]
+    # deterministic: same inputs -> byte-identical result set
+    j2 = salted_join(fact, dim, "k", spread_col="id", salt_buckets=8)
+    assert sorted(map(tuple, j2.collect())) == sorted(map(tuple, j.collect()))
