@@ -72,6 +72,14 @@ DEFAULT_QUERIES = [
     "embedding_neardup_pairs_8p",
     # iterative connected components over the LSH candidate graph
     "neardup_clusters",
+    # round-5 additions: tokenizer apply (vocab-sized encode +
+    # broadcast-back), cross-doc boilerplate (inventory + corpus
+    # join), two-level sketch rollup, explicit skew-join salting
+    "bpe_encode_token_counts",
+    "boilerplate_ngrams",
+    "boilerplate_flagged_docs",
+    "hll_daily_rollup_users",
+    "salted_join_above_type_avg",
 ]
 
 _NODE_RE = re.compile(r"^\* ([A-Za-z]+[A-Za-z0-9]*)", re.MULTILINE)

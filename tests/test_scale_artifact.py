@@ -110,3 +110,8 @@ def test_sf10_spot_sweep_stays_sub_linear():
     for name, r in art["queries"].items():
         assert r["ratio"] is not None, name
         assert r["ratio"] < 20, f"{name} grew {r['ratio']}× on 10× data (sf1→sf10)"
+    # streaming replay drops no rows at sf10 either (100× the bench SF)
+    for key, r in art.get("stream_batch_rows", {}).items():
+        assert r["equal"], (
+            f"{key}: stream {r['stream_rows']} != batch {r['batch_rows']}"
+        )
