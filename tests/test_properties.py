@@ -241,3 +241,59 @@ def test_duckdb_replace_matches_reference_merge(syms, pair):
     assert got == _encode(_bpe_merge_reference(syms, pair)), (
         f"duckdb replace diverged for {syms} merging {pair}"
     )
+
+
+# --- BPE encode bounds + boilerplate invariants over the real corpus ------
+
+
+def test_bpe_encode_counts_are_bounded_by_chars_and_words(spark, sf_dir):
+    """For every doc: n_words <= n_bpe_tokens <= total letters —
+    merges only ever shrink the per-word symbol count from |chars|
+    toward 1, never below 1 per word."""
+    from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES
+    from flink_repartition_watermark_example_spark.sources.tables import load_table
+
+    enc = EXTRA_QUERIES["bpe_encode_token_counts"].spark(spark, sf_dir)
+    letters = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]"), 0)
+            ).alias("n_letters"),
+        )
+    )
+    bad = (
+        enc.join(letters, "doc_id")
+        .where(
+            (F.col("n_bpe_tokens") < F.col("n_words"))
+            | (F.col("n_bpe_tokens") > F.col("n_letters"))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_boilerplate_flagged_docs_subset_with_consistent_df(spark, sf_dir):
+    """Every flagged doc's n_boiler is <= its distinct-shingle count,
+    and max_df is the df of one of ITS shingles (so >= the threshold
+    and <= the corpus-wide max df)."""
+    from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES
+    from flink_repartition_watermark_example_spark.queries_text import (
+        _BOILER_MIN_DOCS,
+        _boiler_shingles,
+    )
+    from flink_repartition_watermark_example_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = EXTRA_QUERIES["boilerplate_flagged_docs"].spark(spark, sf_dir)
+    per_doc = _boiler_shingles(docs).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh")
+    )
+    rows = flagged.join(per_doc, "doc_id").collect()
+    assert rows, "no flagged docs at this SF — thresholds degenerate"
+    inv = EXTRA_QUERIES["boilerplate_ngrams"].spark(spark, sf_dir)
+    max_df = inv.agg(F.max("n_docs")).collect()[0][0]
+    for r in rows:
+        assert r["n_boiler"] <= r["n_sh"], r
+        assert _BOILER_MIN_DOCS <= r["max_df"] <= max_df, r
