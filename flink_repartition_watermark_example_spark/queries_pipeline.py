@@ -152,52 +152,64 @@ def q_doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM b
     """,
     doc="Gopher-style repetition quality signals: duplicate-bigram "
-    "fraction and most-frequent-token share. The max-token-count runs "
-    "as an exploded (doc, token) codegen aggregation — the earlier "
-    "array form (array_max over transform(distinct, filter-count)) "
-    "dispatched O(|distinct|·|tokens|) interpreted lambdas per doc, "
-    "quadratic in document length (~80 s at sf1 vs ~6 s for this "
-    "shape). Identical integer counts and the same final double "
-    "division, so the oracle is unchanged.",
+    "fraction and most-frequent-token share. BOTH metrics run as "
+    "exploded codegen hash aggregations — the earlier array forms "
+    "(array_max over transform(distinct, filter-count) for the token "
+    "share — O(|distinct|·|tokens|) interpreted lambdas, ~80 s at "
+    "sf1 — then array_distinct over the bigram array for the dup "
+    "fraction, still an interpreted per-row pass that dominated the "
+    "sf10 profile) are replaced by per-(doc, gram) counts + per-doc "
+    "sums, all whole-stage codegen after the one shingle transform "
+    "that materializes bigrams. Identical integer counts and the "
+    "same final double divisions, so the oracle is unchanged.",
 )
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = TX.tokens("text")
     bg = TX.shingles(toks, 2)
-    dup = F.when(F.size(bg) == 0, F.lit(0.0)).otherwise(
-        F.lit(1.0)
-        - F.size(F.array_distinct(bg)).cast("double") / F.size(bg).cast("double")
-    )
     from flink_repartition_watermark_example_spark.scale import fan_out
 
-    # the bigram/distinct lambdas are interpreted per-row work — raise
-    # the (often single-split) scan's parallelism first, like the
-    # dedup family does
+    # the shingle transform is the one interpreted per-row stage left —
+    # raise the (often single-split) scan's parallelism first, like
+    # the dedup family does
     fanned = fan_out(docs, "doc_id")
-    # per-doc scalars only on the join's left side: shipping the token
-    # ARRAY through the doc_id shuffle just to read size(t) after the
-    # join moved corpus-sized payloads through the exchange (the
-    # sf1→sf10 sweep priced it) — project n_toks before the join so
-    # the shuffle carries 3 scalar columns
-    base = fanned.select(
-        "doc_id",
-        F.size(toks).alias("n_toks"),
-        dup.alias("dup_2gram_ratio"),
-    )
+    # dup-bigram fraction from exploded per-(doc, bigram) counts:
+    # n_bg = Σc, n_distinct = count(*) — two codegen hash aggs replace
+    # the interpreted array_distinct pass over every bigram array.
     # explode_outer + null-filter (see operators/dedup.py on
-    # InferFiltersFromGenerate) — per-(doc, token) counts, then the max
-    # count per doc: two codegen hash aggregations, linear in tokens
+    # InferFiltersFromGenerate); single-token docs (empty bigram
+    # array) drop out here and re-enter via the left join as 0.0.
+    per_bg = (
+        fanned.select("doc_id", F.explode_outer(bg).alias("g"))
+        .where(F.col("g").isNotNull())
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bg"),
+            F.count(F.lit(1)).alias("n_distinct_bg"),
+        )
+    )
+    # most-frequent-token share from per-(doc, token) counts: top_c =
+    # max(c), n_toks = Σc (== size(tokens) — split yields no nulls)
     per_tok = (
         fanned.select("doc_id", F.explode_outer(toks).alias("tok"))
         .where(F.col("tok").isNotNull())
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
-        .agg(F.max("c").alias("top_c"))
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_toks"))
     )
-    return base.join(per_tok, "doc_id").select(
+    # scalar-only join sides (the sf1→sf10 sweep priced shipping
+    # arrays through the doc_id exchange)
+    return per_tok.join(per_bg, "doc_id", "left").select(
         "doc_id",
-        "dup_2gram_ratio",
+        F.when(F.col("n_bg").isNull(), F.lit(0.0))
+        .otherwise(
+            F.lit(1.0)
+            - F.col("n_distinct_bg").cast("double") / F.col("n_bg").cast("double")
+        )
+        .alias("dup_2gram_ratio"),
         (F.col("top_c").cast("double") / F.col("n_toks").cast("double")).alias(
             "top_token_ratio"
         ),
