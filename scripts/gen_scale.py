@@ -5,9 +5,10 @@ The driver's parquet tops out at sf0.1; every "100 TB-safe" claim in
 the tree rests on evidence there.  This script derives sfN from sf0.1
 by deterministic replication — each replica shifts every key domain by
 a fixed stride (FK integrity preserved: o_custkey shifts exactly like
-c_custkey), perturbs document text (new shingles per replica, so the
-dedup family scales like a mostly-unique corpus instead of a 10×
-exact-dup one) and embedding components (per-dim deterministic offsets
+c_custkey), perturbs document text (every token suffixed per replica →
+shingle sets disjoint across replicas, so the dedup family scales like
+a mostly-unique corpus — true pair count linear in mult, never
+C(mult, 2)) and embedding components (per-dim deterministic offsets
 so ANN candidates don't tie across replicas).
 
 Replication runs AS a Spark job (explode over a replica sequence — one
@@ -102,11 +103,28 @@ def scale_table(spark, src_dir: str, out_dir: str, name: str, mult: int) -> int:
             ),
         )
     if name == "documents":
-        # new shingles per replica → near-dup structure stays sparse
+        # EVERY token gets a per-replica suffix (r>0), so shingle sets
+        # are fully disjoint across replicas and the dedup family
+        # scales like a mostly-unique corpus: true near-dup pairs grow
+        # linearly with mult (the sf0.1 near-dup structure repeats once
+        # per replica).  The earlier form appended ONE trailing token,
+        # which left replicas of the same doc at ~0.96 shingle-jaccard
+        # of each other — every doc acquired mult-1 near-identical
+        # twins, true pair count grew as C(mult, 2), and the sf10
+        # sweep measured that quadratic OUTPUT as if it were engine
+        # super-linearity (worst entry 9.8× on 10× data).
         rep = rep.withColumn(
             "text",
             F.when(F.col("__r") == 0, F.col("text")).otherwise(
-                F.concat(F.col("text"), F.lit(" zrep"), F.col("__r").cast("string"))
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda t: F.concat(
+                            t, F.lit("~r"), F.col("__r").cast("string")
+                        ),
+                    ),
+                    " ",
+                )
             ),
         ).withColumn("n_chars", F.length("text").cast("long"))
     if name == "embeddings":
