@@ -415,3 +415,102 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
         .join(votes, "doc_id", "left")
         .select("doc_id", F.coalesce(sim, F.lit(0).cast("long")).alias("simhash"))
     )
+
+
+# --- winnowing -------------------------------------------------------------
+
+WINNOW_W = 4  # grams per winnowing window; guarantee: any shared run
+# of WINNOW_W + SHINGLE_N - 1 consecutive tokens yields at least one
+# shared selected fingerprint (Schleimer/Wilkerson/Aiken, MOSS).
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """MOSS-style winnowed fingerprint set per document: hash every
+    word n-gram IN ORDER, slide a window of ``w`` consecutive gram
+    hashes, keep each window's minimum, return the distinct selected
+    hashes as (doc_id, fp) rows.
+
+    Positional local fingerprinting — the third member of the dedup
+    hash family (minhash estimates whole-set jaccard, simhash a global
+    bit profile; winnowing keeps ~1/w of the grams yet guarantees any
+    sufficiently long shared SUBSTRING is represented, so it catches
+    partial overlap/quotation that whole-document signatures dilute).
+
+    Scale shape: one hash shuffle on doc_id feeds both window
+    functions (count + sliding min share the partitioning; Catalyst
+    plans a single exchange+sort), and the output carries ~|grams|/w
+    longs per doc — the 100 TB win over storing full shingle sets.
+    Docs shorter than one full window contribute their single partial
+    window's min (pos 0), so every non-empty doc has >= 1 fingerprint.
+    """
+    from pyspark.sql.window import Window
+
+    grams = TX.shingles(TX.tokens(text_col), n)
+    g = (
+        fan_out(docs, "doc_id")
+        .select("doc_id", F.posexplode_outer(grams).alias("pos", "g"))
+        .where(F.col("g").isNotNull())
+        .select("doc_id", "pos", md5_long(F.col("g")).alias("h"))
+    )
+    doc_w = Window.partitionBy("doc_id")
+    slide = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        g.withColumn("n", F.count(F.lit(1)).over(doc_w))
+        .withColumn("wmin", F.min("h").over(slide))
+        .where(
+            (F.col("pos") <= F.col("n") - w)
+            | ((F.col("n") < w) & (F.col("pos") == 0))
+        )
+        .select("doc_id", F.col("wmin").alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_shared: int = 3,
+    max_fp_docs: int = MAX_BUCKET_DOCS,
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowed fingerprints:
+    (doc_a, doc_b, shared) for pairs sharing >= ``min_shared`` selected
+    hashes.
+
+    The pair join is an equi-join on the fingerprint value — never
+    all-pairs — with the family's standard hot-bucket discipline:
+    fingerprints held by more than ``max_fp_docs`` docs are dropped
+    before the self-join (viral boilerplate grams propose quadratic
+    noise, and upstream exact/fingerprint dedup already caught
+    identical docs).  The fingerprint relation is persisted so the
+    winnow window stage runs once, not once per join side.
+    """
+    from pyspark.sql.window import Window
+
+    fp = winnow_fingerprints(docs, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    hot = Window.partitionBy("fp")
+    capped = (
+        fp.withColumn("__n", F.count(F.lit(1)).over(hot))
+        .where(F.col("__n") <= max_fp_docs)
+        .drop("__n")
+    )
+    # merge hints: O(corpus) on both sides — see band_pair_ids.
+    a, b = capped.alias("a").hint("merge"), capped.alias("b").hint("merge")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )

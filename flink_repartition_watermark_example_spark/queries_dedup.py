@@ -297,3 +297,70 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         F.col("v").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+# Winnowing oracle CTEs: ordered gram hashes → sliding-window min →
+# distinct selected fingerprints, the SQL twin of
+# operators/dedup.winnow_fingerprints (0-based positions on both
+# engines; trailing partial windows filtered the same way).
+_WINNOW_CTES = f"""
+    toks AS (SELECT doc_id, {TX.tokens_sql('text')} AS t FROM documents),
+    shw AS (SELECT doc_id, {TX.shingles_sql('t', DD.SHINGLE_N)} AS s FROM toks),
+    gw AS (SELECT doc_id,
+                  CAST(generate_subscripts(s, 1) - 1 AS BIGINT) AS pos,
+                  unnest(s) AS gram
+           FROM shw),
+    hw AS (SELECT doc_id, pos, {md5_long_sql('gram')} AS h FROM gw),
+    selw AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY doc_id) AS n,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW
+                          AND {DD.WINNOW_W - 1} FOLLOWING) AS wmin
+      FROM hw
+    ),
+    fpw AS (
+      SELECT DISTINCT doc_id, wmin AS fp FROM selw
+      WHERE pos <= n - {DD.WINNOW_W}
+         OR (n < {DD.WINNOW_W} AND pos = 0)
+    )
+"""
+
+
+@register_extra(
+    "winnow_fingerprints",
+    f"WITH {_WINNOW_CTES} SELECT doc_id, fp FROM fpw",
+    doc="MOSS-style winnowed fingerprints (Schleimer/Wilkerson/Aiken): "
+    "per-window minimum of rolling n-gram hashes — keeps ~1/w of the "
+    "grams yet guarantees any shared token run of w+n-1 tokens is "
+    "represented. The positional third member of the dedup hash family "
+    "(minhash = whole-set jaccard, simhash = global bit profile); "
+    "value-checked fingerprint-by-fingerprint against the DuckDB "
+    "window-function twin.",
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register_extra(
+    "winnow_neardup_pairs",
+    f"""
+    WITH {_WINNOW_CTES},
+    cappedw AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS fn FROM fpw
+      ) WHERE fn <= {DD.MAX_BUCKET_DOCS}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+    FROM cappedw a JOIN cappedw b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 3
+    """,
+    doc="Near-dup pairs by shared winnowed fingerprints (>= 3 shared "
+    "window minima): catches partial overlap/quotation that "
+    "whole-document signatures dilute. Equi-join on the fingerprint "
+    "value with the family's hot-bucket cap — never all-pairs.",
+)
+def q_winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.winnow_neardup_pairs(load_table(spark, sf_dir, "documents"))

@@ -291,3 +291,52 @@ def test_salted_join_spreads_hot_key_and_matches_plain_join(spark):
     # deterministic: same inputs -> byte-identical result set
     j2 = salted_join(fact, dim, "k", spread_col="id", salt_buckets=8)
     assert sorted(map(tuple, j2.collect())) == sorted(map(tuple, j.collect()))
+
+
+def test_winnowing_guarantee_shared_run_yields_shared_fingerprint(spark):
+    # MOSS guarantee: any shared run of w+n-1 consecutive tokens
+    # (here 4+3-1 = 6) produces at least one shared selected
+    # fingerprint — the property that makes winnowing a sound
+    # substring-overlap detector at 1/w storage.
+    from flink_repartition_watermark_example_spark.operators import dedup as DD
+
+    shared_run = "alpha bravo charlie delta echo foxtrot"  # 6 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared_run} four five six"),
+            (2, f"seven eight nine ten {shared_run} eleven"),
+            (3, "totally unrelated words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = DD.winnow_neardup_pairs(docs, min_shared=1).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (1, 2) in found
+    assert all(3 not in p for p in found)
+
+
+def test_winnowing_selects_subset_of_gram_hashes_at_reduced_rate(spark, sf_dir):
+    from flink_repartition_watermark_example_spark.functions import textfns as TX
+    from flink_repartition_watermark_example_spark.functions.hashing import md5_long
+    from flink_repartition_watermark_example_spark.operators import dedup as DD
+    from flink_repartition_watermark_example_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    fp = DD.winnow_fingerprints(docs)
+    grams = docs.select(
+        "doc_id",
+        F.explode(TX.shingles(TX.tokens("text"), DD.SHINGLE_N)).alias("g"),
+    ).select("doc_id", md5_long(F.col("g")).alias("h")).distinct()
+    # every fingerprint is one of the doc's own gram hashes...
+    stray = fp.join(
+        grams,
+        (fp.doc_id == grams.doc_id) & (fp.fp == grams.h),
+        "left_anti",
+    ).count()
+    assert stray == 0
+    # ...and winnowing actually thins the set (~1/w of the grams; the
+    # 2/w bound holds loosely even on small docs)
+    n_fp = fp.count()
+    n_g = grams.count()
+    assert 0 < n_fp < n_g
