@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from flink_repartition_watermark_example_spark.functions import textfns as TX
 from flink_repartition_watermark_example_spark.operators.text import analyze_documents
 from flink_repartition_watermark_example_spark.queries import register, register_extra
+from flink_repartition_watermark_example_spark.scale import fan_out
 from flink_repartition_watermark_example_spark.sources.tables import load_table
 
 _TOKS = TX.tokens_sql("text")
@@ -631,13 +632,25 @@ _BOILER_SH_SQL = f"""
 
 def _boiler_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, g): each document's DISTINCT word 4-grams — dedup
-    before the fan-out so a doc repeating its own template counts
-    once (document frequency, not term frequency)."""
-    return docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(TX.shingles(TX.tokens("text"), _BOILER_N))
-        ).alias("g"),
+    before the explode so a doc repeating its own template counts
+    once (document frequency, not term frequency).
+
+    fan_out + explode_outer + null-filter, the repo's standard
+    generate discipline: a bare explode lets Catalyst infer
+    size(arr)>0 and push the interpreted shingle lambda into the
+    scan stage, which on a single-split documents file runs the whole
+    corpus's shingling SERIALLY (measured 34 s/65 s at sf1 for the two
+    boilerplate queries — the worst entries of the refreshed sweep —
+    vs ~linear-in-cores after the fix)."""
+    fanned = fan_out(docs.select("doc_id", "text"), "doc_id")
+    return (
+        fanned.select(
+            "doc_id",
+            F.explode_outer(
+                F.array_distinct(TX.shingles(TX.tokens("text"), _BOILER_N))
+            ).alias("g"),
+        )
+        .where(F.col("g").isNotNull())
     )
 
 
@@ -686,8 +699,14 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "promotes it to broadcast when it measures small.",
 )
 def q_boilerplate_flagged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = _boiler_shingles(docs)
+    # the shingle relation feeds BOTH the inventory aggregate and the
+    # join's probe side; Catalyst does not share subplans across
+    # branches, so persist it (DISK_ONLY — O(corpus) exploded rows,
+    # same rationale as the dedup chain's shared shingle stage)
+    sh = _boiler_shingles(docs).persist(StorageLevel.DISK_ONLY)
     boiler = (
         sh.groupBy("g")
         .agg(F.count(F.lit(1)).alias("n_docs"))
