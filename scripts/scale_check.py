@@ -80,6 +80,10 @@ DEFAULT_QUERIES = [
     "boilerplate_flagged_docs",
     "hll_daily_rollup_users",
     "salted_join_above_type_avg",
+    # winnowing: positional fingerprints (window functions over the
+    # doc_id shuffle) + shared-fingerprint equi-join pairs
+    "winnow_fingerprints",
+    "winnow_neardup_pairs",
 ]
 
 _NODE_RE = re.compile(r"^\* ([A-Za-z]+[A-Za-z0-9]*)", re.MULTILINE)
