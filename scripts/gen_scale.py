@@ -146,7 +146,16 @@ def scale_table(spark, src_dir: str, out_dir: str, name: str, mult: int) -> int:
         )
     n = rep.count()
     out_df = rep.drop("__r")
-    if name == "events":
+    if name != "events":
+        # Realistic storage layout: a table at this scale is never one
+        # or two parquet files — the source explode writes as many
+        # parts as the (tiny) input had splits, which leaves the scan
+        # (+ partial agg) stage of every downstream query running on
+        # 1-2 tasks and measures layout, not engine (pricing_summary
+        # read 5.8× at sf1 purely from the serial scan).  Target
+        # ~500k rows/part, floor 4, cap 256.
+        out_df = out_df.repartition(max(4, min(256, n // 500_000)))
+    else:
         # The streaming replay harness turns each input file into a
         # micro-batch (maxFilesPerTrigger=1, close sentinels last), so
         # part files must be EVENT-TIME ORDERED across parts: with a

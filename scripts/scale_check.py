@@ -13,7 +13,11 @@ What "passes" means (VERDICT round-2 action #1):
 
 Plan shapes are captured as node-type histograms of the formatted
 explain output so diffs are mechanical.  tests/test_scale_artifact.py
-asserts over the written artifact.
+asserts over the written artifact.  Each (query, scale) is timed
+SPARK_GRAFT_SCALE_REPS times (default 2) with full cache/GC isolation
+between reps and the MIN recorded — box noise and first-touch warmup
+are strictly one-sided, and a single-shot ratio once read 8.3× where
+the steady state was 2.8×.
 
 Usage: python scripts/scale_check.py [--sf1 .scaledata/sf1]
        [--baseline /root/testdata/sf0.1] [--queries q1,q2,...]
@@ -101,29 +105,43 @@ def plan_signature(df) -> dict[str, int]:
     return sig
 
 
-def run_one(spark, q, sf_dir: str) -> tuple[float, dict[str, int]]:
+def run_one(spark, q, sf_dir: str, reps: int | None = None) -> tuple[float, dict[str, int]]:
     # Time the WHOLE query call: streaming entries drain their replay
     # inside q.spark() and return the already-materialized sink table,
     # so starting the clock after it would miss all their work.
-    t0 = time.perf_counter()
-    df = q.spark(spark, sf_dir)
-    df.write.format("noop").mode("overwrite").save()
-    elapsed = time.perf_counter() - t0
-    sig = plan_signature(df) if not df.isStreaming else {}
+    #
+    # MIN of `reps` runs (default 2, SPARK_GRAFT_SCALE_REPS): the
+    # first touch of an SF pays file listing + page-cache warmup and
+    # the box carries external load — a single-shot ratio once read
+    # 8.3× where the steady state was 2.8×.  Min (not median) because
+    # the noise here is strictly one-sided.
+    if reps is None:
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
     # Isolate measurements: the dedup/ANN chains persist shared stages
     # and the iterative operators localCheckpoint per round — left in
-    # place across queries they accumulate storage memory/disk and
-    # contaminate LATER timings (one sweep measured the same query at
-    # 3 s and 40 s at the same SF purely by run order).  Drop all
-    # cached relations and nudge both GCs so checkpoint RDDs whose
-    # references died are actually released before the next clock
-    # starts.
+    # place across queries (or across reps — Spark's CacheManager
+    # matches by canonicalized plan, so rep 2 would silently reuse rep
+    # 1's materialized stage) they contaminate whatever runs next (one
+    # sweep measured the same query at 3 s and 40 s at the same SF
+    # purely by run order).  Drop all cached relations and nudge both
+    # GCs after EVERY rep so each clock starts cold.
     import gc
 
-    spark.catalog.clearCache()
-    del df
-    gc.collect()
-    spark.sparkContext._jvm.System.gc()
+    def _isolate():
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
+    elapsed = float("inf")
+    sig: dict[str, int] = {}
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        df = q.spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        elapsed = min(elapsed, time.perf_counter() - t0)
+        sig = plan_signature(df) if not df.isStreaming else {}
+        del df
+        _isolate()
     return elapsed, sig
 
 
