@@ -514,3 +514,70 @@ def winnow_neardup_pairs(
         .agg(F.count(F.lit(1)).alias("shared"))
         .where(F.col("shared") >= min_shared)
     )
+
+
+def winnow_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_shared: int = 3,
+    min_containment: float = 0.5,
+    max_fp_docs: int = MAX_BUCKET_DOCS,
+) -> DataFrame:
+    """Containment pairs: (doc_a, doc_b, shared, containment) where
+    ``containment`` = shared winnowed fingerprints / the SMALLER doc's
+    fingerprint count — the asymmetric-overlap signal (quotation,
+    excerpt, doc-inside-doc) that symmetric jaccard dilutes: a 50-line
+    doc fully quoted inside a 5000-line doc has jaccard ~0.01 but
+    containment ~1.0.
+
+    Same scale shape as winnow_neardup_pairs (fingerprint equi-join,
+    hot-bucket cap); the denominator counts come from the UNCAPPED
+    per-doc fingerprint sets, so the ratio is a property of the docs,
+    not of the cap.  The fingerprint relation is persisted once and
+    feeds the two join sides AND the two count lookups.
+    """
+    from pyspark.sql.window import Window
+
+    fp = winnow_fingerprints(docs, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    hot = Window.partitionBy("fp")
+    capped = (
+        fp.withColumn("__n", F.count(F.lit(1)).over(hot))
+        .where(F.col("__n") <= max_fp_docs)
+        .drop("__n")
+    )
+    a, b = capped.alias("a").hint("merge"), capped.alias("b").hint("merge")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    na = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_a")
+    )
+    nb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_b")
+    )
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            (
+                F.col("shared").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= min_containment)
+    )

@@ -364,3 +364,43 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.winnow_neardup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register_extra(
+    "winnow_containment_pairs",
+    f"""
+    WITH {_WINNOW_CTES},
+    sizesw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+               FROM fpw GROUP BY doc_id),
+    cappedw AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS fn FROM fpw
+      ) WHERE fn <= {DD.MAX_BUCKET_DOCS}
+    ),
+    pairsw AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM cappedw a JOIN cappedw b
+        ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) >= 3
+    )
+    SELECT p.doc_a, p.doc_b, p.shared,
+           CAST(p.shared AS DOUBLE) / CAST(least(na.n_fp, nb.n_fp) AS DOUBLE)
+             AS containment
+    FROM pairsw p
+    JOIN sizesw na ON na.doc_id = p.doc_a
+    JOIN sizesw nb ON nb.doc_id = p.doc_b
+    WHERE CAST(p.shared AS DOUBLE) / CAST(least(na.n_fp, nb.n_fp) AS DOUBLE)
+            >= 0.5
+    """,
+    doc="Asymmetric containment pairs: shared winnowed fingerprints "
+    "over the SMALLER doc's fingerprint count — catches quotation / "
+    "excerpt / doc-inside-doc overlap that symmetric jaccard dilutes "
+    "(a short doc fully quoted in a long one has jaccard ~0 but "
+    "containment ~1). Denominators come from the uncapped per-doc "
+    "sets so the ratio is a property of the docs, not the hot-bucket "
+    "cap.",
+)
+def q_winnow_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.winnow_containment_pairs(load_table(spark, sf_dir, "documents"))

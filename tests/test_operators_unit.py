@@ -340,3 +340,23 @@ def test_winnowing_selects_subset_of_gram_hashes_at_reduced_rate(spark, sf_dir):
     n_fp = fp.count()
     n_g = grams.count()
     assert 0 < n_fp < n_g
+
+
+def test_containment_catches_quotation_that_jaccard_dilutes(spark):
+    from flink_repartition_watermark_example_spark.operators import dedup as DD
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"  # 10 toks
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))  # 120 toks
+    docs = spark.createDataFrame(
+        [(1, quote), (2, f"{filler} {quote}")],
+        "doc_id long, text string",
+    )
+    rows = DD.winnow_containment_pairs(
+        docs, min_shared=1, min_containment=0.9
+    ).collect()
+    assert len(rows) == 1 and (rows[0].doc_a, rows[0].doc_b) == (1, 2)
+    assert rows[0].containment >= 0.9
+    # the symmetric detector at jaccard >= 0.3 must NOT pair them —
+    # that asymmetry is the whole point of the containment signal
+    sym = DD.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    assert sym == []
