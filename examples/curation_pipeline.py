@@ -10,6 +10,9 @@ registry query or storage primitive, wired here in production order:
   3. exact dedup       — one representative per identical text
   4. near-dup clusters — minhash → LSH → jaccard → connected
                          components; keep each cluster's min doc_id
+  4b. containment purge — drop the shorter doc of any >= 80%
+                         winnow-containment pair (excerpts/quotes
+                         symmetric jaccard misses)
   5. decontamination   — drop train docs overlapping the eval split
   6. split + chunk     — deterministic hash split, fixed-window chunks
   7. compacted layout  — partitioned-by-split parquet, right-sized files
@@ -94,6 +97,27 @@ def main(sf_dir: str) -> None:
     )
     neardup = exact.join(reps, "doc_id", "left_semi")
     n3 = neardup.count()
+
+    # 3b. containment purge: a doc >= 80% contained (by shared
+    # winnowed fingerprints) in another survivor is an excerpt /
+    # quotation that symmetric jaccard missed; the SHORTER doc of
+    # each pair is dropped.
+    cont = DD.winnow_containment_pairs(neardup, min_containment=0.8)
+    lens = neardup.select("doc_id", "n_chars")
+    la = lens.select(F.col("doc_id").alias("doc_a"), F.col("n_chars").alias("len_a"))
+    lb = lens.select(F.col("doc_id").alias("doc_b"), F.col("n_chars").alias("len_b"))
+    contained = (
+        cont.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .select(
+            F.when(F.col("len_a") <= F.col("len_b"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    neardup = neardup.join(contained, "doc_id", "left_anti")
+    n3b = neardup.count()
 
     # 4. split assignment + decontamination of train against test.
     bucket = md5_long(F.col("doc_id").cast("string"), salt="split") % 100
@@ -182,7 +206,8 @@ def main(sf_dir: str) -> None:
     }
 
     print(f"funnel: raw={n0} quality={n1} boilerplate={n1b} "
-          f"exact_dedup={n2} neardup={n3} decontaminated={n4}")
+          f"exact_dedup={n2} neardup={n3} containment={n3b} "
+          f"decontaminated={n4}")
     print(f"chunks per split: {per_split}  → {out}")
     print(f"BPE tokens per split (vocab trained on train only): "
           f"{tokens_by_split}")
