@@ -43,7 +43,7 @@ from flink_repartition_watermark_example_spark.queries_pipeline import CONTAM_MI
 from flink_repartition_watermark_example_spark.sources.tables import load_table
 
 
-def main(sf_dir: str) -> None:
+def main(sf_dir: str) -> dict:
     spark = get_spark(app_name="curation-pipeline")
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
@@ -211,9 +211,23 @@ def main(sf_dir: str) -> None:
     print(f"chunks per split: {per_split}  → {out}")
     print(f"BPE tokens per split (vocab trained on train only): "
           f"{tokens_by_split}")
-    assert n0 >= n1 >= n1b >= n2 >= n3 >= n4 > 0
+    assert n0 >= n1 >= n1b >= n2 >= n3 >= n3b >= n4 > 0
     assert set(per_split) <= {"train", "val", "test"}
     assert tokens_by_split.get("train", 0) > 0
+    return {
+        "funnel": {
+            "raw": n0,
+            "quality": n1,
+            "boilerplate": n1b,
+            "exact_dedup": n2,
+            "neardup": n3,
+            "containment": n3b,
+            "decontaminated": n4,
+        },
+        "chunks_per_split": per_split,
+        "tokens_by_split": tokens_by_split,
+        "out_dir": out,
+    }
 
 
 if __name__ == "__main__":
