@@ -297,3 +297,48 @@ def test_boilerplate_flagged_docs_subset_with_consistent_df(spark, sf_dir):
     for r in rows:
         assert r["n_boiler"] <= r["n_sh"], r
         assert _BOILER_MIN_DOCS <= r["max_df"] <= max_df, r
+
+
+def test_winnow_matches_pure_python_reference(spark):
+    # Independent reimplementation check: random corpora, a pure-Python
+    # winnow (md5 gram hashes, sliding-window min, full windows only,
+    # partial-window fallback for short docs) must produce EXACTLY the
+    # Spark operator's (doc_id, fp) set — catches window-framing or
+    # hash drift that the DuckDB oracle (same SQL shape) could share.
+    import hashlib
+    import random
+    import re
+
+    from flink_repartition_watermark_example_spark.operators import dedup as DD
+
+    rng = random.Random(42)
+    vocab = [f"tok{i}" for i in range(30)]
+    rows = []
+    for doc_id in range(60):
+        n_toks = rng.randint(0, 24)  # includes docs shorter than n and w
+        rows.append((doc_id, " ".join(rng.choice(vocab) for _ in range(n_toks))))
+
+    def md5_long(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    expected = set()
+    n, w = DD.SHINGLE_N, DD.WINNOW_W
+    for doc_id, text in rows:
+        toks = re.split(r"\s+", text.strip()) if text.strip() else [""]
+        grams = [
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        ] if len(toks) >= n else []
+        hs = [md5_long(g) for g in grams]
+        if not hs:
+            continue
+        if len(hs) < w:
+            expected.add((doc_id, min(hs)))
+        else:
+            for p in range(len(hs) - w + 1):
+                expected.add((doc_id, min(hs[p : p + w])))
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.fp) for r in DD.winnow_fingerprints(docs).collect()
+    }
+    assert got == expected
