@@ -541,6 +541,12 @@ def winnow_containment_pairs(
     fp = winnow_fingerprints(docs, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # Eager materialization: FOUR plan branches consume fp (two join
+    # sides, two count lookups), and their stages launch concurrently —
+    # each cache-missing stage recomputes the winnow pipeline in
+    # parallel before any partition lands in the cache (measured 62 s
+    # vs ~25 s at sf10).  One count() pins the relation first.
+    fp.count()
     sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     hot = Window.partitionBy("fp")
     capped = (

@@ -85,9 +85,11 @@ DEFAULT_QUERIES = [
     "hll_daily_rollup_users",
     "salted_join_above_type_avg",
     # winnowing: positional fingerprints (window functions over the
-    # doc_id shuffle) + shared-fingerprint equi-join pairs
+    # doc_id shuffle) + shared-fingerprint equi-join pairs + the
+    # asymmetric containment variant
     "winnow_fingerprints",
     "winnow_neardup_pairs",
+    "winnow_containment_pairs",
 ]
 
 _NODE_RE = re.compile(r"^\* ([A-Za-z]+[A-Za-z0-9]*)", re.MULTILINE)
