@@ -555,3 +555,103 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- bigram-LM quality scoring (CCNet-style) ------------------------------
+#
+# A language-model quality filter without an external model: train a
+# bigram LM on the corpus itself (c(w1,w2) / c(w1)), score every doc by
+# its MEAN transition probability.  Well-formed prose reuses common
+# transitions (high score); gibberish/boilerplate-shredded text lands
+# in rare transitions (low score).  Probabilities are carried as exact
+# INTEGER MICRO-UNITS (floor(c2 * 1e6 / c1)) so the per-doc sum is
+# order-insensitive and bit-identical across engines — one double
+# division at the very end (the repo's standard hash-parity recipe; a
+# float log-prob sum would be summation-order-dependent and could
+# never hash-match).
+#
+# Scale shape: two corpus passes (bigram explode -> LM counts agg;
+# bigram explode -> score join), both map-side-combined hash aggs; the
+# LM relation grows with observed-bigram vocabulary, not corpus rows,
+# and the score join is a plain equi-join on the bigram — AQE
+# broadcasts it while it measures small.  At 100 TB train the LM once,
+# store it bucketed by bigram, and the scoring join is shuffle-free.
+
+_LM_MICRO = 1_000_000
+
+_LM_CTES = f"""
+    toksq AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bgq AS (SELECT doc_id, unnest({TX.shingles_sql('t', 2)}) AS bg FROM toksq),
+    w1q AS (SELECT doc_id, string_split(bg, ' ')[1] AS w1, bg FROM bgq),
+    uni AS (SELECT string_split(bg, ' ')[1] AS w1,
+                   CAST(count(*) AS BIGINT) AS c1
+            FROM bgq GROUP BY 1),
+    lm AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2,
+                  string_split(bg, ' ')[1] AS w1
+           FROM bgq GROUP BY bg)
+"""
+
+
+@register_extra(
+    "lm_quality_scores",
+    f"""
+    WITH {_LM_CTES},
+    probs AS (
+      SELECT lm.bg, (lm.c2 * {_LM_MICRO}) // uni.c1 AS micro_p
+      FROM lm JOIN uni ON lm.w1 = uni.w1
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(p.micro_p) AS BIGINT) AS sum_micro_p,
+           CAST(sum(p.micro_p) AS DOUBLE) / (count(*) * {_LM_MICRO})
+             AS mean_transition_p
+    FROM bgq b JOIN probs p ON b.bg = p.bg
+    GROUP BY b.doc_id
+    """,
+    doc="CCNet-style LM quality score without an external model: a "
+    "bigram LM trained on the corpus itself scores every doc by mean "
+    "transition probability P(w2|w1) = c(w1 w2)/c(w1), carried as "
+    "exact integer micro-units so the aggregation is order-"
+    "insensitive and hash-identical across engines. Low scorers are "
+    "the gibberish/template-shredded docs a curation run filters.",
+)
+def q_lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_repartition_watermark_example_spark.scale import fan_out
+
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the exploded bigram relation feeds THREE branches (unigram agg,
+    # bigram agg, score join) whose stages launch concurrently —
+    # persist + pin (count) so the interpreted shingle stage runs
+    # once, not once per cache-missing branch (same pattern as the
+    # dedup chain / winnow_containment_pairs)
+    bg = (
+        fan_out(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            F.explode_outer(TX.shingles(TX.tokens("text"), 2)).alias("bg"),
+        )
+        .where(F.col("bg").isNotNull())
+        .withColumn("w1", F.split("bg", " ").getItem(0))
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    bg.count()
+    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    lm = bg.groupBy("bg", "w1").agg(F.count(F.lit(1)).alias("c2"))
+    probs = lm.join(uni, "w1").select(
+        "bg",
+        F.expr(f"(c2 * {_LM_MICRO}) DIV c1").alias("micro_p"),
+    )
+    return (
+        bg.join(probs, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("micro_p").cast("long").alias("sum_micro_p"),
+            (
+                F.sum("micro_p").cast("double")
+                / (F.count(F.lit(1)) * F.lit(_LM_MICRO))
+            ).alias("mean_transition_p"),
+        )
+    )

@@ -90,6 +90,9 @@ DEFAULT_QUERIES = [
     "winnow_fingerprints",
     "winnow_neardup_pairs",
     "winnow_containment_pairs",
+    # corpus-trained bigram-LM quality scoring (two map-side-combined
+    # aggs + an AQE-decided score join)
+    "lm_quality_scores",
 ]
 
 _NODE_RE = re.compile(r"^\* ([A-Za-z]+[A-Za-z0-9]*)", re.MULTILINE)
