@@ -211,6 +211,10 @@ def lsh_candidate_pairs(
         sigs = minhash_sig_array(docs, text_col).persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        # pin: four plan branches (two band sides + two est_jaccard
+        # sides) launch concurrently; each cache-missing branch would
+        # recompute the shingle→minhash stage in parallel
+        sigs.count()
     pairs = band_pair_ids(sigs, max_bucket_docs)
     # merge hints: the signature relation is O(corpus) — see
     # band_pair_ids for why it must not become a broadcast build side.
@@ -270,11 +274,19 @@ def ngram_jaccard_pairs(
     sh = doc_shingles(fan_out(docs, "doc_id"), text_col).persist(
         StorageLevel.DISK_ONLY
     )
+    # pin before fan-in: the band self-join's two branches and the two
+    # verify sides launch their stages concurrently, and every
+    # cache-missing branch recomputes the interpreted shingle stage in
+    # parallel before any partition lands in the cache (the same
+    # concurrent-miss pattern measured at 62 s vs 38 s on
+    # winnow_containment_pairs at sf10)
+    sh.count()
     # sigs persisted too: the band self-join scans its input twice, and
     # each scan would re-run the md5 + 16-min aggregation over the
     # cached shingles.  The signature relation is docs × 17 longs —
     # negligible to hold, expensive to recompute.
     sigs = minhash_sig_array(shingles=sh).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
     cand = band_pair_ids(sigs, MAX_BUCKET_DOCS)
     # merge hints: the shingle relation is O(corpus bytes), the largest
     # relation in the whole chain — broadcast would OOM at scale (see
@@ -494,6 +506,10 @@ def winnow_neardup_pairs(
     fp = winnow_fingerprints(docs, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # pin before the self-join: its two sides' stages launch
+    # concurrently and each cache-missing branch would recompute the
+    # winnow pipeline in parallel (see winnow_containment_pairs)
+    fp.count()
     hot = Window.partitionBy("fp")
     capped = (
         fp.withColumn("__n", F.count(F.lit(1)).over(hot))
