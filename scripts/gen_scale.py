@@ -79,6 +79,11 @@ def scale_table(spark, src_dir: str, out_dir: str, name: str, mult: int) -> int:
         df.write.mode("overwrite").parquet(out)
         return df.count()
 
+    # widen BEFORE the explode: the sf0.1 source is typically one
+    # parquet split, so the ×mult row fan-out (and everything after)
+    # would otherwise run in a single task — at mult=1000 that is a
+    # 600M-row single-threaded stage
+    df = df.repartition(spark.sparkContext.defaultParallelism)
     rep = df.withColumn(
         "__r", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
     )

@@ -115,3 +115,21 @@ def test_sf10_spot_sweep_stays_sub_linear():
         assert r["equal"], (
             f"{key}: stream {r['stream_rows']} != batch {r['batch_rows']}"
         )
+
+
+SF100 = os.path.join(os.path.dirname(ARTIFACT), "BENCH_sf100.json")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SF100), reason="BENCH_sf100.json not generated"
+)
+def test_sf100_third_decade_stays_sub_linear():
+    """Third decade (1000× the bench SF, 600M-row lineitem): the
+    scan/join/dedup representatives must hold the same
+    linear-or-better growth the first two decades showed."""
+    with open(SF100) as f:
+        art = json.load(f)
+    assert art["queries"], "sf100 artifact is empty"
+    for name, r in art["queries"].items():
+        assert r["ratio"] is not None, name
+        assert r["ratio"] < 20, f"{name} grew {r['ratio']}× on 10× data (sf10→sf100)"
