@@ -1,0 +1,109 @@
+"""Incremental count-min sketch maintenance over a stream.
+
+Each micro-batch contributes an algebraic DELTA sketch — the batch's
+own (depth, cell, n) counts — written as a versioned parquet directory
+``v{batch_id}`` with a ``_SUCCESS`` commit point, exactly the
+streaming/neardup.py index discipline:
+
+- exactly-once under crash replay: a re-run batch overwrites its OWN
+  version directory (idempotent), and a partial version without
+  ``_SUCCESS`` is invisible to readers and repaired by the replay;
+- the merged sketch is a pure sum: count-min cells are counters, so
+  SUM over deltas is bit-identical to building one sketch over the
+  union of all batches — streamed-in-any-split == batch, exactly
+  (``tests/test_streaming_sketch.py`` asserts set equality);
+- per-batch cost is O(batch × depth); the stored state is at most
+  depth × width rows per version regardless of stream length, and
+  ``compact_sketch`` folds all versions into one (the counters sum, so
+  compaction is also lossless).
+
+At 100 TB the sketch answers heavy-hitter / frequency queries over an
+unbounded stream with bounded state — the same algebraic-partials
+argument the batch CMS (operators/sketch.py) makes, extended across
+micro-batches and restarts.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_repartition_watermark_example_spark.operators.sketch import (
+    cms_build,
+    cms_estimate,
+)
+
+
+def _versions(path: str) -> list[int]:
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        int(n[1:])
+        for n in os.listdir(path)
+        if n.startswith("v")
+        and n[1:].isdigit()
+        and os.path.exists(os.path.join(path, n, "_SUCCESS"))
+    )
+
+
+def cms_sketch_writer(sketch_path: str, key_col: str = "url"):
+    """foreachBatch body: write each batch's delta sketch as
+    ``v{batch_id}``.  Replayed batches overwrite their own version —
+    idempotent by construction."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        delta = cms_build(batch_df, F.col(key_col))
+        delta.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(sketch_path, f"v{int(batch_id)}")
+        )
+
+    return write
+
+
+def read_cms_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """The merged sketch: SUM of all committed deltas per (depth,
+    cell).  Counters are algebraic, so this equals the batch sketch
+    over everything the committed versions saw."""
+    vs = _versions(sketch_path)
+    if not vs:
+        return spark.createDataFrame([], "depth int, cell bigint, n bigint")
+    parts = [
+        spark.read.parquet(os.path.join(sketch_path, f"v{v}")) for v in vs
+    ]
+    return (
+        reduce(lambda a, b: a.unionByName(b), parts)
+        .groupBy("depth", "cell")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def compact_sketch(spark: SparkSession, sketch_path: str) -> int:
+    """Fold every committed version into a single new version (the
+    counters sum losslessly), drop the olds; returns the number of
+    versions removed."""
+    import shutil
+
+    vs = _versions(sketch_path)
+    if len(vs) <= 1:
+        return 0
+    merged = read_cms_sketch(spark, sketch_path)
+    new_v = vs[-1] + 1
+    tmp = os.path.join(sketch_path, f"v{new_v}")
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    for v in vs:
+        shutil.rmtree(os.path.join(sketch_path, f"v{v}"))
+    return len(vs)
+
+
+def estimate_from_sketch(
+    spark: SparkSession,
+    sketch_path: str,
+    keys: DataFrame,
+    key: Column,
+) -> DataFrame:
+    """Point-estimate candidate keys against the maintained sketch
+    (min over depth — the standard CMS upper-bound estimate)."""
+    return cms_estimate(read_cms_sketch(spark, sketch_path), keys, key)
