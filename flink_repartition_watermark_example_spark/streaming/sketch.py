@@ -81,21 +81,32 @@ def read_cms_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
 
 
 def compact_sketch(spark: SparkSession, sketch_path: str) -> int:
-    """Fold every committed version into a single new version (the
-    counters sum losslessly), drop the olds; returns the number of
-    versions removed."""
+    """Fold every committed version into a single version (the counters
+    sum losslessly), drop the olds; returns the number of versions
+    removed.
+
+    The merged sketch REUSES the max existing version id, via a
+    non-version tmp dir (streaming/neardup.compact_index discipline):
+    a fresh id one past the max would equal the resumed stream's next
+    batch_id, whose overwrite-mode delta write would silently destroy
+    every pre-compaction count; and writing the merged version before
+    removing the olds would double-count during the overlap window.
+    The tmp dir has no ``v`` prefix so ``_versions`` never sees a
+    half-written snapshot; the final ``os.rename`` is atomic.  Not
+    crash-atomic against a CONCURRENT writer — run from the maintenance
+    path, like compact_index."""
     import shutil
 
     vs = _versions(sketch_path)
     if len(vs) <= 1:
         return 0
     merged = read_cms_sketch(spark, sketch_path)
-    new_v = vs[-1] + 1
-    tmp = os.path.join(sketch_path, f"v{new_v}")
+    tmp = os.path.join(sketch_path, "_compact_tmp")
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     for v in vs:
         shutil.rmtree(os.path.join(sketch_path, f"v{v}"))
-    return len(vs)
+    os.rename(tmp, os.path.join(sketch_path, f"v{vs[-1]}"))
+    return len(vs) - 1
 
 
 def estimate_from_sketch(

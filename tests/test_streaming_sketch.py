@@ -1,7 +1,9 @@
 """Incremental count-min sketch (streaming/sketch.py): streamed in any
 batch split, the merged sketch must equal the batch sketch EXACTLY
 (counters are algebraic), crash replays must be idempotent, and
-compaction must be lossless."""
+compaction must be lossless — including against a stream that RESUMES
+after compaction (the compacted snapshot must never collide with the
+resumed stream's next batch_id)."""
 
 from __future__ import annotations
 
@@ -26,7 +28,7 @@ def _cells(df):
 
 
 def test_streamed_sketch_equals_batch_sketch(spark, sf_dir, tmp_path):
-    events = load_table(spark, sf_dir, "events").select("event_id", "url")
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
 
     src = str(tmp_path / "events_stream")
     for cond in (
@@ -42,7 +44,7 @@ def test_streamed_sketch_equals_batch_sketch(spark, sf_dir, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
         .writeStream.outputMode("append")
-        .foreachBatch(cms_sketch_writer(sketch, key_col="url"))
+        .foreachBatch(cms_sketch_writer(sketch, key_col="event_type"))
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
         .start()
@@ -50,43 +52,68 @@ def test_streamed_sketch_equals_batch_sketch(spark, sf_dir, tmp_path):
     q.awaitTermination()
 
     got = _cells(read_cms_sketch(spark, sketch))
-    want = _cells(cms_build(events, F.col("url")))
+    want = _cells(cms_build(events, F.col("event_type")))
     assert got == want and len(got) > 0
 
     # estimates over the maintained sketch are the batch estimates
-    keys = events.select("url").distinct().limit(5)
+    keys = events.select("event_type").distinct().limit(5)
     est = {
-        r["url"]: r["est"]
+        r["event_type"]: r["est"]
         for r in estimate_from_sketch(
-            spark, sketch, keys, F.col("url")
+            spark, sketch, keys, F.col("event_type")
         ).collect()
     }
     truth = {
-        r["url"]: r["n"]
-        for r in events.join(keys, "url", "left_semi")
-        .groupBy("url")
+        r["event_type"]: r["n"]
+        for r in events.join(keys, "event_type", "left_semi")
+        .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    for url, n in truth.items():
-        assert est[url] >= n  # CMS never underestimates
+    for event_type, n in truth.items():
+        assert est[event_type] >= n  # CMS never underestimates
 
-    # compaction is lossless
+    # compaction is lossless (3 versions -> 1 surviving, 2 removed)
     removed = compact_sketch(spark, sketch)
-    assert removed == 3
+    assert removed == 2
     assert _cells(read_cms_sketch(spark, sketch)) == want
 
 
 def test_replayed_batch_is_idempotent(spark, sf_dir, tmp_path):
-    events = load_table(spark, sf_dir, "events").select("event_id", "url")
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
     first = events.where(F.col("event_id") % 2 == 0)
     second = events.where(F.col("event_id") % 2 == 1)
 
     sketch = str(tmp_path / "sketch")
-    w = cms_sketch_writer(sketch, key_col="url")
+    w = cms_sketch_writer(sketch, key_col="event_type")
     w(first, 0)
     w(second, 1)
     once = _cells(read_cms_sketch(spark, sketch))
 
     w(second, 1)  # crash replay of batch 1
     assert _cells(read_cms_sketch(spark, sketch)) == once
+
+
+def test_resume_after_compaction_preserves_counts(spark, sf_dir, tmp_path):
+    """The advisor's scenario: compact, then the resumed stream writes
+    its next batch.  The compacted snapshot must survive — a snapshot
+    written as v{max+1} would equal the next batch_id and be silently
+    overwritten by the delta write."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    b0 = events.where(F.col("event_id") % 3 == 0)
+    b1 = events.where(F.col("event_id") % 3 == 1)
+    b2 = events.where(F.col("event_id") % 3 == 2)
+
+    sketch = str(tmp_path / "sketch")
+    w = cms_sketch_writer(sketch, key_col="event_type")
+    w(b0, 0)
+    w(b1, 1)
+    assert compact_sketch(spark, sketch) == 1
+
+    # stream resumes: its next batch_id is 2 (one past the last
+    # CHECKPOINTED batch — compaction must not have parked the merged
+    # snapshot there)
+    w(b2, 2)
+    got = _cells(read_cms_sketch(spark, sketch))
+    want = _cells(cms_build(events, F.col("event_type")))
+    assert got == want and len(got) > 0
