@@ -84,6 +84,75 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "streaming_cms_heavy_hitters",
+    _CMS_ORACLE,
+    doc="The incremental count-min sketch (streaming/sketch.py) run "
+    "THROUGH Structured Streaming and value-checked against the batch "
+    "oracle: events replay as three file-batches, each contributing a "
+    "versioned delta sketch via foreachBatch; the versions are then "
+    "COMPACTED (lossless counter fold) and the estimate runs over the "
+    "compacted snapshot.  Because CMS cells are algebraic counters, "
+    "sum-of-deltas == one batch sketch, so the exact same DuckDB "
+    "oracle as cms_heavy_hitters applies — streamed-in-any-split, "
+    "compacted, and batch all agree bit-for-bit.",
+)
+def q_streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from flink_repartition_watermark_example_spark.streaming.sketch import (
+        cms_sketch_writer,
+        compact_sketch,
+        read_cms_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id", F.col("user_id").cast("string").alias("ukey")
+    )
+
+    root = tempfile.mkdtemp(prefix="stream_cms_")
+    try:
+        src = os.path.join(root, "replay")
+        for cond in (
+            F.col("event_id") % 3 == 0,
+            F.col("event_id") % 3 == 1,
+            F.col("event_id") % 3 == 2,
+        ):
+            keyed.where(cond).coalesce(1).write.mode("append").parquet(src)
+
+        sketch_dir = os.path.join(root, "sketch")
+        q = (
+            spark.readStream.schema(keyed.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.outputMode("append")
+            .foreachBatch(cms_sketch_writer(sketch_dir, key_col="ukey"))
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        compact_sketch(spark, sketch_dir)
+
+        # The maintained sketch is O(depth x width) by construction --
+        # pull the bounded snapshot local so the returned plan doesn't
+        # dangle on the temp dir (same O(1)-index-collect discipline as
+        # the ANN index builds).
+        sketch = spark.createDataFrame(
+            read_cms_sketch(spark, sketch_dir).collect(),
+            "depth int, cell bigint, n bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    cand = ev.select("user_id").distinct()
+    est = cms_estimate(sketch, cand, F.col("user_id").cast("string"))
+    return est.orderBy(F.col("est").desc(), "user_id").limit(20)
+
+
+@register_extra(
     "hll_daily_rollup_users",
     """
     SELECT event_type,
