@@ -101,8 +101,12 @@ def main(sf_dir: str) -> dict:
     # 3b. containment purge: a doc >= 80% contained (by shared
     # winnowed fingerprints) in another survivor is an excerpt /
     # quotation that symmetric jaccard missed; the SHORTER doc of
-    # each pair is dropped.
-    cont = DD.winnow_containment_pairs(neardup, min_containment=0.8)
+    # each pair is dropped.  The winnow build (fingerprints + capped
+    # pair agg) is computed ONCE and shared — any other winnow
+    # consumer (e.g. winnow_neardup_pairs) hangs off the same build
+    # instead of re-running the window + self-join stages.
+    wb = DD.winnow_build(neardup)
+    cont = DD.winnow_containment_pairs(build=wb, min_containment=0.8)
     lens = neardup.select("doc_id", "n_chars")
     la = lens.select(F.col("doc_id").alias("doc_a"), F.col("n_chars").alias("len_a"))
     lb = lens.select(F.col("doc_id").alias("doc_b"), F.col("n_chars").alias("len_b"))

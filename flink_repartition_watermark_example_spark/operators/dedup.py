@@ -11,6 +11,8 @@ so each stage is DuckDB-oracle-checkable.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -483,85 +485,50 @@ def winnow_fingerprints(
     )
 
 
-def winnow_neardup_pairs(
+class WinnowBuild(NamedTuple):
+    """Shared intermediate of the winnow pair family: the persisted+
+    pinned fingerprint relation, per-doc UNCAPPED fingerprint counts,
+    and the capped candidate-pair aggregation.  Build it once and hand
+    it to both ``winnow_neardup_pairs`` and
+    ``winnow_containment_pairs`` when a pipeline runs both — the
+    winnow window stage and the pair self-join then run once, not once
+    per query (the pair agg was the most expensive dedup stage at
+    sf10)."""
+
+    fp: DataFrame
+    sizes: DataFrame
+    candidates: DataFrame
+
+
+def winnow_build(
     docs: DataFrame,
     text_col: str = "text",
     min_shared: int = 3,
     max_fp_docs: int = MAX_BUCKET_DOCS,
-) -> DataFrame:
-    """Near-dup candidate pairs by shared winnowed fingerprints:
-    (doc_a, doc_b, shared) for pairs sharing >= ``min_shared`` selected
-    hashes.
+) -> WinnowBuild:
+    """Compute the winnow pair family's shared stages.
 
-    The pair join is an equi-join on the fingerprint value — never
-    all-pairs — with the family's standard hot-bucket discipline:
+    ``candidates``: (doc_a, doc_b, shared) for pairs sharing >=
+    ``min_shared`` selected hashes — an equi-join on the fingerprint
+    value, never all-pairs, with the family's hot-bucket discipline:
     fingerprints held by more than ``max_fp_docs`` docs are dropped
     before the self-join (viral boilerplate grams propose quadratic
     noise, and upstream exact/fingerprint dedup already caught
-    identical docs).  The fingerprint relation is persisted so the
-    winnow window stage runs once, not once per join side.
+    identical docs).  ``shared`` here is the count over CAP-FILTERED
+    fingerprints (candidate generation must stay capped to stay
+    non-quadratic); containment recomputes it uncapped.
+
+    The fingerprint relation is persisted AND pinned with a count()
+    before any fan-in: its consumers' stages launch concurrently and
+    each cache-missing branch would recompute the winnow pipeline in
+    parallel before a partition lands in the cache (measured 62 s vs
+    ~25 s at sf10).
     """
     from pyspark.sql.window import Window
 
     fp = winnow_fingerprints(docs, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # pin before the self-join: its two sides' stages launch
-    # concurrently and each cache-missing branch would recompute the
-    # winnow pipeline in parallel (see winnow_containment_pairs)
-    fp.count()
-    hot = Window.partitionBy("fp")
-    capped = (
-        fp.withColumn("__n", F.count(F.lit(1)).over(hot))
-        .where(F.col("__n") <= max_fp_docs)
-        .drop("__n")
-    )
-    # merge hints: O(corpus) on both sides — see band_pair_ids.
-    a, b = capped.alias("a").hint("merge"), capped.alias("b").hint("merge")
-    return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .where(F.col("shared") >= min_shared)
-    )
-
-
-def winnow_containment_pairs(
-    docs: DataFrame,
-    text_col: str = "text",
-    min_shared: int = 3,
-    min_containment: float = 0.5,
-    max_fp_docs: int = MAX_BUCKET_DOCS,
-) -> DataFrame:
-    """Containment pairs: (doc_a, doc_b, shared, containment) where
-    ``containment`` = shared winnowed fingerprints / the SMALLER doc's
-    fingerprint count — the asymmetric-overlap signal (quotation,
-    excerpt, doc-inside-doc) that symmetric jaccard dilutes: a 50-line
-    doc fully quoted inside a 5000-line doc has jaccard ~0.01 but
-    containment ~1.0.
-
-    Same scale shape as winnow_neardup_pairs (fingerprint equi-join,
-    hot-bucket cap); the denominator counts come from the UNCAPPED
-    per-doc fingerprint sets, so the ratio is a property of the docs,
-    not of the cap.  The fingerprint relation is persisted once and
-    feeds the two join sides AND the two count lookups.
-    """
-    from pyspark.sql.window import Window
-
-    fp = winnow_fingerprints(docs, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    # Eager materialization: FOUR plan branches consume fp (two join
-    # sides, two count lookups), and their stages launch concurrently —
-    # each cache-missing stage recomputes the winnow pipeline in
-    # parallel before any partition lands in the cache (measured 62 s
-    # vs ~25 s at sf10).  One count() pins the relation first.
     fp.count()
     sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     hot = Window.partitionBy("fp")
@@ -570,8 +537,9 @@ def winnow_containment_pairs(
         .where(F.col("__n") <= max_fp_docs)
         .drop("__n")
     )
+    # merge hints: O(corpus) on both sides — see band_pair_ids.
     a, b = capped.alias("a").hint("merge"), capped.alias("b").hint("merge")
-    pairs = (
+    candidates = (
         a.join(
             b,
             (F.col("a.fp") == F.col("b.fp"))
@@ -582,15 +550,80 @@ def winnow_containment_pairs(
         )
         .agg(F.count(F.lit(1)).alias("shared"))
         .where(F.col("shared") >= min_shared)
+        # small (capped) output; persisting lets a second consumer skip
+        # the self-join — it re-reads the cached fp either way
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    na = sizes.select(
+    return WinnowBuild(fp=fp, sizes=sizes, candidates=candidates)
+
+
+def winnow_neardup_pairs(
+    docs: DataFrame | None = None,
+    text_col: str = "text",
+    min_shared: int = 3,
+    max_fp_docs: int = MAX_BUCKET_DOCS,
+    build: WinnowBuild | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowed fingerprints:
+    (doc_a, doc_b, shared) for pairs sharing >= ``min_shared`` selected
+    hashes (see :func:`winnow_build` for the join shape and cap).
+
+    Pass ``build`` to reuse a :func:`winnow_build` computed once for
+    several winnow queries; with ``docs`` alone it builds its own.
+    """
+    if build is None:
+        build = winnow_build(docs, text_col, min_shared, max_fp_docs)
+    return build.candidates
+
+
+def winnow_containment_pairs(
+    docs: DataFrame | None = None,
+    text_col: str = "text",
+    min_shared: int = 3,
+    min_containment: float = 0.5,
+    max_fp_docs: int = MAX_BUCKET_DOCS,
+    build: WinnowBuild | None = None,
+) -> DataFrame:
+    """Containment pairs: (doc_a, doc_b, shared, containment) where
+    ``containment`` = shared winnowed fingerprints / the SMALLER doc's
+    fingerprint count — the asymmetric-overlap signal (quotation,
+    excerpt, doc-inside-doc) that symmetric jaccard dilutes: a 50-line
+    doc fully quoted inside a 5000-line doc has jaccard ~0.01 but
+    containment ~1.0.
+
+    CANDIDATES come from the capped equi-join (winnow_build — staying
+    non-quadratic requires the cap), but for every surviving pair both
+    ``shared`` and the denominators are recomputed over the UNCAPPED
+    fingerprint sets, so the emitted ratio is a property of the docs,
+    not of the cap: an excerpt of viral boilerplate whose overlap is
+    mostly hot fingerprints still scores its true containment.  The
+    one residual cap effect is on candidate GENERATION — a pair with
+    fewer than ``min_shared`` non-hot shared fingerprints is never
+    proposed (same emission-time semantics as the LSH hot-bucket cap).
+
+    The recompute join is bounded: candidate pairs (capped output) ×
+    the a-side's ~|grams|/w fingerprints, then an equi-join on
+    (doc_b, fp) — never all-pairs.
+    """
+    if build is None:
+        build = winnow_build(docs, text_col, min_shared, max_fp_docs)
+    cand = build.candidates.select("doc_a", "doc_b")
+    fa = build.fp.select(F.col("doc_id").alias("doc_a"), "fp")
+    fb = build.fp.select(F.col("doc_id").alias("doc_b"), "fp")
+    exact = (
+        cand.join(fa, "doc_a")
+        .join(fb, ["doc_b", "fp"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = build.sizes.select(
         F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_a")
     )
-    nb = sizes.select(
+    nb = build.sizes.select(
         F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_b")
     )
     return (
-        pairs.join(na, "doc_a")
+        exact.join(na, "doc_a")
         .join(nb, "doc_b")
         .select(
             "doc_a",

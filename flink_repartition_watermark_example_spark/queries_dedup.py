@@ -377,30 +377,38 @@ def q_winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS fn FROM fpw
       ) WHERE fn <= {DD.MAX_BUCKET_DOCS}
     ),
-    pairsw AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(count(*) AS BIGINT) AS shared
+    candw AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM cappedw a JOIN cappedw b
         ON a.fp = b.fp AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
       HAVING count(*) >= 3
+    ),
+    exactw AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS shared
+      FROM candw c
+      JOIN fpw fa ON fa.doc_id = c.doc_a
+      JOIN fpw fb ON fb.doc_id = c.doc_b AND fb.fp = fa.fp
+      GROUP BY c.doc_a, c.doc_b
     )
-    SELECT p.doc_a, p.doc_b, p.shared,
-           CAST(p.shared AS DOUBLE) / CAST(least(na.n_fp, nb.n_fp) AS DOUBLE)
+    SELECT e.doc_a, e.doc_b, e.shared,
+           CAST(e.shared AS DOUBLE) / CAST(least(na.n_fp, nb.n_fp) AS DOUBLE)
              AS containment
-    FROM pairsw p
-    JOIN sizesw na ON na.doc_id = p.doc_a
-    JOIN sizesw nb ON nb.doc_id = p.doc_b
-    WHERE CAST(p.shared AS DOUBLE) / CAST(least(na.n_fp, nb.n_fp) AS DOUBLE)
+    FROM exactw e
+    JOIN sizesw na ON na.doc_id = e.doc_a
+    JOIN sizesw nb ON nb.doc_id = e.doc_b
+    WHERE CAST(e.shared AS DOUBLE) / CAST(least(na.n_fp, nb.n_fp) AS DOUBLE)
             >= 0.5
     """,
     doc="Asymmetric containment pairs: shared winnowed fingerprints "
     "over the SMALLER doc's fingerprint count — catches quotation / "
     "excerpt / doc-inside-doc overlap that symmetric jaccard dilutes "
     "(a short doc fully quoted in a long one has jaccard ~0 but "
-    "containment ~1). Denominators come from the uncapped per-doc "
-    "sets so the ratio is a property of the docs, not the hot-bucket "
-    "cap.",
+    "containment ~1). Candidates come from the capped equi-join, but "
+    "shared AND the denominators are recomputed over the UNCAPPED "
+    "fingerprint sets for surviving pairs, so the emitted ratio is a "
+    "property of the docs, not the hot-bucket cap (excerpts of viral "
+    "boilerplate score their true containment).",
 )
 def q_winnow_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.winnow_containment_pairs(load_table(spark, sf_dir, "documents"))

@@ -342,6 +342,67 @@ def test_winnowing_selects_subset_of_gram_hashes_at_reduced_rate(spark, sf_dir):
     assert 0 < n_fp < n_g
 
 
+def test_winnow_build_shared_across_both_pair_queries(spark, sf_dir):
+    # One winnow_build must serve BOTH pair queries with results
+    # identical to their standalone forms — the composed path computes
+    # the window stage and the capped pair self-join once.
+    from flink_repartition_watermark_example_spark.operators import dedup as DD
+    from flink_repartition_watermark_example_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    build = DD.winnow_build(docs)
+    near_c = sorted(map(tuple, DD.winnow_neardup_pairs(build=build).collect()))
+    cont_c = sorted(
+        map(tuple, DD.winnow_containment_pairs(build=build).collect())
+    )
+    assert near_c == sorted(map(tuple, DD.winnow_neardup_pairs(docs).collect()))
+    assert cont_c == sorted(
+        map(tuple, DD.winnow_containment_pairs(docs).collect())
+    )
+
+
+def test_containment_shared_recomputed_uncapped(spark):
+    # A pair surviving the capped candidate join must report its TRUE
+    # (uncapped) shared count and containment: here every fingerprint
+    # of the excerpt run is also viral across `copies` docs beyond the
+    # cap EXCEPT enough cold ones to propose the pair; the emitted
+    # containment must still reflect the full overlap.
+    from pyspark.sql import functions as F
+
+    from flink_repartition_watermark_example_spark.operators import dedup as DD
+
+    # cold run proposes the pair; hot run is shared by doc 1, doc 2 AND
+    # `copies` other docs, pushing its fingerprints over the cap
+    cold = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    hot = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    cap = 3
+    rows = [(1, f"{cold} {hot}"), (2, f"{cold} {hot} unrelated trailing words here")]
+    rows += [(10 + i, f"prefix{i} pad{i} filler{i} {hot}") for i in range(cap + 2)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in DD.winnow_containment_pairs(
+            docs, min_shared=1, min_containment=0.0, max_fp_docs=cap
+        ).collect()
+    }
+    assert (1, 2) in got
+    # capped shared (cold fps only) would undercount; the uncapped
+    # recompute must include the hot run's shared fingerprints too
+    fp = DD.winnow_fingerprints(docs)
+    true_shared = (
+        fp.where(F.col("doc_id") == 1)
+        .select("fp")
+        .intersect(fp.where(F.col("doc_id") == 2).select("fp"))
+        .count()
+    )
+    r = got[(1, 2)]
+    assert r.shared == true_shared
+    n1 = fp.where(F.col("doc_id") == 1).count()
+    n2 = fp.where(F.col("doc_id") == 2).count()
+    assert abs(r.containment - true_shared / min(n1, n2)) < 1e-12
+
+
 def test_containment_catches_quotation_that_jaccard_dilutes(spark):
     from flink_repartition_watermark_example_spark.operators import dedup as DD
 
