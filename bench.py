@@ -74,19 +74,27 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 4)
         spreads[name] = round(max(runs) - min(runs), 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "engine_bench_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "spread": spreads,
-                "reps": reps,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "engine_bench_total",
+            "value": round(sum(timings.values()), 4),
+            "unit": "sec",
+            "queries": timings,
+            "spread": spreads,
+            "reps": reps,
+            "sf": sf,
+        }
     )
+    # The driver tail-captures stdout, which once truncated the JSON
+    # line from the front (BENCH_r05 parsed: null) — ALSO write the
+    # artifact to a file the snapshot commits, so per-query medians
+    # survive any stdout capture window.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+        "w",
+    ) as f:
+        f.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -3,17 +3,19 @@
 Images/audio/video are opaque ``binary`` columns plus a typed metadata
 struct; decode / feature-extraction run as Arrow-batched pandas
 iterators (``mapInPandas``) so bytes move Spark→Python in columnar
-batches, never row-at-a-time.  The actual media decoders are STUBS —
-this container has no image/audio libraries — but the Spark-side
-contract (schema, batch iteration, partition independence) is real and
-tested:
+batches, never row-at-a-time.
 
 - ``attach_payload``      text → (payload binary, meta struct) — stands
   in for reading real media bytes from a blob store.
 - ``extract_features``    per-item byte stats + digest (pure JVM
   expressions — no Python in this hot path).
-- ``decode_image``        NotImplementedError stub with the exact
-  signature a real decoder would have.
+- ``decode_image``        REAL decoder for the uncompressed raster
+  formats pure numpy can parse (24-bit BMP, PPM P6): header fields,
+  row padding, bottom-up order, channel order — plus
+  ``synth_image_payload`` fabricating genuine bytes from a closed-form
+  pixel function so a SQL oracle value-checks the decode.  Compressed
+  codecs (JPEG/PNG) would swap only the inner parse for an imaging
+  library; the Spark-side contract is identical.
 - ``fake_decode_features``  deterministic pseudo-decode (seeded from
   the digest) exercising the fixed-width feature-vector path end-to-end.
 
@@ -125,14 +127,167 @@ def fake_frame_sample(payloads: DataFrame, stride: int = FRAME_STRIDE) -> DataFr
     return flat.mapInPandas(batches, FRAMES_SCHEMA)
 
 
-def decode_image(payloads: DataFrame) -> DataFrame:
-    """Real image decode (resize / pixel stats) — requires an imaging
-    library this environment does not ship.  The signature and schema
-    are the contract a production decoder implements via mapInPandas."""
-    raise NotImplementedError(
-        "image decoding requires an imaging library (e.g. Pillow); "
-        "use fake_decode_features for plumbing tests"
+# --- real image codec (uncompressed formats, no imaging lib needed) -------
+#
+# The container ships no Pillow/ffmpeg, but uncompressed raster
+# formats are pure byte layout — so the decoder below is REAL: it
+# parses genuine BMP (BITMAPINFOHEADER, 24-bit, bottom-up rows, 4-byte
+# row padding, BGR order) and PPM P6 (ASCII header + raw RGB) payloads
+# with numpy only.  A JPEG/PNG decoder would replace only the inner
+# parse; the Spark-side contract (mapInPandas over binary, Arrow
+# batches, per-partition streaming) is identical.
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def encode_bmp(arr) -> bytes:
+    """24-bit uncompressed BMP from an (h, w, 3) uint8 RGB array —
+    BITMAPINFOHEADER, bottom-up row order, BGR pixels, rows padded to
+    4 bytes."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    row_size = (w * 3 + 3) // 4 * 4
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 0, 0, 0, 0)
+    pad = b"\x00" * (row_size - w * 3)
+    bgr = a[:, :, ::-1]
+    rows = b"".join(bgr[y].tobytes() + pad for y in range(h - 1, -1, -1))
+    return header + info + rows
+
+
+def encode_ppm(arr) -> bytes:
+    """PPM P6 (binary) from an (h, w, 3) uint8 RGB array."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    return f"P6\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def decode_image_bytes(raw: bytes):
+    """Parse one BMP (uncompressed 24-bit) or PPM P6 payload to an
+    (h, w, 3) uint8 RGB array.  Format dispatch by magic bytes — the
+    shape a production decoder takes, minus the compressed codecs."""
+    import struct
+
+    import numpy as np
+
+    if raw[:2] == b"BM":
+        (offset,) = struct.unpack_from("<I", raw, 10)
+        _, w, h = struct.unpack_from("<Iii", raw, 14)
+        (bpp,) = struct.unpack_from("<H", raw, 28)
+        (comp,) = struct.unpack_from("<I", raw, 30)
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"unsupported BMP profile: bpp={bpp} comp={comp}")
+        top_down, h = h < 0, abs(h)
+        row_size = (w * 3 + 3) // 4 * 4
+        out = np.empty((h, w, 3), np.uint8)
+        for i in range(h):
+            row = np.frombuffer(raw, np.uint8, w * 3, offset + i * row_size)
+            out[i if top_down else h - 1 - i] = row.reshape(w, 3)[:, ::-1]
+        return "bmp", out
+    if raw[:2] == b"P6":
+        # header: magic, width, height, maxval — whitespace separated
+        parts, pos = [], 2
+        while len(parts) < 3:
+            while raw[pos] in b" \t\r\n":
+                pos += 1
+            end = pos
+            while raw[end] not in b" \t\r\n":
+                end += 1
+            parts.append(int(raw[pos:end]))
+            pos = end
+        pos += 1  # single whitespace after maxval
+        w, h, maxval = parts
+        if maxval != 255:
+            raise ValueError(f"unsupported PPM maxval {maxval}")
+        return "ppm", np.frombuffer(raw, np.uint8, w * h * 3, pos).reshape(h, w, 3)
+    raise ValueError(f"unknown image magic {raw[:2]!r}")
+
+
+def synth_image_payload(docs: DataFrame) -> DataFrame:
+    """Deterministic image fixture: each doc gets a small RGB image
+    whose pixel (x, y) is a closed-form function of doc_id (so a SQL
+    oracle can recompute the decoded stats), encoded to REAL bytes —
+    BMP for even doc_ids, PPM for odd — via mapInPandas.  Stands in
+    for reading media blobs from object storage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 5, 4 + d % 3
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                img = np.stack(
+                    [
+                        (d + 3 * x + 7 * y) % 256,
+                        (2 * d + 5 * x + y) % 256,
+                        (3 * d + x + 11 * y) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(
+                    encode_bmp(img) if d % 2 == 0 else encode_ppm(img)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    flat = fan_out(docs.select("doc_id"), "doc_id")
+    return flat.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
     )
+
+
+def decode_image(payloads: DataFrame) -> DataFrame:
+    """REAL image decode over binary payloads via mapInPandas: parses
+    each BMP/PPM byte stream (magic sniff, header fields, row padding,
+    bottom-up order, channel order) and emits per-image dimensions and
+    exact per-channel pixel sums.  Arrow-batched, per-partition
+    streaming — at 100 TB this is a scan-shaped stage with no shuffle;
+    batch size bounded by arrow.maxRecordsPerBatch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "format", "width", "height",
+                                    "sum_r", "sum_g", "sum_b")}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                fmt, img = decode_image_bytes(bytes(b))
+                sums = img.astype("int64").sum(axis=(0, 1))
+                rows["doc_id"].append(doc_id)
+                rows["format"].append(fmt)
+                rows["width"].append(img.shape[1])
+                rows["height"].append(img.shape[0])
+                rows["sum_r"].append(sums[0])
+                rows["sum_g"].append(sums[1])
+                rows["sum_b"].append(sums[2])
+            yield pd.DataFrame(rows)
+
+    flat = fan_out(payloads.select("doc_id", "payload"), "doc_id")
+    return flat.mapInPandas(batches, IMAGE_STATS_SCHEMA)
 
 
 def fake_decode_features(payloads: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:

@@ -73,6 +73,41 @@ def q_multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "image_decode_stats",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             4 + doc_id % 5 AS w,
+             4 + doc_id % 3 AS h
+      FROM documents
+    ),
+    px AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims),
+    pxy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM px)
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+           CAST(max(w) AS INT) AS width,
+           CAST(max(h) AS INT) AS height,
+           CAST(sum((doc_id + 3*x + 7*y) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((2*doc_id + 5*x + y) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((3*doc_id + x + 11*y) % 256) AS BIGINT) AS sum_b
+    FROM pxy
+    GROUP BY doc_id
+    """,
+    doc="REAL image decode, value-checked end to end: each doc gets a "
+    "genuine encoded image (24-bit padded bottom-up BMP for even ids, "
+    "PPM P6 for odd — pixel(x,y) a closed form of doc_id), and "
+    "decode_image parses the actual bytes back (magic sniff, header, "
+    "padding, BGR/RGB) via Arrow-batched mapInPandas.  The oracle "
+    "recomputes dimensions and exact per-channel pixel sums from the "
+    "pixel formula — if any byte of the codec path (encoder OR "
+    "decoder) is wrong, the integer sums cannot match.",
+)
+def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.decode_image(MM.synth_image_payload(docs))
+
+
+@register_extra(
     "multimodal_frame_sample",
     f"""
     WITH f AS (SELECT doc_id, text,

@@ -1,6 +1,6 @@
 """Multimodal plumbing tests: payload fabrication, Arrow-batched
-feature extraction, the decode stub contract, and the fake-decode
-feature path."""
+feature extraction, the real BMP/PPM codec (round-trip + distributed
+decode vs the pixel formula), and the fake-decode feature path."""
 
 from __future__ import annotations
 
@@ -34,9 +34,55 @@ def test_extract_features_matches_python(spark, sf_dir, payloads):
         assert feats[doc_id].digest == hashlib.md5(b).hexdigest()
 
 
-def test_decode_image_is_explicit_stub(payloads):
-    with pytest.raises(NotImplementedError, match="imaging library"):
-        MM.decode_image(payloads)
+def test_image_codec_roundtrip_local():
+    # The decoder must recover the exact pixel array from real bytes —
+    # including the BMP cases that break naive parsers: row padding
+    # (w*3 not a multiple of 4), bottom-up row order, BGR channel
+    # order, and the negative-height top-down variant.
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for w, h in [(5, 3), (4, 4), (7, 2), (1, 1)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        fmt, back = MM.decode_image_bytes(MM.encode_bmp(img))
+        assert fmt == "bmp" and np.array_equal(back, img)
+        fmt, back = MM.decode_image_bytes(MM.encode_ppm(img))
+        assert fmt == "ppm" and np.array_equal(back, img)
+
+    # hand-build a top-down BMP (negative height) from a bottom-up one
+    import struct
+
+    img = rng.integers(0, 256, (3, 5, 3), dtype=np.uint8)
+    raw = bytearray(MM.encode_bmp(img[::-1]))  # rows pre-flipped
+    struct.pack_into("<i", raw, 22, -3)  # height := -3 → top-down
+    fmt, back = MM.decode_image_bytes(bytes(raw))
+    assert fmt == "bmp" and np.array_equal(back, img)
+
+    with pytest.raises(ValueError, match="unknown image magic"):
+        MM.decode_image_bytes(b"\x89PNG....")
+
+
+def test_decode_image_distributed_matches_formula(spark, sf_dir):
+    # End-to-end through mapInPandas: synthesize real BMP/PPM bytes,
+    # decode them back, and check dimensions + exact channel sums
+    # against the closed-form pixel function.
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    out = {r.doc_id: r for r in MM.decode_image(MM.synth_image_payload(docs)).collect()}
+    assert len(out) == 50
+    for d, r in out.items():
+        w, h = 4 + d % 5, 4 + d % 3
+        assert (r.format, r.width, r.height) == (
+            "bmp" if d % 2 == 0 else "ppm", w, h
+        )
+        assert r.sum_r == sum(
+            (d + 3 * x + 7 * y) % 256 for x in range(w) for y in range(h)
+        )
+        assert r.sum_g == sum(
+            (2 * d + 5 * x + y) % 256 for x in range(w) for y in range(h)
+        )
+        assert r.sum_b == sum(
+            (3 * d + x + 11 * y) % 256 for x in range(w) for y in range(h)
+        )
 
 
 def test_fake_decode_is_deterministic_fixed_width(payloads):
