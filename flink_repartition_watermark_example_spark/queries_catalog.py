@@ -57,6 +57,10 @@ def q_multi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "nation"),
         _t(spark, sf_dir, "region"),
     )
+    return _multi_join_revenue_plan(l, o, c, n, r)
+
+
+def _multi_join_revenue_plan(l, o, c, n, r) -> DataFrame:
     cust = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -95,6 +99,41 @@ def q_multi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev").cast("double").alias("revenue"),
         )
     )
+
+
+# The bucketed twin runs the IDENTICAL logical plan against bucketed
+# copies of the fact tables, so it shares the primary's oracle.
+from flink_repartition_watermark_example_spark.queries import QUERIES as _Q  # noqa: E402
+
+_MJR_ORACLE = _Q["multi_join_revenue"].oracle
+
+
+@register_extra(
+    "multi_join_revenue_bucketed",
+    _MJR_ORACLE,
+    doc="The Q5-style join tree on BUCKETED fact tables — the storage "
+    "layout that removes the one superlinear entry of the sf10→sf100 "
+    "sweep (the orderkey exchange over 600M lineitem rows).  lineitem "
+    "and orders are materialized once bucketBy(orderkey); the "
+    "bucketed scans report HashPartitioning(orderkey, n), so the "
+    "lineitem pre-aggregation runs with NO exchange, and when the "
+    "bounded-dim-reduced customer side broadcasts onto orders, the "
+    "final orderkey join is exchange-free on BOTH fact sides (orders "
+    "keeps its bucketing through the broadcast join).  Same logical "
+    "plan, same oracle hash as multi_join_revenue; a plan test pins "
+    "the absence of any orderkey exchange above the lineitem scan.",
+)
+def q_multi_join_revenue_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_repartition_watermark_example_spark.storage import bucketed_table
+
+    l = spark.table(bucketed_table(spark, sf_dir, "lineitem", ["l_orderkey"]))
+    o = spark.table(bucketed_table(spark, sf_dir, "orders", ["o_orderkey"]))
+    c, n, r = (
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+    return _multi_join_revenue_plan(l, o, c, n, r)
 
 
 @register(

@@ -26,6 +26,63 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table)
 
 
+_BUCKETED_MEMO: dict[tuple[str, str], str] = {}
+
+
+def bucketed_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+) -> str:
+    """Idempotently materialize an external bucketed (+bucket-sorted)
+    copy of a testdata table; returns the catalog table name.
+
+    This is the storage-layout lever for the fact-side join tree: a
+    scan of the bucketed copy reports
+    ``HashPartitioning(bucket_cols, num_buckets)``, so a groupBy or
+    join on the bucket key needs NO exchange — the shuffle was paid
+    once at write time.  At 100 TB that converts the dominant
+    per-query orderkey exchange of a 600M-row lineitem into a one-time
+    layout decision (the sf10→sf100 sweep's one superlinear entry).
+
+    The copy lands under the system temp dir keyed by (sf_dir, table)
+    and is memoized per session; re-invocations reuse the existing
+    table.  Bucket count is a layout constant: readers get
+    min(1 task, buckets) parallelism per co-located stage, so size it
+    to the cluster — 32 matches the local[32] harness; a real
+    deployment scales it with executor count.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    key = (os.path.abspath(sf_dir), table)
+    if key in _BUCKETED_MEMO:
+        return _BUCKETED_MEMO[key]
+    from flink_repartition_watermark_example_spark.sources.tables import load_table
+
+    digest = hashlib.md5(repr((key, num_buckets)).encode()).hexdigest()[:10]
+    name = f"{table}_bkt_{digest}"
+    if not spark.catalog.tableExists(name):
+        path = os.path.join(
+            tempfile.gettempdir(), "spark_graft_bucketed", name
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            load_table(spark, sf_dir, table)
+            .write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(num_buckets, *bucket_cols)
+            .sortBy(*bucket_cols)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    _BUCKETED_MEMO[key] = name
+    return name
+
+
 def colocated_join(
     spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
 ) -> DataFrame:

@@ -144,3 +144,29 @@ def test_zorder_layout_localizes_both_columns(spark, tmp_path):
     # Morton layout must cut the average per-file span on each axis
     # to well under half the domain.
     assert spans.ax < n / 2 and spans.ay < n / 2, spans
+
+
+def test_bucketed_join_tree_no_orderkey_exchange(spark, sf_dir):
+    """The bucketed twin must (a) hash-match the plain join tree and
+    (b) run its lineitem pre-aggregation and orderkey join with NO
+    exchange above either bucketed fact scan — the layout paid the
+    shuffle at write time."""
+    from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES, QUERIES
+
+    bucketed = EXTRA_QUERIES["multi_join_revenue_bucketed"].spark(spark, sf_dir)
+    plain = QUERIES["multi_join_revenue"].spark(spark, sf_dir)
+    got = sorted(map(tuple, bucketed.collect()))
+    assert got == sorted(map(tuple, plain.collect())) and got
+
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+    assert "Bucketed: true" in plan, plan
+
+    # idempotent: a second invocation reuses the materialized tables
+    from flink_repartition_watermark_example_spark import storage
+
+    before = dict(storage._BUCKETED_MEMO)
+    again = EXTRA_QUERIES["multi_join_revenue_bucketed"].spark(spark, sf_dir)
+    assert sorted(map(tuple, again.collect())) == got
+    assert storage._BUCKETED_MEMO == before
