@@ -465,8 +465,14 @@ def winnow_fingerprints(
     from pyspark.sql.window import Window
 
     grams = TX.shingles(TX.tokens(text_col), n)
+    # 4x the core count: the window stage sorts EXPLODED gram rows and
+    # inherits this hash partitioning (doc_id satisfies its
+    # distribution — no extra exchange), so each task's sort buffer is
+    # a quarter of the naive split.  At sf10 the 32-way form's window
+    # sort exhausted a 1 g heap outright; 128-way completes in it.
+    wide = 4 * docs.sparkSession.sparkContext.defaultParallelism
     g = (
-        fan_out(docs, "doc_id")
+        fan_out(docs, "doc_id", parts=wide)
         .select("doc_id", F.posexplode_outer(grams).alias("pos", "g"))
         .where(F.col("g").isNotNull())
         .select("doc_id", "pos", md5_long(F.col("g")).alias("h"))
@@ -526,9 +532,12 @@ def winnow_build(
     """
     from pyspark.sql.window import Window
 
-    fp = winnow_fingerprints(docs, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # DISK_ONLY, the big-relation discipline of the minhash chain's
+    # shingle persist: fp is O(corpus tokens / w) rows — an on-heap
+    # columnar cache of it plus the pair join's execution memory
+    # crashed the 2 g JVM outright at sf10 (heap OOM inside the window
+    # sort), while local-disk batches re-read in ~scan time.
+    fp = winnow_fingerprints(docs, text_col).persist(StorageLevel.DISK_ONLY)
     fp.count()
     sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     hot = Window.partitionBy("fp")

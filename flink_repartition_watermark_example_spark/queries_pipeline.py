@@ -152,16 +152,22 @@ def q_doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM b
     """,
     doc="Gopher-style repetition quality signals: duplicate-bigram "
-    "fraction and most-frequent-token share. BOTH metrics run as "
-    "exploded codegen hash aggregations — the earlier array forms "
-    "(array_max over transform(distinct, filter-count) for the token "
-    "share — O(|distinct|·|tokens|) interpreted lambdas, ~80 s at "
-    "sf1 — then array_distinct over the bigram array for the dup "
-    "fraction, still an interpreted per-row pass that dominated the "
-    "sf10 profile) are replaced by per-(doc, gram) counts + per-doc "
-    "sums, all whole-stage codegen after the one shingle transform "
-    "that materializes bigrams. Identical integer counts and the "
-    "same final double divisions, so the oracle is unchanged.",
+    "fraction and most-frequent-token share, computed ENTIRELY "
+    "per-document (scan-side array algebra, zero data shuffles — the "
+    "one exchange is the fan_out parallelism repartition).  History: "
+    "the first array form was O(|distinct|·|tokens|) interpreted "
+    "lambdas (~80 s at sf1); round 5 replaced it with exploded "
+    "per-(doc, gram) hash aggregations — fast at sf1 but memory-"
+    "UNBOUNDED: (doc_id, gram) keys are nearly unique, so the "
+    "map-side partial agg combines nothing and buffers ~every "
+    "exploded row, which reproducibly exhausted the executor heap at "
+    "sf10 under 32 task threads (OOM in the spill writer with all "
+    "accounted memory fine).  The per-doc form is the 100 TB-correct "
+    "shape: dup fraction via codegen array_distinct, top-token share "
+    "via a single O(n) pass over the sorted token array, memory "
+    "bounded per ROW, cost strictly linear in corpus size.  Values "
+    "are bit-identical to the exploded form (integer counts, same "
+    "final double divisions), so the oracle is unchanged.",
 )
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -169,48 +175,41 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = TX.shingles(toks, 2)
     from flink_repartition_watermark_example_spark.scale import fan_out
 
-    # the shingle transform is the one interpreted per-row stage left —
-    # raise the (often single-split) scan's parallelism first, like
-    # the dedup family does
+    # raise the (often single-split) scan's parallelism before the
+    # CPU-bound per-row passes, like the dedup family does
     fanned = fan_out(docs, "doc_id")
-    # dup-bigram fraction from exploded per-(doc, bigram) counts:
-    # n_bg = Σc, n_distinct = count(*) — two codegen hash aggs replace
-    # the interpreted array_distinct pass over every bigram array.
-    # explode_outer + null-filter (see operators/dedup.py on
-    # InferFiltersFromGenerate); single-token docs (empty bigram
-    # array) drop out here and re-enter via the left join as 0.0.
-    per_bg = (
-        fanned.select("doc_id", F.explode_outer(bg).alias("g"))
-        .where(F.col("g").isNotNull())
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_bg"),
-            F.count(F.lit(1)).alias("n_distinct_bg"),
+    # most-frequent-token count = longest run of equal elements in the
+    # sorted token array: one fold with (prev, current-run, best) state
+    # — O(n log n) sort + O(n) scan per doc, no per-doc hash map.
+    s = F.sort_array(toks)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = (
+            F.when(acc.prev.isNull() | (acc.prev != x), F.lit(1))
+            .otherwise(acc.run + 1)
         )
-    )
-    # most-frequent-token share from per-(doc, token) counts: top_c =
-    # max(c), n_toks = Σc (== size(tokens) — split yields no nulls)
-    per_tok = (
-        fanned.select("doc_id", F.explode_outer(toks).alias("tok"))
-        .where(F.col("tok").isNotNull())
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_toks"))
-    )
-    # scalar-only join sides (the sf1→sf10 sweep priced shipping
-    # arrays through the doc_id exchange)
-    return per_tok.join(per_bg, "doc_id", "left").select(
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.best, run).alias("best"),
+        )
+
+    top_c = F.aggregate(s, init, step, lambda acc: acc.best)
+    return fanned.select(
         "doc_id",
-        F.when(F.col("n_bg").isNull(), F.lit(0.0))
+        F.when(F.size(bg) == 0, F.lit(0.0))
         .otherwise(
             F.lit(1.0)
-            - F.col("n_distinct_bg").cast("double") / F.col("n_bg").cast("double")
+            - F.size(F.array_distinct(bg)).cast("double")
+            / F.size(bg).cast("double")
         )
         .alias("dup_2gram_ratio"),
-        (F.col("top_c").cast("double") / F.col("n_toks").cast("double")).alias(
+        (top_c.cast("double") / F.size(toks).cast("double")).alias(
             "top_token_ratio"
         ),
     )

@@ -153,6 +153,96 @@ def q_streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register_extra(
+    "streaming_hll_distinct_users",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS streamed_equals_direct,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+    doc="Incremental per-key distinct counting over a stream "
+    "(streaming/sketch.py HLL index): events replay as three "
+    "file-batches, each writing its per-type HLL sketch as a "
+    "versioned delta; versions are compacted (register-max union is "
+    "lossless and idempotent) and the estimate runs over the "
+    "compacted snapshot.  Contract columns checked per row: the "
+    "streamed-and-merged estimate EQUALS the one-shot batch estimate "
+    "(any split of the input unions to the same registers), and the "
+    "5% bound vs exact distinct.  Bounded state: one fixed-size "
+    "sketch per key regardless of stream length.",
+)
+def q_streaming_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from flink_repartition_watermark_example_spark.streaming.sketch import (
+        compact_hll_sketch,
+        hll_sketch_writer,
+        read_hll_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    root = tempfile.mkdtemp(prefix="stream_hll_")
+    try:
+        src = os.path.join(root, "replay")
+        for cond in (
+            F.col("event_id") % 3 == 0,
+            F.col("event_id") % 3 == 1,
+            F.col("event_id") % 3 == 2,
+        ):
+            ev.where(cond).coalesce(1).write.mode("append").parquet(src)
+
+        sketch_dir = os.path.join(root, "sketch")
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.outputMode("append")
+            .foreachBatch(
+                hll_sketch_writer(sketch_dir, key_col="user_id", group_col="event_type")
+            )
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        compact_hll_sketch(spark, sketch_dir, "event_type")
+
+        # one fixed-size sketch per key — bounded snapshot, pulled
+        # local so the returned plan doesn't dangle on the temp dir
+        merged = spark.createDataFrame(
+            read_hll_sketch(spark, sketch_dir, "event_type").collect(),
+            "event_type string, sk binary",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    streamed = merged.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("streamed_users")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_users"),
+        F.count_distinct(F.col("user_id")).alias("exact_users"),
+    )
+    return streamed.join(direct, "event_type").select(
+        "event_type",
+        "exact_users",
+        (F.col("streamed_users") == F.col("direct_users")).alias(
+            "streamed_equals_direct"
+        ),
+        (
+            F.abs(F.col("streamed_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("within_5pct"),
+    )
+
+
+@register_extra(
     "hll_daily_rollup_users",
     """
     SELECT event_type,

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def fan_out(df: DataFrame, *cols: str) -> DataFrame:
+def fan_out(df: DataFrame, *cols: str, parts: int | None = None) -> DataFrame:
     """Raise upstream parallelism to the session default before a
     CPU-heavy per-row stage.
 
@@ -19,8 +19,15 @@ def fan_out(df: DataFrame, *cols: str) -> DataFrame:
 
     Do NOT use after wide transforms: those already run at
     ``spark.sql.shuffle.partitions`` and AQE coalesces them.
+
+    ``parts`` overrides the partition count.  Raising it above the
+    core count shrinks each task's working set without adding
+    concurrency — the lever for downstream stages whose per-partition
+    memory grows with data (window sorts over exploded rows): hash
+    partitioning on the same cols still satisfies their distribution,
+    so no extra exchange appears.
     """
-    n = df.sparkSession.sparkContext.defaultParallelism
+    n = parts or df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, *cols) if cols else df.repartition(n)
 
 

@@ -86,6 +86,18 @@ def get_spark(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "1g"),
         )
+        # GCLocker starvation workaround (JDK-8192647 family): 32 task
+        # threads allocating while parquet codec JNI holds the GCLocker
+        # critical section makes the default 2 retries throw SPURIOUS
+        # OutOfMemoryError with most of the heap free — observed
+        # reproducibly on the sf1 exploded-aggregation stages.  With
+        # more retries the allocation succeeds and TaskMemoryManager
+        # falls back to its normal spill path instead of dying.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UnlockDiagnosticVMOptions "
+            "-XX:GCLockerRetryAllocationCount=100",
+        )
         # Managed-table warehouse outside the repo (bucketed tables,
         # storage.py); real deployments point this at the lake.
         .config("spark.sql.warehouse.dir", "/tmp/spark-graft-warehouse")

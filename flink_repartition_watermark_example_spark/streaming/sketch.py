@@ -20,7 +20,9 @@ streaming/neardup.py index discipline:
 At 100 TB the sketch answers heavy-hitter / frequency queries over an
 unbounded stream with bounded state — the same algebraic-partials
 argument the batch CMS (operators/sketch.py) makes, extended across
-micro-batches and restarts.
+micro-batches and restarts.  The HLL variant below maintains per-group
+distinct counts under the identical discipline (register-max union in
+place of counter sum).
 """
 
 from __future__ import annotations
@@ -118,3 +120,67 @@ def estimate_from_sketch(
     """Point-estimate candidate keys against the maintained sketch
     (min over depth — the standard CMS upper-bound estimate)."""
     return cms_estimate(read_cms_sketch(spark, sketch_path), keys, key)
+
+
+# --- incremental HLL (distinct-count) index --------------------------------
+#
+# Same versioned-delta discipline, different algebra: HLL registers
+# merge by element-wise MAX (hll_union_agg), which is idempotent AND
+# commutative — so like the CMS counters, any batch split of the
+# stream unions to EXACTLY the sketch of the whole input, replays are
+# idempotent, and compaction is lossless.  Per-group state is one
+# fixed-size binary sketch regardless of stream length: the shape that
+# answers "distinct users per key, ever" over an unbounded stream with
+# bounded state.
+
+
+def hll_sketch_writer(sketch_path: str, key_col: str, group_col: str):
+    """foreachBatch body: write each batch's per-group HLL sketch as
+    the ``v{batch_id}`` delta (overwrite ⇒ replay-idempotent)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.groupBy(group_col).agg(
+            F.hll_sketch_agg(key_col).alias("sk")
+        )
+        delta.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(sketch_path, f"v{int(batch_id)}")
+        )
+
+    return write
+
+
+def read_hll_sketch(spark: SparkSession, sketch_path: str, group_col: str) -> DataFrame:
+    """The merged per-group sketch: register-max union of all committed
+    deltas — equals the one-shot sketch over everything they saw."""
+    vs = _versions(sketch_path)
+    if not vs:
+        return spark.createDataFrame([], f"{group_col} string, sk binary")
+    parts = [
+        spark.read.parquet(os.path.join(sketch_path, f"v{v}")) for v in vs
+    ]
+    return (
+        reduce(lambda a, b: a.unionByName(b), parts)
+        .groupBy(group_col)
+        .agg(F.hll_union_agg("sk").alias("sk"))
+    )
+
+
+def compact_hll_sketch(
+    spark: SparkSession, sketch_path: str, group_col: str
+) -> int:
+    """Fold all committed versions into one (register-max is lossless);
+    same tmp-dir + reuse-max-id discipline as compact_sketch so the
+    snapshot can never collide with the resumed stream's next
+    batch_id."""
+    import shutil
+
+    vs = _versions(sketch_path)
+    if len(vs) <= 1:
+        return 0
+    merged = read_hll_sketch(spark, sketch_path, group_col)
+    tmp = os.path.join(sketch_path, "_compact_tmp")
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    for v in vs:
+        shutil.rmtree(os.path.join(sketch_path, f"v{v}"))
+    os.rename(tmp, os.path.join(sketch_path, f"v{vs[-1]}"))
+    return len(vs) - 1

@@ -172,7 +172,23 @@ def main() -> None:
 
     all_queries = {**QUERIES, **EXTRA_QUERIES}
     names = [n for n in args.queries.split(",") if n]
+    # Scale-sweep sessions get 2g (unless the env overrides): the 1g
+    # default is measured-optimal at sf0.1, but the exploded
+    # aggregations at sf1+ under 32 task threads genuinely exhaust it
+    # (spill-writer buffer allocation OOM with everything accounted
+    # fine) — both legs of every ratio run under the same heap, so the
+    # artifact stays internally consistent.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "2g")
     spark = get_spark(app_name="scale-check")
+    # Shuffle partitions sized to the sweep's data, not the core
+    # count: per-partition working sets (pair-join partial aggs,
+    # window sorts) grow with SF, and AQE coalesces the excess at
+    # small SF — so 4x the core count costs nothing below sf1 and is
+    # the difference between spill and heap-OOM above it.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(4 * spark.sparkContext.defaultParallelism),
+    )
     spark.range(1000).selectExpr("sum(id)").collect()
 
     report: dict[str, dict] = {}
@@ -228,6 +244,7 @@ def main() -> None:
         "mult": args.mult,
         "baseline_dir": args.baseline,
         "sf1_dir": args.sf1,
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "1g"),
         "queries": report,
         "stream_batch_rows": stream_batch,
         "max_ratio": max(r["ratio"] for r in report.values()),

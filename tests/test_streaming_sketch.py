@@ -15,9 +15,12 @@ from flink_repartition_watermark_example_spark.operators.sketch import cms_build
 from flink_repartition_watermark_example_spark.sources.tables import load_table
 from flink_repartition_watermark_example_spark.streaming.sketch import (
     cms_sketch_writer,
+    compact_hll_sketch,
     compact_sketch,
     estimate_from_sketch,
+    hll_sketch_writer,
     read_cms_sketch,
+    read_hll_sketch,
 )
 
 pytestmark = pytest.mark.slow  # streaming replay: minute-class
@@ -92,6 +95,40 @@ def test_replayed_batch_is_idempotent(spark, sf_dir, tmp_path):
 
     w(second, 1)  # crash replay of batch 1
     assert _cells(read_cms_sketch(spark, sketch)) == once
+
+
+def test_hll_index_streamed_equals_batch_and_survives_resume(spark, sf_dir, tmp_path):
+    """Register-max union: any batch split of the input must merge to
+    EXACTLY the one-shot sketch estimates; replay is idempotent; the
+    compacted snapshot survives the resumed stream's next batch."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    b = [ev.where(F.col("event_id") % 3 == i) for i in range(3)]
+
+    sketch = str(tmp_path / "hll")
+    w = hll_sketch_writer(sketch, key_col="user_id", group_col="event_type")
+    w(b[0], 0)
+    w(b[1], 1)
+    w(b[1], 1)  # crash replay — overwrite of own version, no-op
+    assert compact_hll_sketch(spark, sketch, "event_type") == 1
+    w(b[2], 2)  # resumed stream's next batch must not be clobbered
+
+    est = {
+        r["event_type"]: r["n"]
+        for r in read_hll_sketch(spark, sketch, "event_type")
+        .select("event_type", F.hll_sketch_estimate("sk").alias("n"))
+        .collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n"))
+        .collect()
+    }
+    assert est == want and len(est) > 0
 
 
 def test_resume_after_compaction_preserves_counts(spark, sf_dir, tmp_path):
