@@ -254,18 +254,30 @@ def ngram_jaccard_pairs(
     arrays disposes; only pairs ≥ threshold survive.
 
     The whole chain hangs off ONE persisted shingle relation: the
-    signature pipeline derives from it and the two verify join sides
-    scan it from cache, so the interpreted shingle lambda — the
-    expensive stage — executes once instead of three times (it used to
-    be re-derived for candidates and for each verify side; at sf1 that
+    signature pipeline derives from it and the verify stage scans it
+    from cache, so the interpreted shingle lambda — the expensive
+    stage — executes once instead of three times (it used to be
+    re-derived for candidates and for each verify side; at sf1 that
     was 3× the query's cost).  est_jaccard is skipped entirely for the
     candidate ids: the exact jaccard verdict supersedes it, and the
     sig-array joins that computed it would be dead weight here.
+
+    Verification runs over NARROW exploded rows, not shingle arrays:
+    |A∩B| is a counting join — candidates × the a-side's grams,
+    equi-joined on (doc_b, gram) — and jaccard = i / (n_a + n_b − i)
+    with per-doc set sizes from one count.  The earlier form shipped
+    each doc's full shingle ARRAY through both sort-merge join sides
+    (~10 KB rows whose sort buffers OOM'd a 2 g JVM at sf10);
+    exploded (doc_id, gram) rows are ~30 bytes, sort/spill cleanly,
+    and the pair aggregation combines well (every shared gram of a
+    pair folds into one row).  Requires threshold > 0: zero-overlap
+    candidates drop out of the inner counting join, which is exactly
+    the set the threshold filter discards anyway.
     """
-    # fan_out: documents.parquet is typically few splits relative to
-    # cores, and the shingle lambda is the expensive projection — hash
-    # repartition the cheap (doc_id, text) rows first so it computes
-    # at full width instead of per-scan-split.
+    assert threshold > 0, "threshold must be positive (see docstring)"
+    # fan_out at 4x the core count: the shingle lambda is the
+    # expensive projection and downstream sorts inherit this width
+    # (see winnow_fingerprints).
     #
     # DISK_ONLY, deliberately: the shingle relation is the largest
     # intermediate in the chain (O(corpus bytes) of string arrays);
@@ -273,10 +285,11 @@ def ngram_jaccard_pairs(
     # tasks' execution memory on the default 1 g heap and OOMs at sf1.
     # Local-disk columnar batches re-read in ~scan time, and the win —
     # not re-running the interpreted shingle lambda 3× — is preserved.
-    sh = doc_shingles(fan_out(docs, "doc_id"), text_col).persist(
+    wide = 4 * docs.sparkSession.sparkContext.defaultParallelism
+    sh = doc_shingles(fan_out(docs, "doc_id", parts=wide), text_col).persist(
         StorageLevel.DISK_ONLY
     )
-    # pin before fan-in: the band self-join's two branches and the two
+    # pin before fan-in: the band self-join's two branches and the
     # verify sides launch their stages concurrently, and every
     # cache-missing branch recomputes the interpreted shingle stage in
     # parallel before any partition lands in the cache (the same
@@ -290,24 +303,36 @@ def ngram_jaccard_pairs(
     sigs = minhash_sig_array(shingles=sh).persist(StorageLevel.MEMORY_AND_DISK)
     sigs.count()
     cand = band_pair_ids(sigs, MAX_BUCKET_DOCS)
-    # merge hints: the shingle relation is O(corpus bytes), the largest
-    # relation in the whole chain — broadcast would OOM at scale (see
-    # band_pair_ids); sort-merge on doc_id holds at any corpus size.
-    j = (
-        cand.join(sh.alias("ha").hint("merge"), F.col("ha.doc_id") == F.col("doc_a"))
-        .join(sh.alias("hb").hint("merge"), F.col("hb.doc_id") == F.col("doc_b"))
+    # exploded distinct grams (doc_shingles already dedupes per doc);
+    # derived from the pinned cache, so each scan is a cache read
+    g = (
+        sh.select("doc_id", F.explode_outer("shingles").alias("g"))
+        .where(F.col("g").isNotNull())
+    )
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = g.select(F.col("doc_id").alias("doc_a"), "g")
+    gb = g.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        cand.join(ga, "doc_a")
+        .join(gb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             (
-                F.size(F.array_intersect(F.col("ha.shingles"), F.col("hb.shingles"))).cast(
-                    "double"
-                )
-                / F.size(F.array_union(F.col("ha.shingles"), F.col("hb.shingles")))
+                F.col("i").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("i")).cast("double")
             ).alias("jaccard"),
         )
+        .where(F.col("jaccard") >= threshold)
     )
-    return j.where(F.col("jaccard") >= threshold)
 
 
 # --- simhash ---------------------------------------------------------------

@@ -642,7 +642,11 @@ def _boiler_shingles(docs: DataFrame) -> DataFrame:
     corpus's shingling SERIALLY (measured 34 s/65 s at sf1 for the two
     boilerplate queries — the worst entries of the refreshed sweep —
     vs ~linear-in-cores after the fix)."""
-    fanned = fan_out(docs.select("doc_id", "text"), "doc_id")
+    # 4x the core count (see winnow_fingerprints): downstream sorts/
+    # aggs over the exploded rows inherit this width, quartering each
+    # task's working set without adding concurrency
+    wide = 4 * docs.sparkSession.sparkContext.defaultParallelism
+    fanned = fan_out(docs.select("doc_id", "text"), "doc_id", parts=wide)
     return (
         fanned.select(
             "doc_id",
@@ -707,6 +711,13 @@ def q_boilerplate_flagged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branches, so persist it (DISK_ONLY — O(corpus) exploded rows,
     # same rationale as the dedup chain's shared shingle stage)
     sh = _boiler_shingles(docs).persist(StorageLevel.DISK_ONLY)
+    # pin before the fan-in: the inventory aggregate and the join's
+    # probe side launch their stages CONCURRENTLY, and each
+    # cache-missing branch recomputes the shingle explode in parallel
+    # before any partition lands in the cache — the doubled working
+    # set OOM'd the sweep JVM at sf10 (same trap as the dedup chain;
+    # one count() serializes the fill)
+    sh.count()
     boiler = (
         sh.groupBy("g")
         .agg(F.count(F.lit(1)).alias("n_docs"))

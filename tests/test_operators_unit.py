@@ -246,7 +246,12 @@ def test_minhash_keeps_shingle_lambda_out_of_scan_stage(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    scan_side = plan[plan.index("Exchange") :]  # scan is below the repartition
+    # scan is below the repartition; rindex, because an AQE plan string
+    # can carry BOTH a Final and an Initial section (two printed trees)
+    # — the bottom-most Exchange is the last repartition before the
+    # scan in whichever tree prints last, and a leaked lambda would sit
+    # below it either way
+    scan_side = plan[plan.rindex("Exchange") :]
     assert "transform" not in scan_side, (
         "shingle lambda leaked below the repartition into the scan stage:\n"
         + scan_side[:1500]
