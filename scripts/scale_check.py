@@ -172,13 +172,16 @@ def main() -> None:
 
     all_queries = {**QUERIES, **EXTRA_QUERIES}
     names = [n for n in args.queries.split(",") if n]
-    # Scale-sweep sessions get 2g (unless the env overrides): the 1g
+    # Scale-sweep sessions get 4g (unless the env overrides): the 1g
     # default is measured-optimal at sf0.1, but the exploded
-    # aggregations at sf1+ under 32 task threads genuinely exhaust it
-    # (spill-writer buffer allocation OOM with everything accounted
-    # fine) — both legs of every ratio run under the same heap, so the
-    # artifact stays internally consistent.
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "2g")
+    # aggregations and the fact-join partial aggs at sf10 under 32
+    # task threads genuinely exhaust 1-2g (spill-writer allocation OOM
+    # with all accounted memory fine; multi_join_revenue crashed at 2g
+    # on its second rep and ran 1.8x FASTER at 4g than at 2g — the
+    # old "larger heap is strictly slower" measurement holds only at
+    # sf0.1 working sets).  Both legs of every ratio run under the
+    # same heap, so the artifact stays internally consistent.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "4g")
     spark = get_spark(app_name="scale-check")
     # Shuffle partitions sized to the sweep's data, not the core
     # count: per-partition working sets (pair-join partial aggs,
