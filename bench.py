@@ -31,9 +31,19 @@ from flink_repartition_watermark_example_spark import get_spark
 from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES, QUERIES
 
 # Extras benched alongside the primary 50: the vectorized ANN
-# production twins, so their speedup vs the oracle-exact paths
-# (cosine_topk / ivf_ann_topk / pq_adc_topk) is recorded per round.
-BENCH_EXTRAS = ["cosine_topk_fast", "ivf_ann_topk_fast", "pq_adc_topk_fast"]
+# production twins (speedup vs the oracle-exact paths recorded per
+# round) plus the round-6 additions — the bucketed join twin (vs
+# multi_join_revenue), the real image codec, and the incremental
+# streaming sketches.
+BENCH_EXTRAS = [
+    "cosine_topk_fast",
+    "ivf_ann_topk_fast",
+    "pq_adc_topk_fast",
+    "multi_join_revenue_bucketed",
+    "image_decode_stats",
+    "streaming_cms_heavy_hitters",
+    "streaming_hll_distinct_users",
+]
 
 
 def main() -> None:

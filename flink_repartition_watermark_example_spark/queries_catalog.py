@@ -124,10 +124,17 @@ _MJR_ORACLE = _Q["multi_join_revenue"].oracle
     "the absence of any orderkey exchange above the lineitem scan.",
 )
 def q_multi_join_revenue_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_repartition_watermark_example_spark.storage import bucketed_table
+    from flink_repartition_watermark_example_spark.storage import (
+        bucketed_table,
+        suggest_buckets,
+    )
 
-    l = spark.table(bucketed_table(spark, sf_dir, "lineitem", ["l_orderkey"]))
-    o = spark.table(bucketed_table(spark, sf_dir, "orders", ["o_orderkey"]))
+    # one bucket count for BOTH sides (unequal counts reintroduce an
+    # exchange), sized to the bigger table so each bucket's write sort
+    # and read slice stay memory-bounded at any SF
+    n = suggest_buckets(sf_dir, "lineitem")
+    l = spark.table(bucketed_table(spark, sf_dir, "lineitem", ["l_orderkey"], n))
+    o = spark.table(bucketed_table(spark, sf_dir, "orders", ["o_orderkey"], n))
     c, n, r = (
         _t(spark, sf_dir, "customer"),
         _t(spark, sf_dir, "nation"),

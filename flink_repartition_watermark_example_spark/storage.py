@@ -47,23 +47,31 @@ def bucketed_table(
     per-query orderkey exchange of a 600M-row lineitem into a one-time
     layout decision (the sf10→sf100 sweep's one superlinear entry).
 
-    The copy lands under the system temp dir keyed by (sf_dir, table)
-    and is memoized per session; re-invocations reuse the existing
-    table.  Bucket count is a layout constant: readers get
-    min(1 task, buckets) parallelism per co-located stage, so size it
-    to the cluster — 32 matches the local[32] harness; a real
-    deployment scales it with executor count.
+    The copy lands under the system temp dir keyed by (sf_dir, table,
+    num_buckets) and is memoized per session; re-invocations reuse the
+    existing table.  The writer REPARTITIONS on the bucket columns
+    first: repartition(n, cols) and the bucket-file router use the
+    same Murmur3 hash, so each task then owns exactly one bucket —
+    one output file per bucket, and the per-task write sort covers one
+    bucket's rows instead of the task's whole input slice (the naive
+    unpartitioned write sorted every input split across all buckets
+    concurrently, which exhausted an 8 g heap on a 600M-row table).
+
+    Bucket count is a LAYOUT CONSTANT that must match across the
+    tables of a co-located join — callers joining two bucketed tables
+    pass the same ``num_buckets`` for both, sized to the bigger one
+    (see suggest_buckets).
     """
     import hashlib
     import os
     import tempfile
 
-    key = (os.path.abspath(sf_dir), table)
+    key = (os.path.abspath(sf_dir), table, num_buckets)
     if key in _BUCKETED_MEMO:
         return _BUCKETED_MEMO[key]
     from flink_repartition_watermark_example_spark.sources.tables import load_table
 
-    digest = hashlib.md5(repr((key, num_buckets)).encode()).hexdigest()[:10]
+    digest = hashlib.md5(repr(key).encode()).hexdigest()[:10]
     name = f"{table}_bkt_{digest}"
     if not spark.catalog.tableExists(name):
         path = os.path.join(
@@ -72,6 +80,7 @@ def bucketed_table(
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
             load_table(spark, sf_dir, table)
+            .repartition(num_buckets, *bucket_cols)
             .write.mode("overwrite")
             .option("path", path)
             .bucketBy(num_buckets, *bucket_cols)
@@ -81,6 +90,26 @@ def bucketed_table(
         )
     _BUCKETED_MEMO[key] = name
     return name
+
+
+def suggest_buckets(
+    sf_dir: str, table: str, target_mb: int = 128, lo: int = 32, hi: int = 1024
+) -> int:
+    """Bucket count sized to a table's on-disk bytes (~target_mb per
+    bucket, clamped): the layout lever that keeps each bucket's sort
+    and each reader task's slice memory-bounded at any SF.  Callers
+    co-locating a join compute this ONCE from the bigger table and
+    reuse it for every side."""
+    import os
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    paths = (
+        [os.path.join(src, p) for p in os.listdir(src)]
+        if os.path.isdir(src)
+        else [src]
+    )
+    total = sum(os.path.getsize(p) for p in paths if os.path.isfile(p))
+    return max(lo, min(hi, total // (target_mb * 1024 * 1024) or lo))
 
 
 def colocated_join(
