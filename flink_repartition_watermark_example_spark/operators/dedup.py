@@ -275,9 +275,9 @@ def ngram_jaccard_pairs(
     the set the threshold filter discards anyway.
     """
     assert threshold > 0, "threshold must be positive (see docstring)"
-    # fan_out at 4x the core count: the shingle lambda is the
-    # expensive projection and downstream sorts inherit this width
-    # (see winnow_fingerprints).
+    # fan_out at stage_width (= shuffle.partitions): the shingle
+    # lambda is the expensive projection and downstream sorts inherit
+    # this width (see winnow_fingerprints).
     #
     # DISK_ONLY, deliberately: the shingle relation is the largest
     # intermediate in the chain (O(corpus bytes) of string arrays);
@@ -285,10 +285,11 @@ def ngram_jaccard_pairs(
     # tasks' execution memory on the default 1 g heap and OOMs at sf1.
     # Local-disk columnar batches re-read in ~scan time, and the win —
     # not re-running the interpreted shingle lambda 3× — is preserved.
-    wide = 4 * docs.sparkSession.sparkContext.defaultParallelism
-    sh = doc_shingles(fan_out(docs, "doc_id", parts=wide), text_col).persist(
-        StorageLevel.DISK_ONLY
-    )
+    from flink_repartition_watermark_example_spark.scale import stage_width
+
+    sh = doc_shingles(
+        fan_out(docs, "doc_id", parts=stage_width(docs)), text_col
+    ).persist(StorageLevel.DISK_ONLY)
     # pin before fan-in: the band self-join's two branches and the
     # verify sides launch their stages concurrently, and every
     # cache-missing branch recomputes the interpreted shingle stage in
@@ -490,14 +491,16 @@ def winnow_fingerprints(
     from pyspark.sql.window import Window
 
     grams = TX.shingles(TX.tokens(text_col), n)
-    # 4x the core count: the window stage sorts EXPLODED gram rows and
-    # inherits this hash partitioning (doc_id satisfies its
-    # distribution — no extra exchange), so each task's sort buffer is
-    # a quarter of the naive split.  At sf10 the 32-way form's window
-    # sort exhausted a 1 g heap outright; 128-way completes in it.
-    wide = 4 * docs.sparkSession.sparkContext.defaultParallelism
+    # width = shuffle.partitions (scale.stage_width): the window stage
+    # sorts EXPLODED gram rows and inherits this hash partitioning
+    # (doc_id satisfies its distribution — no extra exchange), so the
+    # conf sizes each task's sort buffer.  At sf10 the core-count-wide
+    # window sort exhausted a 1 g heap outright; at 4x width (the
+    # sweep config) it completes in it.
+    from flink_repartition_watermark_example_spark.scale import stage_width
+
     g = (
-        fan_out(docs, "doc_id", parts=wide)
+        fan_out(docs, "doc_id", parts=stage_width(docs))
         .select("doc_id", F.posexplode_outer(grams).alias("pos", "g"))
         .where(F.col("g").isNotNull())
         .select("doc_id", "pos", md5_long(F.col("g")).alias("h"))

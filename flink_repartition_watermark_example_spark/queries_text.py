@@ -642,11 +642,14 @@ def _boiler_shingles(docs: DataFrame) -> DataFrame:
     corpus's shingling SERIALLY (measured 34 s/65 s at sf1 for the two
     boilerplate queries — the worst entries of the refreshed sweep —
     vs ~linear-in-cores after the fix)."""
-    # 4x the core count (see winnow_fingerprints): downstream sorts/
-    # aggs over the exploded rows inherit this width, quartering each
-    # task's working set without adding concurrency
-    wide = 4 * docs.sparkSession.sparkContext.defaultParallelism
-    fanned = fan_out(docs.select("doc_id", "text"), "doc_id", parts=wide)
+    # width = shuffle.partitions (see winnow_fingerprints): downstream
+    # sorts/aggs over the exploded rows inherit this width, so the
+    # conf sizes each task's working set without adding concurrency
+    from flink_repartition_watermark_example_spark.scale import stage_width
+
+    fanned = fan_out(
+        docs.select("doc_id", "text"), "doc_id", parts=stage_width(docs)
+    )
     return (
         fanned.select(
             "doc_id",

@@ -31,6 +31,26 @@ def fan_out(df: DataFrame, *cols: str, parts: int | None = None) -> DataFrame:
     return df.repartition(n, *cols) if cols else df.repartition(n)
 
 
+def stage_width(df: DataFrame) -> int:
+    """Partition count for fan_out ahead of memory-heavy exploded
+    stages (window sorts, pair joins): the session's
+    ``spark.sql.shuffle.partitions``, floored at the core count.
+
+    Downstream stages inherit the fan_out partitioning (hash on the
+    same keys satisfies their distribution — no extra exchange), so
+    this makes shuffle.partitions the ONE lever that sizes their
+    per-task working set: the bench at sf0.1 keeps the core count (a
+    fixed 4x width cost ngram_jaccard 2.2x in per-task overhead at
+    5k docs), while scale sweeps raise the conf to 4x cores and the
+    same stages run with a quarter of the task memory.
+    """
+    spark = df.sparkSession
+    return max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
