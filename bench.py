@@ -33,8 +33,9 @@ from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES, QUE
 # Extras benched alongside the primary 50: the vectorized ANN
 # production twins (speedup vs the oracle-exact paths recorded per
 # round) plus the round-6 additions — the bucketed join twin (vs
-# multi_join_revenue), the real image codec, and the incremental
-# streaming sketches.
+# multi_join_revenue), the real image/audio codecs, the incremental
+# streaming sketches, and the heaviest decorrelation shapes (Q21's
+# double correlation, Q4's semi join).
 BENCH_EXTRAS = [
     "cosine_topk_fast",
     "ivf_ann_topk_fast",
@@ -43,6 +44,9 @@ BENCH_EXTRAS = [
     "image_decode_stats",
     "streaming_cms_heavy_hitters",
     "streaming_hll_distinct_users",
+    "audio_decode_stats",
+    "waiting_suppliers",
+    "order_priority_late_exists",
 ]
 
 

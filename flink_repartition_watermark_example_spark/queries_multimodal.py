@@ -108,6 +108,76 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "audio_decode_stats",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS ch,
+             8000 * (1 + doc_id % 3) AS sr,
+             64 + doc_id % 33 AS n
+      FROM documents
+    ),
+    fi  AS (SELECT doc_id, ch, sr, n, unnest(range(0, n)) AS i FROM dims),
+    fic AS (SELECT doc_id, ch, sr, n, i, unnest(range(0, ch)) AS c FROM fi),
+    s   AS (SELECT doc_id, ch, sr, n,
+                   ((31*doc_id + 17*i + 7*c) % 4001) - 2000 AS v
+            FROM fic)
+    SELECT doc_id,
+           CAST(max(sr) AS INT) AS sample_rate,
+           CAST(max(ch) AS INT) AS channels,
+           CAST(max(n) AS BIGINT) AS n_frames,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(max(abs(v)) AS INT) AS peak
+    FROM s GROUP BY doc_id
+    """,
+    doc="REAL audio decode, value-checked end to end: each doc gets a "
+    "genuine RIFF/WAVE PCM16 clip (mono for even ids, stereo for odd, "
+    "sample(i,c) a closed form of doc_id; every 5th doc carries an "
+    "unknown odd-sized chunk the parser must skip+pad), and "
+    "decode_audio walks the actual chunk list back via Arrow-batched "
+    "mapInPandas.  The oracle recomputes format fields and exact "
+    "integer amplitude stats from the sample formula — any wrong byte "
+    "in the codec path (encoder OR decoder, either channel order) "
+    "breaks the integer sums.",
+)
+def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.decode_audio(MM.synth_audio_payload(docs))
+
+
+@register_extra(
+    "audio_block_energy",
+    f"""
+    WITH dims AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS ch,
+             64 + doc_id % 33 AS n
+      FROM documents
+    ),
+    fi  AS (SELECT doc_id, ch, n, unnest(range(0, n)) AS i FROM dims),
+    fic AS (SELECT doc_id, ch, i, unnest(range(0, ch)) AS c FROM fi),
+    s   AS (SELECT doc_id, i // {MM.AUDIO_BLOCK_FRAMES} AS block_idx,
+                   ((31*doc_id + 17*i + 7*c) % 4001) - 2000 AS v
+            FROM fic)
+    SELECT doc_id,
+           CAST(block_idx AS BIGINT) AS block_idx,
+           CAST(sum(v * v) AS BIGINT) AS energy
+    FROM s GROUP BY doc_id, block_idx
+    """,
+    doc="Blockwise audio feature extraction (the audio analog of video "
+    "frame sampling): every decoded clip expands to one row per "
+    f"{MM.AUDIO_BLOCK_FRAMES}-frame block with the block's exact "
+    "integer energy — the 1-to-N flatMap shape across the Arrow "
+    "boundary a real spectral extractor uses.  The oracle re-derives "
+    "each block's sum-of-squares from the sample formula, so the row "
+    "expansion AND the decode are value-checked.",
+)
+def q_audio_block_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.audio_block_energy(MM.synth_audio_payload(docs))
+
+
+@register_extra(
     "multimodal_frame_sample",
     f"""
     WITH f AS (SELECT doc_id, text,

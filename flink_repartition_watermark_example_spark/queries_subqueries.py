@@ -1,0 +1,325 @@
+"""Correlated-subquery / decorrelation shapes (SURVEY §2.2 sweep,
+TPC-H Q4/Q13/Q15/Q18/Q21/Q22 adaptations for this star schema — it
+has no commitdate/receiptdate/phone/partsupp, so the "late" predicate
+is l_shipdate > o_orderdate + N days and Q22's "no orders" becomes
+"no recent orders").
+
+The DESIGN POINT of this module: every oracle is written in the
+correlated EXISTS / scalar-subquery form, while the Spark side is the
+decorrelated aggregate/semi-join plan you would actually run at
+100 TB — so the oracle gate proves each decorrelation correct, not
+just each arithmetic.  Scale themes:
+
+- EXISTS → left-semi join with the correlated predicate folded into
+  the join condition (one orderkey shuffle, early-out per match);
+- "sole offender" double-correlation (Q21) → two chained aggregations
+  on the SAME key (orderkey), so the second reuses the first's
+  partitioning — no second exchange;
+- scalar aggregate thresholds (Q15/Q22) → O(1)-row aggregate joined
+  back, broadcast by construction; the Q22 average is compared as
+  ``bal * n > total`` in exact decimals, so no engine ever divides
+  (cross-engine float division parity is unwinnable);
+- count-of-counts (Q13) → aggregate orders FIRST, join customers
+  after — the heavy shuffle carries O(customers) narrow rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_repartition_watermark_example_spark.queries import dec_sum, register_extra
+from flink_repartition_watermark_example_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+_DEC = "decimal(18,2)"
+
+
+@register_extra(
+    "order_priority_late_exists",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (ref has no joins at all — Main.scala:21-27 — "
+    "this is north-star catalog surface): priority counts of orders "
+    "with at least one line shipped >60 days after the order date.  "
+    "Spark side decorrelates the EXISTS into a LEFT SEMI join whose "
+    "condition carries the correlated date predicate; the date-range "
+    "filter on orders is pushed to the scan, and the semi join "
+    "shuffles only (orderkey, orderdate) against a 2-column lineitem "
+    "projection — per-order early-out, no dedup stage.  The oracle "
+    "stays in the EXISTS form, so the gate checks the decorrelation.",
+)
+def q_order_priority_late_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register_extra(
+    "customer_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey) t
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: count-of-counts distribution of orders per "
+    "customer.  Spark side aggregates orders per custkey FIRST (the "
+    "only corpus-sized shuffle, map-side combined), then LEFT joins "
+    "customer onto the narrow counts to pick up zero-order customers "
+    "via coalesce(cnt, 0); the second aggregation groups on the tiny "
+    "count domain.  Oracle keeps the join-then-double-group form.",
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    ocnt = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    per_cust = c.join(ocnt, c.c_custkey == ocnt.o_custkey, "left").select(
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def _rev():
+    return F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(_DEC)
+
+
+@register_extra(
+    "top_revenue_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(18,2))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+    doc="TPC-H Q15 shape: supplier(s) with the maximum quarterly "
+    "revenue.  The scalar MAX subquery decorrelates to an O(1)-row "
+    "aggregate equi-joined back onto the per-supplier revenue "
+    "relation (value-equality join ⇒ BroadcastHashJoin, not a nested "
+    "loop); revenue stays exact decimal until the final cast, so the "
+    "max-equality predicate is engine-exact.  supplier grows with "
+    "the corpus and joins the O(1)-row winners — AQE broadcasts the "
+    "tiny side.",
+)
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = l.groupBy("l_suppkey").agg(F.sum(_rev()).alias("total_rev"))
+    maxv = rev.agg(F.max("total_rev").alias("max_rev"))
+    top = rev.join(F.broadcast(maxv), rev.total_rev == maxv.max_rev).select(
+        "l_suppkey", "total_rev"
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return s.join(top, s.s_suppkey == top.l_suppkey).select(
+        "s_suppkey",
+        "s_name",
+        F.col("total_rev").cast("double").alias("total_revenue"),
+    )
+
+
+@register_extra(
+    "large_volume_customers",
+    """
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(q.total_qty AS DOUBLE) AS total_qty
+    FROM (SELECT l_orderkey,
+                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300) q
+    JOIN orders o   ON q.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="TPC-H Q18 shape: orders whose total quantity exceeds 300 "
+    "(~top 1%% of orders here), with their customers.  The IN-"
+    "subquery-with-HAVING decorrelates to aggregate-below-join: "
+    "lineitem collapses to one (orderkey, total_qty) row per order "
+    "before ANY join, the HAVING filter drops ~99%% of them, and AQE "
+    "broadcasts the surviving handful onto orders — the fact table "
+    "is never shuffled by the join.  Quantities are integral, so the "
+    "decimal sum and the >300 cut are engine-exact.",
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    q = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        q.join(o, q.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@register_extra(
+    "waiting_suppliers",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s, lineitem l1, orders o
+    WHERE s.s_suppkey = l1.l_suppkey
+      AND o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name
+    """,
+    doc="TPC-H Q21 shape — the hardest correlation in the suite: late "
+    "lines (shipped >90 days after order date) of the SOLE late "
+    "supplier in multi-supplier finalized orders.  The EXISTS + "
+    "doubly-correlated NOT EXISTS (l3 correlates to both l1 AND o) "
+    "decorrelates into two chained aggregations on the same key: "
+    "per (orderkey, suppkey) count the supplier's late lines, then "
+    "per orderkey count suppliers and late suppliers — the second "
+    "groupBy reuses the first's hash partitioning (orderkey ⊂ both "
+    "keys), so the whole correlation costs ONE narrow orderkey "
+    "shuffle of (orderkey, suppkey, is_late).  A qualifying "
+    "supplier contributes its late-LINE count (the oracle's count(*) "
+    "is over l1 lines), summed per supplier name at the end.  The "
+    "oracle stays in the full EXISTS/NOT-EXISTS form, so the gate "
+    "proves the rewrite.",
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lines = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).cast("long").alias("is_late"),
+    )
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum("is_late").alias("late_lines")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum((F.col("late_lines") > 0).cast("long")).alias("n_late_supp"),
+    )
+    waiting = (
+        per_supp.join(per_order, "l_orderkey")
+        .where(
+            (F.col("late_lines") > 0)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
+        .select("l_suppkey", "late_lines")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(s, waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("late_lines").alias("numwait"))
+    )
+
+
+@register_extra(
+    "rich_inactive_customers",
+    """
+    SELECT c.c_mktsegment AS segment, count(*) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS totacctbal
+    FROM customer c
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,2))
+          * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+          > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2)))
+             FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c.c_mktsegment
+    """,
+    doc="TPC-H Q22 shape (no phone column, and every customer here "
+    "has SOME order, so 'inactive' = no orders since 2000): segment "
+    "totals of above-average-balance customers with no recent "
+    "orders.  The scalar AVG threshold is compared as "
+    "bal * n > total in exact decimals — neither engine ever "
+    "divides, which is the only way the boundary rows agree "
+    "bit-for-bit.  Spark side: the (n, total) aggregate is one "
+    "broadcast O(1)-row build (the documented nested-loop exception "
+    "class), the NOT EXISTS is a LEFT ANTI join against the "
+    "date-filtered orders projection — anti joins shuffle only "
+    "custkey pairs, and the date filter is pushed to the scan.",
+)
+def q_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast(_DEC)
+    stats = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.sum(bal).alias("tot_pos"),
+        )
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = c.join(F.broadcast(stats)).where(
+        bal * F.col("n_pos") > F.col("tot_pos")
+    )
+    inactive = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return inactive.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        dec_sum("c_acctbal", "totacctbal"),
+    )

@@ -85,6 +85,46 @@ def test_decode_image_distributed_matches_formula(spark, sf_dir):
         )
 
 
+def test_wav_codec_roundtrip_local():
+    # The decoder must recover the exact frame array from real RIFF
+    # bytes — including the cases that break naive parsers: stereo
+    # interleave, an unknown chunk between fmt_ and data, and the
+    # odd-chunk-size pad byte the RIFF spec requires.
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for n, ch, sr, junk in [(64, 1, 8000, False), (33, 2, 16000, True),
+                            (1, 2, 44100, False), (7, 1, 24000, True)]:
+        frames = rng.integers(-32768, 32768, (n, ch)).astype(np.int16)
+        sr2, back = MM.decode_wav_bytes(MM.encode_wav(frames, sr, junk_chunk=junk))
+        assert sr2 == sr and back.shape == (n, ch)
+        assert np.array_equal(back, frames)
+
+    with pytest.raises(ValueError, match="not a RIFF/WAVE"):
+        MM.decode_wav_bytes(b"OggS....")
+    with pytest.raises(ValueError, match="missing fmt_/data"):
+        MM.decode_wav_bytes(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_decode_audio_distributed_matches_formula(spark, sf_dir):
+    # End-to-end through mapInPandas: synthesize real WAV bytes,
+    # decode them back, and check format fields + exact amplitude
+    # stats against the closed-form sample function.
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    out = {r.doc_id: r for r in MM.decode_audio(MM.synth_audio_payload(docs)).collect()}
+    assert len(out) == 50
+    for d, r in out.items():
+        ch, sr, n = 1 + d % 2, 8000 * (1 + d % 3), 64 + d % 33
+        assert (r.sample_rate, r.channels, r.n_frames) == (sr, ch, n)
+        vals = [
+            ((31 * d + 17 * i + 7 * c) % 4001) - 2000
+            for i in range(n)
+            for c in range(ch)
+        ]
+        assert r.sum_abs == sum(abs(v) for v in vals)
+        assert r.peak == max(abs(v) for v in vals)
+
+
 def test_fake_decode_is_deterministic_fixed_width(payloads):
     a = MM.fake_decode_features(payloads).orderBy("doc_id").collect()
     b = MM.fake_decode_features(payloads).orderBy("doc_id").collect()

@@ -47,6 +47,9 @@ NESTED_LOOP_ALLOWED = {
     "ann_recall_lsh",
     "ann_recall_ivf",
     "ann_recall_pq",
+    # broadcast of the single-row (n_pos, tot_pos) balance aggregate
+    # onto customer (queries_subqueries.py)
+    "rich_inactive_customers",
 }
 
 
