@@ -468,6 +468,195 @@ def audio_block_energy(
     return flat.mapInPandas(batches, AUDIO_ENERGY_SCHEMA)
 
 
+# --- real video codec (AVI + uncompressed DIB frames) ---------------------
+#
+# Completes the modality trio: AVI is RIFF (the WAV chunk walk above,
+# plus nested LIST chunks) and its uncompressed 'DIB ' video frames
+# are BMP pixel data without the file header (the BMP row logic
+# above: bottom-up rows, BGR order, 4-byte row padding).  So this is
+# a REAL parser for the container format MJPEG/DIB AVIs actually use
+# — an H.264 decoder would replace only the per-frame parse.
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def _dib_encode(arr) -> bytes:
+    """BMP pixel block (no file header): bottom-up BGR rows padded to
+    4 bytes — the payload of an AVI '00db' uncompressed frame chunk."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    row_size = (w * 3 + 3) // 4 * 4
+    pad = b"\x00" * (row_size - w * 3)
+    bgr = a[:, :, ::-1]
+    return b"".join(bgr[y].tobytes() + pad for y in range(h - 1, -1, -1))
+
+
+def _dib_decode(raw: bytes, w: int, h: int):
+    import numpy as np
+
+    row_size = (w * 3 + 3) // 4 * 4
+    out = np.empty((h, w, 3), np.uint8)
+    for i in range(h):
+        row = np.frombuffer(raw, np.uint8, w * 3, i * row_size)
+        out[h - 1 - i] = row.reshape(w, 3)[:, ::-1]
+    return out
+
+
+def encode_avi(frames, fps: int = 10) -> bytes:
+    """Minimal genuine AVI from an (n, h, w, 3) uint8 RGB array:
+    RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh('vids'/'DIB '),
+    strf(BITMAPINFOHEADER)}} → LIST(movi){'00db' DIB frames}."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = a.shape
+    frame_bytes = (w * 3 + 3) // 4 * 4 * h
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack("<4sI", cid, len(data))
+            + data
+            + (b"\x00" if len(data) % 2 else b"")
+        )
+
+    def lst(ltype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", ltype + data)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, frame_bytes * fps, 0, 0x10, n, 0, 1, frame_bytes,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", _dib_encode(f)) for f in a))
+    body = b"AVI " + hdrl + movi
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def decode_avi_bytes(raw: bytes):
+    """Parse one AVI payload to (width, height, (n, h, w, 3) uint8 RGB
+    array).  Generic RIFF walk with LIST recursion: dimensions from
+    the avih main header, frames from the movi '00db'/'00dc' chunks —
+    unknown chunks skipped, odd sizes padded, per the spec."""
+    import struct
+
+    import numpy as np
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        raise ValueError(f"not a RIFF/AVI payload: {raw[:4]!r}")
+
+    dims: list = [None]
+    frames: list = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid, size = struct.unpack_from("<4sI", buf, pos)
+            body_start = pos + 8
+            pos = body_start + size + (size % 2)
+            if cid == b"LIST":
+                walk(buf, body_start + 4, body_start + size)
+            elif cid == b"avih":
+                fields = struct.unpack_from("<10I", buf, body_start)
+                dims[0] = (fields[8], fields[9])
+            elif cid in (b"00db", b"00dc"):
+                frames.append(buf[body_start : body_start + size])
+
+    walk(raw, 12, len(raw))
+    if dims[0] is None:
+        raise ValueError("missing avih header")
+    w, h = dims[0]
+    return w, h, np.stack([_dib_decode(f, w, h) for f in frames])
+
+
+def synth_video_payload(docs: DataFrame) -> DataFrame:
+    """Deterministic video fixture: each doc gets a short clip whose
+    frame f's pixel (x, y) is a closed form of doc_id (so a SQL
+    oracle can recompute per-frame channel sums), encoded to REAL
+    AVI bytes with uncompressed DIB frames."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, n = 4 + d % 4, 3 + d % 3, 3 + d % 5
+                f = np.arange(n, dtype=np.int64)[:, None, None]
+                y = np.arange(h, dtype=np.int64)[None, :, None]
+                x = np.arange(w, dtype=np.int64)[None, None, :]
+                clip = np.stack(
+                    [
+                        (d + 13 * f + 3 * x + 7 * y) % 256,
+                        (2 * d + 13 * f + 5 * x + y) % 256,
+                        (3 * d + 13 * f + x + 11 * y) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(encode_avi(clip))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    flat = fan_out(docs.select("doc_id"), "doc_id")
+    return flat.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def decode_video_frames(
+    payloads: DataFrame, stride: int = FRAME_STRIDE
+) -> DataFrame:
+    """REAL video decode + frame sampling over binary payloads: parses
+    each AVI container, decodes every ``stride``-th DIB frame (row
+    padding, bottom-up, BGR), and emits exact per-frame channel sums —
+    the 1→N row expansion of fake_frame_sample with a genuine codec
+    inside.  Scan-shaped at 100 TB: no shuffle, Arrow-batched."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "frame_idx", "sum_r",
+                                    "sum_g", "sum_b")}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, clip = decode_avi_bytes(bytes(b))
+                for f in range(0, clip.shape[0], stride):
+                    sums = clip[f].astype("int64").sum(axis=(0, 1))
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(f)
+                    rows["sum_r"].append(int(sums[0]))
+                    rows["sum_g"].append(int(sums[1]))
+                    rows["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(rows)
+
+    flat = fan_out(payloads.select("doc_id", "payload"), "doc_id")
+    return flat.mapInPandas(batches, VIDEO_FRAME_SCHEMA)
+
+
 def fake_decode_features(payloads: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """Deterministic stand-in for a media decoder: a fixed-width feature
     vector derived from the payload digest.  Exercises the exact

@@ -178,6 +178,42 @@ def q_audio_block_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "video_frame_stats",
+    f"""
+    WITH dims AS (
+      SELECT doc_id,
+             4 + doc_id % 4 AS w,
+             3 + doc_id % 3 AS h,
+             3 + doc_id % 5 AS n
+      FROM documents
+    ),
+    fr  AS (SELECT doc_id, w, h,
+                   unnest(range(0, n, {MM.FRAME_STRIDE})) AS f
+            FROM dims),
+    px  AS (SELECT doc_id, w, h, f, unnest(range(0, w)) AS x FROM fr),
+    pxy AS (SELECT doc_id, f, x, w, h, unnest(range(0, h)) AS y FROM px)
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(sum((doc_id + 13*f + 3*x + 7*y) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((2*doc_id + 13*f + 5*x + y) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((3*doc_id + 13*f + x + 11*y) % 256) AS BIGINT) AS sum_b
+    FROM pxy GROUP BY doc_id, f
+    """,
+    doc="REAL video decode + frame sampling, value-checked end to end: "
+    "each doc gets a genuine AVI container (RIFF LIST structure, avih "
+    "main header, uncompressed bottom-up BGR DIB frames — pixel(f,x,y) "
+    "a closed form of doc_id), and decode_video_frames parses the "
+    "actual bytes back, decoding every 2nd frame into exact "
+    "per-frame channel sums.  The oracle recomputes the sums from the "
+    "pixel formula, so container walk, frame sampling, AND the DIB "
+    "row/channel/padding logic are all value-checked.",
+)
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.decode_video_frames(MM.synth_video_payload(docs))
+
+
+@register_extra(
     "multimodal_frame_sample",
     f"""
     WITH f AS (SELECT doc_id, text,

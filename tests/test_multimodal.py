@@ -125,6 +125,51 @@ def test_decode_audio_distributed_matches_formula(spark, sf_dir):
         assert r.peak == max(abs(v) for v in vals)
 
 
+def test_avi_codec_roundtrip_local():
+    # The decoder must recover the exact frame stack from real AVI
+    # bytes — nested LIST chunks, avih dimensions, and per-frame DIB
+    # pixel blocks (bottom-up rows, BGR, 4-byte padding).
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    for n, h, w in [(1, 3, 5), (4, 2, 2), (3, 5, 7)]:
+        clip = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        w2, h2, back = MM.decode_avi_bytes(MM.encode_avi(clip))
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(back, clip)
+
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        MM.decode_avi_bytes(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_decode_video_distributed_matches_formula(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    out = MM.decode_video_frames(MM.synth_video_payload(docs)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == 40
+    for d, rows in by_doc.items():
+        w, h, n = 4 + d % 4, 3 + d % 3, 3 + d % 5
+        assert sorted(r.frame_idx for r in rows) == list(
+            range(0, n, MM.FRAME_STRIDE)
+        )
+        for r in rows:
+            f = r.frame_idx
+            assert r.sum_r == sum(
+                (d + 13 * f + 3 * x + 7 * y) % 256
+                for x in range(w) for y in range(h)
+            )
+            assert r.sum_g == sum(
+                (2 * d + 13 * f + 5 * x + y) % 256
+                for x in range(w) for y in range(h)
+            )
+            assert r.sum_b == sum(
+                (3 * d + 13 * f + x + 11 * y) % 256
+                for x in range(w) for y in range(h)
+            )
+
+
 def test_fake_decode_is_deterministic_fixed_width(payloads):
     a = MM.fake_decode_features(payloads).orderBy("doc_id").collect()
     b = MM.fake_decode_features(payloads).orderBy("doc_id").collect()
