@@ -182,6 +182,60 @@ CENTROID_IDS = [10 + 13 * j for j in range(16)]
 NPROBE = 2
 
 
+# --- fold-exact numpy kernels ---------------------------------------------
+# IEEE 754 double ops are deterministic: the SEQUENCE of operations
+# fixes the bit pattern, not the engine.  functions.vectors.dot is the
+# left fold acc ← acc + (x_j · y_j) (and DuckDB's list_reduce seeds
+# with the first element, equal because 0.0 + x == x exactly).  These
+# kernels run the IDENTICAL per-row operation sequence — one multiply,
+# one add per dimension, in dimension order — but vectorized ACROSS
+# rows with numpy, so they are bit-identical to the interpreted
+# expression folds (asserted in tests/test_similarity_ann.py) at
+# ~50× the throughput.  np.matmul/BLAS would reorder the additions
+# (pairwise/SIMD summation) and break value-hash parity — that's the
+# `*_fast` twins' territory.
+
+
+def _fold_dot_matrix(V, C):
+    """(n,d) × (m,d) → (n,m) dots, left-fold order per (row, centroid)."""
+    import numpy as np
+
+    acc = np.zeros((V.shape[0], C.shape[0]))
+    for j in range(V.shape[1]):
+        acc = acc + V[:, j : j + 1] * C[None, :, j]
+    return acc
+
+
+def _fold_dot_rows(A, B):
+    """Row-wise dots of two (n,d) matrices, left-fold order per row."""
+    import numpy as np
+
+    acc = np.zeros(A.shape[0])
+    for j in range(A.shape[1]):
+        acc = acc + A[:, j] * B[:, j]
+    return acc
+
+
+def _fold_norm(V):
+    """Row norms sqrt(Σx²) in left-fold order (sqrt is correctly
+    rounded under IEEE 754, so it too is engine-independent)."""
+    import numpy as np
+
+    acc = np.zeros(V.shape[0])
+    for j in range(V.shape[1]):
+        acc = acc + V[:, j] * V[:, j]
+    return np.sqrt(acc)
+
+
+def _centroids(emb: DataFrame):
+    cents = (
+        emb.where(F.col("vec_id").isin(CENTROID_IDS))
+        .select("vec_id", as_double("embedding").alias("v"))
+        .collect()
+    )
+    return sorted((r["vec_id"], list(r["v"])) for r in cents)
+
+
 def ivf_topk(
     emb: DataFrame,
     num_queries: int = 10,
@@ -191,29 +245,118 @@ def ivf_topk(
     """Approximate top-k via an IVF-flat coarse index — the k-means-
     family counterpart of `lsh_ann_topk`.  Index build collects the 16
     centroid vectors to the driver (tiny, the classic broadcast-model
-    pattern); assignment is then a single map-side projection computing
-    16 inline cosines per row — the corpus is scanned once with NO
-    shuffle for assignment.  Each query probes its `nprobe` nearest
-    lists, so only ~nprobe/16 of the corpus is scored per query.
+    pattern); assignment scans the corpus ONCE with no shuffle; each
+    query probes its `nprobe` nearest lists, so only ~nprobe/16 of the
+    corpus is scored per query.
 
     Scale shape: at 100 TB the index build samples/trains centroids
-    once and ships them as literals exactly as here; candidate
+    once and ships them in the task closure exactly as here; candidate
     generation stays a broadcast hash join on list id.  Recall < 1 by
     construction; `cosine_topk` is the exact baseline.
 
-    Perf note: the assignment cosines run as interpreted higher-order
-    folds, NOT codegen — deliberately.  The left-fold summation order
-    is what makes the doubles bit-identical to the DuckDB oracle's
-    list fold; a BLAS/numpy matmul (`ivf_topk_fast`, the production
-    twin) reorders the float additions and breaks value-hash
-    comparability.  Two parity-preserving reductions cut the
-    interpreted work from 48 folds per corpus row to 17: each row's
-    norm is computed ONCE and reused across all 16 cosines (identical
-    fold ⇒ identical double), and the centroid norms are left-folded
-    in Python and shipped as literals — IEEE double ops are
-    deterministic, so ``sqrt(0.0 + x₁² + x₂² + …)`` over the same
-    doubles in the same order gives the same bit pattern in CPython,
-    the JVM, and DuckDB."""
+    Parity + perf: all cosines run through the fold-exact numpy
+    kernels above — Arrow-batched mapInPandas stages whose doubles are
+    bit-identical to both the interpreted expression folds
+    (`ivf_topk_hof`, the retained cross-check) and the DuckDB oracle's
+    list_reduce, while scoring whole row batches per dimension step.
+    This replaced 17 interpreted folds per corpus row (2.7 s at sf0.1)
+    with vectorized kernels at the same value hashes."""
+    import numpy as np
+    import pandas as pd
+
+    cents = _centroids(emb)
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    C = np.array([cv for _, cv in cents], dtype=np.float64)
+    cnorms = _fold_norm(C)
+
+    def assign_top1(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            nv = _fold_norm(V)
+            cos = _fold_dot_matrix(V, C) / (nv[:, None] * cnorms[None, :])
+            # argmax first-win on exact ties == (cos desc, centroid_id
+            # asc) because centroids are scanned in ascending-id order
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "nv": nv,
+                    "list_id": cids[np.argmax(cos, axis=1)],
+                }
+            )
+
+    def assign_probes(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            nv = _fold_norm(V)
+            cos = _fold_dot_matrix(V, C) / (nv[:, None] * cnorms[None, :])
+            qids, qvs, nqvs, lists = [], [], [], []
+            for i in range(len(pdf)):
+                order = np.lexsort((cids, -cos[i]))  # cos desc, cid asc
+                for li in order[:nprobe]:
+                    qids.append(pdf["vec_id"].iloc[i])
+                    qvs.append(pdf["v"].iloc[i])
+                    nqvs.append(nv[i])
+                    lists.append(cids[li])
+            yield pd.DataFrame(
+                {"query_id": qids, "qv": qvs, "nqv": nqvs, "list_id": lists}
+            )
+
+    def score_pairs(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            Q = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
+            cos = _fold_dot_rows(Q, V) / (
+                pdf["nqv"].to_numpy() * pdf["nv"].to_numpy()
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "vec_id": pdf["vec_id"],
+                    "cos_sim": cos,
+                }
+            )
+
+    v = emb.select("vec_id", as_double("embedding").alias("v"))
+    corpus = fan_out(v.where(F.col("vec_id") >= num_queries), "vec_id").mapInPandas(
+        assign_top1, schema="vec_id long, v array<double>, nv double, list_id long"
+    )
+    q = v.where(F.col("vec_id") < num_queries).mapInPandas(
+        assign_probes,
+        schema="query_id long, qv array<double>, nqv double, list_id long",
+    )
+    scored = corpus.join(F.broadcast(q), "list_id").mapInPandas(
+        score_pairs, schema="query_id long, vec_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def ivf_topk_hof(
+    emb: DataFrame,
+    num_queries: int = 10,
+    k: int = 5,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """The pure-expression form of `ivf_topk` — every cosine an
+    interpreted higher-order fold (zip_with/aggregate), no Python
+    anywhere.  Retained as the bit-equality cross-check for the
+    fold-exact numpy kernels (tests/test_similarity_ann.py asserts
+    collect()-level float equality between the two paths) and as the
+    reference rendering of the left-fold parity contract.  ~5× slower
+    than `ivf_topk` at sf0.1; not registered."""
     import math
 
     cents = (

@@ -38,6 +38,18 @@ def test_ann_paths_recall_against_exact(spark, sf_dir):
         assert hits / total > 0.15, f"recall {hits/total:.2f} barely above chance"
 
 
+def test_ivf_numpy_kernels_bit_identical_to_hof(spark, sf_dir):
+    """The fold-exact numpy kernels must reproduce the interpreted
+    higher-order-fold path EXACTLY — same rows, bit-identical doubles
+    (== on floats, no tolerance).  This is the load-bearing claim that
+    lets the gate path run vectorized while staying hash-comparable
+    to the DuckDB oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    fast = sorted(map(tuple, SIM.ivf_topk(emb).collect()))
+    hof = sorted(map(tuple, SIM.ivf_topk_hof(emb).collect()))
+    assert fast == hof
+
+
 def test_ivf_assignment_is_deterministic(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     a = sorted(map(tuple, SIM.ivf_topk(emb).collect()))
