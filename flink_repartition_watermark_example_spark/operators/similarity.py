@@ -64,22 +64,17 @@ def cosine_topk(
     window partition over k·|Q| rows).
 
     Parity-preserving perf: both sides carry their norm as a column
-    computed once (identical fold ⇒ identical double), so each scored
-    pair costs one interpreted dot fold instead of three."""
+    computed once (identical fold ⇒ identical double), and each
+    scored pair runs through the shared fold-exact numpy kernel stage
+    (`_score_pairs`) — bit-identical doubles to the interpreted
+    expression folds at Arrow-batch throughput."""
     q = emb.where(F.col("vec_id") < num_queries).select(
         F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
     ).withColumn("nqv", norm(F.col("qv")))
     c = fan_out(emb.where(F.col("vec_id") >= num_queries), "vec_id").select(
         "vec_id", as_double("embedding").alias("v")
     ).withColumn("nv", norm(F.col("v")))
-    scored = c.crossJoin(F.broadcast(q)).select(
-        "query_id",
-        "vec_id",
-        # dot/(norm(qv)·norm(v)) — operand order identical to cosine()
-        (dot(F.col("qv"), F.col("v")) / (F.col("nqv") * F.col("nv"))).alias(
-            "cos_sim"
-        ),
-    )
+    scored = _score_pairs(c.crossJoin(F.broadcast(q)))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
     )
@@ -107,34 +102,33 @@ def lsh_ann_topk(
     candidate generation is a broadcast hash join on bucket id — the
     corpus is scanned once, never shuffled, and per-query work is
     sublinear in corpus size.  Recall < 1 by construction; the exact
-    `cosine_topk` is the correctness baseline."""
+    `cosine_topk` is the correctness baseline.
+
+    Bucketing and scoring run through the fold-exact numpy kernels
+    (see the kernel section below): bit-identical doubles to the
+    interpreted bucket_col/cosine folds and the DuckDB oracle, at
+    Arrow-batch throughput."""
     planes = planes or hyperplanes()
-    v = (
-        emb.select("vec_id", as_double("embedding").alias("v"))
-        .withColumn("bucket", bucket_col(F.col("v"), planes))
-        .withColumn("nv", norm(F.col("v")))
+    raw = emb.select("vec_id", as_double("embedding").alias("v"))
+    q = _bucketize_fold(raw.where(F.col("vec_id") < num_queries), planes).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nqv"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                    for p in range(len(planes))
+                ],
+            )
+        ).alias("probe"),
     )
-    probes = F.array(
-        F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(len(planes))],
+    c = _bucketize_fold(
+        fan_out(raw.where(F.col("vec_id") >= num_queries), "vec_id"), planes
     )
-    q = (
-        v.where(F.col("vec_id") < num_queries)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("nv").alias("nqv"),
-            F.explode(probes).alias("probe"),
-        )
-    )
-    c = fan_out(v.where(F.col("vec_id") >= num_queries), "vec_id")
-    scored = c.join(F.broadcast(q), F.col("probe") == F.col("bucket")).select(
-        "query_id",
-        "vec_id",
-        # dot/(norm(qv)·norm(v)) — operand order identical to cosine()
-        (dot(F.col("qv"), F.col("v")) / (F.col("nqv") * F.col("nv"))).alias(
-            "cos_sim"
-        ),
+    scored = _score_pairs(
+        c.join(F.broadcast(q), F.col("probe") == F.col("bucket"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
@@ -153,23 +147,34 @@ def neardup_pairs_lsh(
 ) -> DataFrame:
     """Embedding near-duplicate pairs: same LSH bucket AND cosine ≥
     threshold.  Candidate generation is an equi-join on bucket id —
-    never an all-pairs cross product."""
+    never an all-pairs cross product.  Bucketing and pair scoring run
+    through the fold-exact numpy kernels: the hoisted per-side norms
+    produce the same doubles as cosine()'s inline norms (identical
+    fold sequence), so the oracle hash is unchanged."""
     planes = planes or hyperplanes()
-    v = fan_out(emb, "vec_id").select(
-        "vec_id",
-        as_double("embedding").alias("v"),
-    ).withColumn("bucket", bucket_col(F.col("v"), planes))
+    v = _bucketize_fold(
+        fan_out(emb, "vec_id").select("vec_id", as_double("embedding").alias("v")),
+        planes,
+    )
     a, b = v.alias("a"), v.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("a.v").alias("qv"),
+        F.col("a.nv").alias("nqv"),
+        F.col("b.vec_id").alias("vec_id"),
+        F.col("b.v").alias("v"),
+        F.col("b.nv").alias("nv"),
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        _score_pairs(joined)
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+            F.col("query_id").alias("vec_a"),
+            F.col("vec_id").alias("vec_b"),
+            "cos_sim",
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -225,6 +230,69 @@ def _fold_norm(V):
     for j in range(V.shape[1]):
         acc = acc + V[:, j] * V[:, j]
     return np.sqrt(acc)
+
+
+def _score_pairs(joined: DataFrame) -> DataFrame:
+    """Shared fold-exact scoring stage: a joined candidate relation
+    with (query_id, qv, nqv, vec_id, v, nv) → (query_id, vec_id,
+    cos_sim), cos = dot/(nqv·nv) in the expression fold's exact
+    operation order, one Arrow pass, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            Q = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
+            cos = _fold_dot_rows(Q, V) / (
+                pdf["nqv"].to_numpy() * pdf["nv"].to_numpy()
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "vec_id": pdf["vec_id"],
+                    "cos_sim": cos,
+                }
+            )
+
+    return joined.mapInPandas(
+        batches, schema="query_id long, vec_id long, cos_sim double"
+    )
+
+
+def _bucketize_fold(vdf: DataFrame, planes: list[list[float]]) -> DataFrame:
+    """Fold-exact LSH bucketing stage: (vec_id, v) → (vec_id, v, nv,
+    bucket) where bit p of bucket is sign(<v, plane_p>) with the
+    projection computed in the expression fold's exact operation
+    order — bit-identical to bucket_col's interpreted dots."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.array(planes, dtype=np.float64)
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            proj = _fold_dot_matrix(V, P)
+            bucket = ((proj > 0).astype(np.int64) << np.arange(P.shape[0])).sum(
+                axis=1
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "nv": _fold_norm(V),
+                    "bucket": bucket,
+                }
+            )
+
+    return vdf.mapInPandas(
+        batches, schema="vec_id long, v array<double>, nv double, bucket long"
+    )
 
 
 def _centroids(emb: DataFrame):
@@ -306,23 +374,6 @@ def ivf_topk(
                 {"query_id": qids, "qv": qvs, "nqv": nqvs, "list_id": lists}
             )
 
-    def score_pairs(it):
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            Q = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
-            cos = _fold_dot_rows(Q, V) / (
-                pdf["nqv"].to_numpy() * pdf["nv"].to_numpy()
-            )
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"],
-                    "vec_id": pdf["vec_id"],
-                    "cos_sim": cos,
-                }
-            )
-
     v = emb.select("vec_id", as_double("embedding").alias("v"))
     corpus = fan_out(v.where(F.col("vec_id") >= num_queries), "vec_id").mapInPandas(
         assign_top1, schema="vec_id long, v array<double>, nv double, list_id long"
@@ -331,9 +382,7 @@ def ivf_topk(
         assign_probes,
         schema="query_id long, qv array<double>, nqv double, list_id long",
     )
-    scored = corpus.join(F.broadcast(q), "list_id").mapInPandas(
-        score_pairs, schema="query_id long, vec_id long, cos_sim double"
-    )
+    scored = _score_pairs(corpus.join(F.broadcast(q), "list_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
     )
