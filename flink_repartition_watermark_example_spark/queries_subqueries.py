@@ -271,6 +271,81 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "nation_market_share",
+    """
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CASE WHEN n2.n_name = 'NATION_7'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l.l_discount AS DECIMAL(18,2))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS mkt_share
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+    JOIN region r   ON n1.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q8 shape: NATION_7 suppliers' share of ASIA-customer "
+    "revenue per order year — the widest join tree in the catalog "
+    "(both fact tables AND two independent dimension arms).  Spark "
+    "side: the supplier arm reduces to (suppkey, is_target) with "
+    "nation broadcast; lineitem joins it, then collapses to one "
+    "(orderkey, rev, target_rev) row per order BEFORE touching the "
+    "order/customer arm — the orderkey join carries O(orders) narrow "
+    "rows, and the two-level decimal sum re-associates exactly.  Both "
+    "year sums stay exact decimal until a single cast each, then one "
+    "double division (the promo_revenue_share discipline).",
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+
+    supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", (F.col("n_name") == "NATION_7").alias("is_target")
+    )
+    zero = F.lit(0).cast(_DEC)
+    per_order = (
+        l.join(supp, l.l_suppkey == supp.s_suppkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(_rev()).alias("rev"),
+            F.sum(F.when(F.col("is_target"), _rev()).otherwise(zero)).alias(
+                "target_rev"
+            ),
+        )
+    )
+    cust = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    ord_year = o.join(cust, o.o_custkey == cust.c_custkey).select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    return (
+        per_order.join(ord_year, per_order.l_orderkey == ord_year.o_orderkey)
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum("target_rev").cast("double")
+                / F.sum("rev").cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register_extra(
     "rich_inactive_customers",
     """
     SELECT c.c_mktsegment AS segment, count(*) AS numcust,

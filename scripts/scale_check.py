@@ -93,6 +93,17 @@ DEFAULT_QUERIES = [
     # corpus-trained bigram-LM quality scoring (two map-side-combined
     # aggs + an AQE-decided score join)
     "lm_quality_scores",
+    # round-6 additions: the real media codecs (scan-shaped Arrow
+    # decode stages — ratios should track bytes), and the heavy
+    # decorrelation shapes (Q21's chained same-key aggregations,
+    # Q4's semi join, Q18's agg-below-join, Q13's count-of-counts)
+    "image_decode_stats",
+    "audio_decode_stats",
+    "video_frame_stats",
+    "waiting_suppliers",
+    "order_priority_late_exists",
+    "large_volume_customers",
+    "customer_order_distribution",
 ]
 
 _NODE_RE = re.compile(r"^\* ([A-Za-z]+[A-Za-z0-9]*)", re.MULTILINE)
