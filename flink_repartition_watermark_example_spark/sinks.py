@@ -202,6 +202,58 @@ def vacuum_cdc_snapshot(snapshot_path: str, keep_last: int = 2) -> list[int]:
     return doomed
 
 
+def forget_keys(
+    spark,
+    snapshot_path: str,
+    keys_df: DataFrame,
+    key_cols: list[str],
+) -> dict[int, int]:
+    """Right-to-be-forgotten purge over the versioned CDC snapshot:
+    anti-join EVERY retained version against the forget set and
+    rewrite it, so time travel (:func:`read_cdc_snapshot` with
+    ``version=``) can no longer resurrect the forgotten rows — the
+    semantic GDPR actually requires, and what distinguishes this from
+    an ordinary CDC delete (which only affects versions from now on).
+
+    Scale shape: the forget set is small relative to the base by
+    construction (a deletion request batch), so it is pinned broadcast
+    and each version rewrite is a map-side LEFT ANTI join — the base
+    is scanned once per retained version and never shuffled.  Keep the
+    version count bounded with :func:`vacuum_cdc_snapshot` first.
+
+    Durability: each rewrite lands in a ``v{N}_purge`` staging dir
+    (invisible to readers — version resolution only accepts all-digit
+    suffixes), then atomically swaps in via rename.  A crash between
+    the rmtree and the rename leaves that version ABSENT rather than
+    stale — for a purge, transient absence is the safe failure mode
+    (a reader falls back to another committed version only for
+    versions other than the one mid-swap; re-running forget_keys
+    completes the remaining rewrites and is idempotent).
+
+    Returns {version: rows_removed}.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F  # noqa: F401  (parity with callers)
+
+    keys = keys_df.select(*key_cols).dropDuplicates()
+    removed: dict[int, int] = {}
+    for v in _snapshot_versions(snapshot_path):
+        vdir = os.path.join(snapshot_path, f"v{v}")
+        base = spark.read.parquet(vdir)
+        before = base.count()
+        kept = base.join(keys.hint("broadcast"), key_cols, "left_anti")
+        after = kept.count()
+        removed[v] = before - after
+        if removed[v] == 0:
+            continue  # idempotent: untouched versions are not rewritten
+        staging = os.path.join(snapshot_path, f"v{v}_purge")
+        kept.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(vdir)
+        os.rename(staging, vdir)
+    return removed
+
+
 def stream_to_memory(df: DataFrame, name: str, checkpoint: str) -> StreamingQuery:
     """Memory sink for tests/inspection (bounded data only)."""
     return (

@@ -183,3 +183,51 @@ def test_partial_version_without_success_marker_is_invisible(spark, tmp_path):
     assert _snapshot_versions(snap) == [0, 1]
     assert _state(spark, snap) == _expected(spark, BATCH_1 + BATCH_2)
     shutil.rmtree(snap)
+
+
+def test_forget_keys_purges_all_retained_versions(spark, tmp_path):
+    """GDPR purge contract: after forget_keys, the forgotten keys are
+    gone from EVERY committed version — including time-travel reads of
+    old versions — and a re-run is a no-op (idempotent)."""
+    from flink_repartition_watermark_example_spark.sinks import _snapshot_versions, forget_keys
+
+    src, ckpt, snap = (str(tmp_path / d) for d in ("src", "ckpt", "snap"))
+    _write_change_file(spark, src, 0, BATCH_1)
+    _write_change_file(spark, src, 1, BATCH_2)
+    _drain(spark, src, ckpt, snap)
+    versions = _snapshot_versions(snap)
+    assert len(versions) >= 2
+
+    # key 1 exists in every version (inserted in batch 1, updated later)
+    for v in versions:
+        assert 1 in {r["k"] for r in read_cdc_snapshot(spark, snap, version=v).collect()}
+
+    forget = spark.createDataFrame([(1,), (999,)], "k long")  # 999 absent
+    removed = forget_keys(spark, snap, forget, ["k"])
+    assert set(removed) == set(versions)
+    assert all(n >= 1 for n in removed.values())
+
+    for v in _snapshot_versions(snap):
+        keys = {r["k"] for r in read_cdc_snapshot(spark, snap, version=v).collect()}
+        assert 1 not in keys, f"key 1 resurrected by time travel at v{v}"
+    # surviving rows are untouched (3 was CDC-deleted in batch 2, so
+    # the latest version carries {2, 4})
+    assert {r["k"] for r in read_cdc_snapshot(spark, snap).collect()} >= {2, 4}
+
+    # idempotent: nothing left to remove, no version rewritten
+    assert all(n == 0 for n in forget_keys(spark, snap, forget, ["k"]).values())
+
+
+def test_forget_keys_staging_dir_is_invisible_to_readers(spark, tmp_path):
+    """A crashed purge leaves only the v{N}_purge staging dir — version
+    resolution must never read it as a committed version."""
+    from flink_repartition_watermark_example_spark.sinks import _snapshot_versions
+
+    src, ckpt, snap = (str(tmp_path / d) for d in ("src", "ckpt", "snap"))
+    _write_change_file(spark, src, 0, BATCH_1)
+    _drain(spark, src, ckpt, snap)
+    (versions,) = (_snapshot_versions(snap),)
+    # simulate a mid-purge crash artifact
+    os.makedirs(os.path.join(snap, f"v{versions[-1]}_purge"))
+    open(os.path.join(snap, f"v{versions[-1]}_purge", "_SUCCESS"), "w").close()
+    assert _snapshot_versions(snap) == versions
