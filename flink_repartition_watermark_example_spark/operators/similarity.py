@@ -873,3 +873,77 @@ def pq_adc_topk_fast(
             "query_id", "vec_id", "dist_q", F.col("rank").cast("long").alias("rank")
         )
     )
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.25) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign EVERY vector to its nearest coarse
+    centroid (the IVF index doubles as the clustering), then within
+    each cluster purge any vector whose cosine to a LOWER-id
+    cluster-mate is >= threshold — the min-id representative of each
+    epsilon-ball survives.  Returns the surviving (vec_id, list_id).
+
+    Scale shape: assignment is a shuffle-free scan through the
+    fold-exact kernel stage (centroids ship in the task closure);
+    candidate pairing is an equi-join on list_id, quadratic only
+    within a cluster — the centroid count is the corpus-size lever
+    (grow it ~sqrt(n) so cluster sizes stay bounded; same operator,
+    same oracle construction, different constant).  Never all-pairs
+    across clusters.
+
+    Parity: assignment + pair scoring run the same fold-exact kernels
+    as `ivf_topk`, so doubles are bit-identical to the DuckDB
+    oracle's list_reduce folds and the >= threshold cut is exact."""
+    import numpy as np
+    import pandas as pd
+
+    cents = _centroids(emb)
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    C = np.array([cv for _, cv in cents], dtype=np.float64)
+    cnorms = _fold_norm(C)
+
+    def assign_top1(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            nv = _fold_norm(V)
+            cos = _fold_dot_matrix(V, C) / (nv[:, None] * cnorms[None, :])
+            # argmax first-win on exact ties == (cos desc, centroid_id
+            # asc): centroids are scanned in ascending-id order
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "nv": nv,
+                    "list_id": cids[np.argmax(cos, axis=1)],
+                }
+            )
+
+    assigned = (
+        fan_out(emb, "vec_id")
+        .select("vec_id", as_double("embedding").alias("v"))
+        .mapInPandas(
+            assign_top1, schema="vec_id long, v array<double>, nv double, list_id long"
+        )
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.list_id") == F.col("b.list_id"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("a.v").alias("qv"),
+        F.col("a.nv").alias("nqv"),
+        F.col("b.vec_id").alias("vec_id"),
+        F.col("b.v").alias("v"),
+        F.col("b.nv").alias("nv"),
+    )
+    purged = (
+        _score_pairs(pairs)
+        .where(F.col("cos_sim") >= threshold)
+        .select("vec_id")
+        .dropDuplicates()
+    )
+    return assigned.join(purged, "vec_id", "left_anti").select("vec_id", "list_id")

@@ -542,3 +542,42 @@ def q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return _recall_df(SIM.pq_adc_topk(emb), SIM.cosine_topk(emb), "pq")
+
+
+@register_extra(
+    "semantic_dedup_survivors",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+      WHERE vec_id IN ({", ".join(str(c) for c in SIM.CENTROID_IDS)})
+    ),
+    v AS (SELECT vec_id, embedding AS x FROM embeddings),
+    assign AS (
+      SELECT vec_id, x, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {cosine_sql('x', 'cv')} DESC,
+                                         centroid_id ASC) AS rn
+      FROM v CROSS JOIN cent
+    ),
+    lists AS (SELECT vec_id, x, centroid_id AS list_id FROM assign WHERE rn = 1),
+    purged AS (
+      SELECT DISTINCT b.vec_id
+      FROM lists a JOIN lists b
+        ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      WHERE {cosine_sql('a.x', 'b.x')} >= 0.25
+    )
+    SELECT l.vec_id, l.list_id FROM lists l
+    WHERE l.vec_id NOT IN (SELECT vec_id FROM purged)
+    """,
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023, "
+    "arXiv:2303.09540): the IVF coarse index doubles as the "
+    "clustering; within each cluster every vector with a >=0.25 "
+    "cosine to a lower-id cluster-mate is purged, so each "
+    "epsilon-ball keeps its min-id representative.  Candidate "
+    "pairing is an equi-join on list_id — quadratic only within a "
+    "cluster; the centroid count is the corpus-size lever (grow it "
+    "~sqrt(n)).  All cosines through the fold-exact kernels, so the "
+    "threshold cut is bit-identical to the oracle's list_reduce.",
+)
+def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.semantic_dedup(load_table(spark, sf_dir, "embeddings"))

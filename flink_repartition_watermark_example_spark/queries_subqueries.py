@@ -398,3 +398,174 @@ def q_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         dec_sum("c_acctbal", "totacctbal"),
     )
+
+
+@register_extra(
+    "small_qty_revenue_share",
+    """
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#7'
+      AND 5 * CAST(l.l_quantity AS DECIMAL(18,2))
+            * (SELECT count(*) FROM lineitem l2
+               WHERE l2.l_partkey = l.l_partkey)
+          < (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,2)))
+             FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+    doc="TPC-H Q17 shape: revenue locked up in small-quantity orders "
+    "of one brand's parts.  The oracle keeps TWO correlated scalar "
+    "subqueries (per-part count and sum); the Spark side aggregates "
+    "lineitem once per partkey and joins the O(parts) row aggregate "
+    "back — and the `qty < 0.2 * avg` threshold is compared as "
+    "``5 * qty * cnt < sum_qty`` in exact decimals, so neither "
+    "engine ever divides (the Q22 discipline).  The brand filter "
+    "reduces the part side to a broadcast.",
+)
+def q_small_qty_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#7")
+        .select("p_partkey")
+    )
+    per_part = l.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast(_DEC)).alias("sum_qty"),
+    )
+    small = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(per_part.withColumnRenamed("l_partkey", "agg_partkey"),
+              F.col("l_partkey") == F.col("agg_partkey"))
+        .where(
+            F.lit(5) * F.col("l_quantity").cast(_DEC) * F.col("cnt")
+            < F.col("sum_qty")
+        )
+    )
+    return small.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / F.lit(7.0)
+        ).alias("avg_yearly")
+    )
+
+
+@register_extra(
+    "volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_9')
+        OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: bilateral trade volume between two nations "
+    "by ship year — the disjunctive two-sided nation predicate.  "
+    "Spark side: each fact table is cut down by its own broadcast "
+    "nation arm FIRST (supplier arm keeps only the two nations' "
+    "suppliers, customer arm likewise), so the orderkey shuffle "
+    "carries only qualifying rows; the cross-pair OR collapses to "
+    "`supp_nation != cust_nation` after the single-nation arms, "
+    "evaluated post-join.",
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nations = ("NATION_3", "NATION_9")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(*nations))
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lf = l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+    of = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (
+        lf.join(of, lf.l_orderkey == of.o_orderkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dec_sum_rev().alias("revenue"))
+    )
+
+
+def dec_sum_rev():
+    return F.sum(_rev()).cast("double")
+
+
+@register_extra(
+    "disjunctive_brand_revenue",
+    """
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 40
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+    doc="TPC-H Q19 shape: OR-of-ANDs across both join sides.  The "
+    "Spark side applies the part-only residue of the disjunction "
+    "(brand+size arms) to the part scan BEFORE the broadcast join — "
+    "the classic Q19 rewrite that Catalyst's CNF conversion cannot "
+    "fully derive — then evaluates the exact original predicate on "
+    "the joined rows, so the build side shrinks to matching parts "
+    "while semantics are untouched.",
+)
+def q_disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part_arm = (
+        (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10)
+        | (F.col("p_brand") == "Brand#2") & F.col("p_size").between(5, 20)
+        | (F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 40)
+    )
+    p = _t(spark, sf_dir, "part").where(part_arm).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    full = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 15)
+        | (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(5, 20)
+        & F.col("l_quantity").between(10, 30)
+        | (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(10, 40)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .where(full)
+        .agg(dec_sum_rev().alias("revenue"))
+    )

@@ -812,3 +812,65 @@ def q_quality_lr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score_micro"),
         (score >= _LR_THRESHOLD).alias("kept"),
     )
+
+
+@register_extra(
+    "training_mix_weights",
+    f"""
+    WITH per_src AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len({TX.bpe_tokens_sql('text')})) AS BIGINT) AS src_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+             count(*) AS n_sources
+      FROM per_src
+    )
+    SELECT p.source, p.n_docs, p.src_tokens,
+           CAST(p.src_tokens AS DOUBLE) / t.total_tokens AS actual_share,
+           LEAST(3.0, CAST(t.total_tokens AS DOUBLE)
+                        / (t.n_sources * p.src_tokens)) AS sample_weight
+    FROM per_src p CROSS JOIN tot t
+    """,
+    doc="Training-data mix planner: per-source BPE token budgets and "
+    "the sampling weight that moves the mix toward a uniform "
+    "per-source target, upsampling capped at 3x (the standard guard "
+    "against epoching a tiny source into memorization).  Scale "
+    "shape: one map-side-combined agg to O(sources) rows; the "
+    "grand totals come from an unpartitioned window over that "
+    "already-reduced relation (O(sources) rows through one "
+    "partition — never the raw corpus).  Parity: weights stay "
+    "exact-integer ratios until a single double division per row, "
+    "so the LEAST cut is engine-stable.",
+)
+def q_training_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.size(TX.bpe_tokens("text"))
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(bpe).cast("long").alias("src_tokens"),
+    )
+    w = Window.partitionBy()
+    per_src = per_src.select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.sum("src_tokens").over(w).cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).over(w).alias("n_sources"),
+    )
+    return per_src.select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        (F.col("src_tokens").cast("double") / F.col("total_tokens")).alias(
+            "actual_share"
+        ),
+        F.least(
+            F.lit(3.0),
+            F.col("total_tokens").cast("double")
+            / (F.col("n_sources") * F.col("src_tokens")),
+        ).alias("sample_weight"),
+    )
