@@ -1460,3 +1460,46 @@ def q_salted_join_above_type_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_above"))
     )
+
+
+@register_extra(
+    "unpivot_flag_measures",
+    """
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+             CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, value
+    FROM wide
+    UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc))
+    """,
+    doc="Wide-to-long melt (the inverse of pivot, SURVEY sweep "
+    "surface): per-returnflag measure sums unpivoted to (flag, "
+    "measure, value) rows via DataFrame.unpivot — Catalyst Expand, "
+    "one pass, no join.  The melt happens on the already-aggregated "
+    "O(flags) relation, so the scan+agg dominates and the unpivot "
+    "is free at any scale.  Sums follow the exact-decimal-then-one-"
+    "cast discipline so the melted doubles hash-match.",
+)
+def q_unpivot_flag_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_price"),
+            dec_sum("l_discount", "sum_disc"),
+        )
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc"],
+        "measure",
+        "value",
+    )

@@ -65,3 +65,57 @@ def test_plan_stays_in_scale_envelope(spark, sf_dir, name):
     assert "BatchEvalPython" not in plan, (
         f"{name}: row-at-a-time Python UDF in the plan\n{plan[:1500]}"
     )
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Scale guard: for a selective dim filter feeding a non-broadcast
+    fact join, Catalyst's InjectRuntimeFilter must plant a
+    might_contain(bloom_filter_agg(dim keys)) predicate on the fact
+    scan — the runtime semi-join pruning that, at 100 TB, keeps the
+    shuffle from carrying fact rows that can never match.  The local
+    thresholds only shrink the size gates; the rewrite itself is the
+    stock rule a production cluster runs with defaults."""
+    from pyspark.sql import functions as F
+
+    from flink_repartition_watermark_example_spark.sources.tables import load_table
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # local parquet is KB-scale; production fact tables pass the
+        # 10 GB default on their own
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        o = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        l = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        j = l.join(o, l.l_orderkey == o.o_orderkey).agg(
+            F.sum("l_quantity").alias("s")
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt and "bloom_filter_agg" in opt, (
+            f"runtime bloom filter not injected\n{opt[:1500]}"
+        )
+        # and the rewrite preserves the answer vs the plain plan
+        [(pruned,)] = j.collect()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    [(plain,)] = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .agg(F.sum("l_quantity").alias("s"))
+        .collect()
+    )
+    assert pruned == plain
