@@ -47,6 +47,10 @@ BENCH_EXTRAS = [
     "audio_decode_stats",
     "waiting_suppliers",
     "order_priority_late_exists",
+    "nation_market_share",
+    "volume_shipping",
+    "semantic_dedup_survivors",
+    "training_mix_weights",
 ]
 
 

@@ -104,6 +104,14 @@ DEFAULT_QUERIES = [
     "order_priority_late_exists",
     "large_volume_customers",
     "customer_order_distribution",
+    # late round-6: the two widest join trees (Q8's dual-arm tree,
+    # Q7's bilateral nation pairs), the Q17 per-part aggregate join,
+    # and SemDeDup's within-cluster pair scoring (quadratic inside a
+    # cluster — the ratio verifies the centroid-count lever holds)
+    "nation_market_share",
+    "volume_shipping",
+    "small_qty_revenue_share",
+    "semantic_dedup_survivors",
 ]
 
 _NODE_RE = re.compile(r"^\* ([A-Za-z]+[A-Za-z0-9]*)", re.MULTILINE)
