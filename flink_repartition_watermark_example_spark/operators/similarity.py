@@ -295,9 +295,9 @@ def _bucketize_fold(vdf: DataFrame, planes: list[list[float]]) -> DataFrame:
     )
 
 
-def _centroids(emb: DataFrame):
+def _centroids(emb: DataFrame, centroid_ids: list[int] | None = None):
     cents = (
-        emb.where(F.col("vec_id").isin(CENTROID_IDS))
+        emb.where(F.col("vec_id").isin(centroid_ids or CENTROID_IDS))
         .select("vec_id", as_double("embedding").alias("v"))
         .collect()
     )
@@ -875,7 +875,11 @@ def pq_adc_topk_fast(
     )
 
 
-def semantic_dedup(emb: DataFrame, threshold: float = 0.25) -> DataFrame:
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.25,
+    centroid_ids: list[int] | None = None,
+) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): assign EVERY vector to its nearest coarse
     centroid (the IVF index doubles as the clustering), then within
@@ -897,7 +901,7 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.25) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    cents = _centroids(emb)
+    cents = _centroids(emb, centroid_ids)
     cids = np.array([cid for cid, _ in cents], dtype=np.int64)
     C = np.array([cv for _, cv in cents], dtype=np.float64)
     cnorms = _fold_norm(C)

@@ -4,6 +4,8 @@ the exact brute-force baseline — and be internally consistent."""
 
 from __future__ import annotations
 
+import pytest
+
 from flink_repartition_watermark_example_spark.operators import similarity as SIM
 from flink_repartition_watermark_example_spark.sources.tables import load_table
 
@@ -144,3 +146,62 @@ def test_pq_fast_twin_is_bit_identical(spark, sf_dir):
         for r in SIM.pq_adc_topk_fast(emb).collect()
     }
     assert slow == fast
+
+
+@pytest.mark.parametrize("n_cents", [None, 40])
+def test_semantic_dedup_matches_python_reference(spark, sf_dir, n_cents):
+    """Exact-equality property test for semantic_dedup against a
+    direct numpy reference built from the SAME fold kernels — for the
+    default 16-centroid index AND a 40-centroid one (the corpus-size
+    lever the docstring prescribes: more centroids, smaller clusters,
+    same operator)."""
+    import numpy as np
+
+    from flink_repartition_watermark_example_spark.operators.similarity import (
+        CENTROID_IDS,
+        _fold_dot_matrix,
+        _fold_dot_rows,
+        _fold_norm,
+        semantic_dedup,
+    )
+    from flink_repartition_watermark_example_spark.sources.tables import load_table
+
+    cids = (
+        None if n_cents is None else [10 + 7 * j for j in range(n_cents)]
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r["vec_id"], r["list_id"])
+        for r in semantic_dedup(emb, centroid_ids=cids).collect()
+    }
+
+    rows = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+    ids = np.array([v for v, _ in rows])
+    V = np.array([e for _, e in rows], dtype=np.float64)
+    cid_list = np.array(sorted(cids or CENTROID_IDS))
+    C = V[np.searchsorted(ids, cid_list)]
+    cos = _fold_dot_matrix(V, C) / (
+        _fold_norm(V)[:, None] * _fold_norm(C)[None, :]
+    )
+    lists = cid_list[np.argmax(cos, axis=1)]
+
+    expected = set()
+    nv = _fold_norm(V)
+    for lid in np.unique(lists):
+        m = lists == lid
+        mids, MV, mnv = ids[m], V[m], nv[m]
+        purged = set()
+        for i in range(len(mids)):
+            for j in range(i + 1, len(mids)):
+                c = _fold_dot_rows(MV[i : i + 1], MV[j : j + 1])[0] / (
+                    mnv[i] * mnv[j]
+                )
+                if c >= 0.25:
+                    purged.add(mids[j])
+        expected |= {
+            (int(v), int(lid)) for v in mids if v not in purged
+        }
+    assert got == expected
