@@ -270,9 +270,7 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
-    "nation_market_share",
-    """
+_Q8_ORACLE = """
     SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
            CAST(sum(CASE WHEN n2.n_name = 'NATION_7'
                  THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
@@ -290,7 +288,12 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
     WHERE r.r_name = 'ASIA'
     GROUP BY 1
-    """,
+    """
+
+
+@register_extra(
+    "nation_market_share",
+    _Q8_ORACLE,
     doc="TPC-H Q8 shape: NATION_7 suppliers' share of ASIA-customer "
     "revenue per order year — the widest join tree in the catalog "
     "(both fact tables AND two independent dimension arms).  Spark "
@@ -303,8 +306,44 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "double division (the promo_revenue_share discipline).",
 )
 def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    return _nation_market_share_plan(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        spark, sf_dir,
+    )
+
+
+@register_extra(
+    "nation_market_share_bucketed",
+    _Q8_ORACLE,
+    doc="The Q8 join tree on BUCKETED fact tables — the storage-layout "
+    "fix for the 15.7x sf10->sf100 sweep entry (the widest tree's "
+    "orderkey exchange over both fact sides).  lineitem and orders "
+    "are materialized once bucketBy(orderkey) with a shared bucket "
+    "count: the lineitem per-order pre-aggregation runs with NO "
+    "exchange, the broadcast supplier/customer arms preserve each "
+    "side's bucketing, and the final orderkey join is exchange-free "
+    "on BOTH fact sides.  Same logical plan, same oracle hash as "
+    "nation_market_share; the plan test pins the absent exchanges.",
+)
+def q_nation_market_share_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_repartition_watermark_example_spark.storage import bucketed_table, suggest_buckets
+
+    nb = suggest_buckets(sf_dir, "lineitem")
+    l = spark.table(bucketed_table(spark, sf_dir, "lineitem", ["l_orderkey"], nb))
+    o = spark.table(bucketed_table(spark, sf_dir, "orders", ["o_orderkey"], nb))
+    # broadcast_arms: the twin's whole point is preserving each fact
+    # side's bucketing, so the reduced supplier/customer arms must be
+    # the BUILD sides (at toy SF AQE would otherwise broadcast the
+    # tiny FACT side and discard its bucketing; at scale the arms are
+    # the smaller relations anyway)
+    return _nation_market_share_plan(l, o, spark, sf_dir, broadcast_arms=True)
+
+
+def _nation_market_share_plan(
+    l, o, spark, sf_dir, broadcast_arms: bool = False
+) -> DataFrame:
+    o = o.select("o_orderkey", "o_custkey", "o_orderdate")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation")
@@ -314,6 +353,8 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", (F.col("n_name") == "NATION_7").alias("is_target")
     )
     zero = F.lit(0).cast(_DEC)
+    if broadcast_arms:
+        supp = F.broadcast(supp)
     per_order = (
         l.join(supp, l.l_suppkey == supp.s_suppkey)
         .groupBy("l_orderkey")
@@ -330,6 +371,8 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r_name") == "ASIA")
         .select("c_custkey")
     )
+    if broadcast_arms:
+        cust = F.broadcast(cust)
     ord_year = o.join(cust, o.o_custkey == cust.c_custkey).select(
         "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
     )

@@ -170,3 +170,22 @@ def test_bucketed_join_tree_no_orderkey_exchange(spark, sf_dir):
     again = EXTRA_QUERIES["multi_join_revenue_bucketed"].spark(spark, sf_dir)
     assert sorted(map(tuple, again.collect())) == got
     assert storage._BUCKETED_MEMO == before
+
+
+def test_bucketed_q8_tree_no_orderkey_exchange(spark, sf_dir):
+    """The bucketed Q8 twin must hash-match the plain tree and run
+    BOTH fact arms (the lineitem per-order pre-aggregation and the
+    final orderkey join) with no exchange above either bucketed fact
+    scan — the widest tree's sf100 sweep entry is exactly this
+    exchange."""
+    from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES
+
+    bucketed = EXTRA_QUERIES["nation_market_share_bucketed"].spark(spark, sf_dir)
+    plain = EXTRA_QUERIES["nation_market_share"].spark(spark, sf_dir)
+    got = sorted(map(tuple, bucketed.collect()))
+    assert got == sorted(map(tuple, plain.collect())) and got
+
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+    assert "Bucketed: true" in plan, plan
