@@ -612,3 +612,109 @@ def q_disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(full)
         .agg(dec_sum_rev().alias("revenue"))
     )
+
+
+@register_extra(
+    "returned_item_revenue",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY 1, 2, 3
+    ORDER BY sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l.l_discount AS DECIMAL(18,2))) DESC,
+             c.c_custkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: top-20 customers by returned-item revenue "
+    "in a half-year window.  Spark side: the returnflag filter and "
+    "column pruning reach the lineitem scan, the date filter reaches "
+    "the orders scan, lineitem pre-aggregates to one row per "
+    "orderkey BEFORE the customer join (the Q8 discipline — the "
+    "custkey shuffle carries O(qualifying orders) narrow rows), "
+    "nation broadcasts, and the top-20 is a deterministic "
+    "decimal-exact sort with custkey tiebreak (ties in double "
+    "revenue are resolved identically in both engines because the "
+    "compared decimals are exact).",
+)
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    per_order = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(_rev()).alias("rev"))
+    )
+    return (
+        per_order.join(c, per_order.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .orderBy(F.col("rev").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+@register_extra(
+    "late_line_priority_counts",
+    """
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY 1
+    """,
+    doc="TPC-H Q12 shape (adapted: this star schema has no shipmode, "
+    "so linestatus is the category axis and 'late' is shipped >90 "
+    "days after order date — the same correlated-date predicate as "
+    "the Q4 shape).  Conditional-sum counts over a fact-fact join: "
+    "both scans prune to 2-3 columns, the correlated predicate rides "
+    "the join condition, and the per-category rollup is a "
+    "map-side-combined integer agg.",
+)
+def q_late_line_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(
+            o,
+            (l.l_orderkey == o.o_orderkey)
+            & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
