@@ -112,6 +112,10 @@ DEFAULT_QUERIES = [
     "volume_shipping",
     "small_qty_revenue_share",
     "semantic_dedup_survivors",
+    # Q10's pre-aggregated customer join and Q12's fact-fact
+    # conditional counts
+    "returned_item_revenue",
+    "late_line_priority_counts",
 ]
 
 _NODE_RE = re.compile(r"^\* ([A-Za-z]+[A-Za-z0-9]*)", re.MULTILINE)
