@@ -289,3 +289,68 @@ def q_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("merged_within_5pct"),
     )
+
+
+@register_extra(
+    "aqp_sampled_revenue",
+    f"""
+    WITH samp AS (
+      SELECT l_returnflag,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2))) AS s_samp
+      FROM lineitem
+      WHERE {md5_long_sql('CAST(l_orderkey AS VARCHAR)', salt='aqp')} % 10 = 0
+      GROUP BY l_returnflag
+    ),
+    full_ AS (
+      SELECT l_returnflag,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2))) AS s_full
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT f.l_returnflag,
+           CAST(f.s_full AS DOUBLE) AS exact_revenue,
+           CAST(10 * s.s_samp AS DOUBLE) AS est_revenue,
+           abs(10 * s.s_samp - f.s_full) * 20 <= f.s_full AS within_5pct
+    FROM full_ f JOIN samp s USING (l_returnflag)
+    """,
+    doc="Approximate query processing by deterministic CLUSTER "
+    "sampling: a 10% sample drawn by hash(l_orderkey) — whole orders "
+    "in or out, the block-sampling discipline that keeps correlated "
+    "rows together and lets the same sample serve any join on the "
+    "sampling key — scaled up x10 as the revenue estimate.  At "
+    "100 TB this is the only way a dashboard answers in seconds: "
+    "the sample is a static 10% of the scan (pushed-down integer "
+    "predicate, no shuffle change), and because the hash is the "
+    "engine-shared md5 family the SAMPLE ITSELF is value-exact "
+    "across engines — the oracle checks the estimate to the bit, "
+    "not just the contract.  within_5pct REPORTS whether the "
+    "estimate landed inside 5% (computed as ``20*|10*s_samp - "
+    "s_full| <= s_full`` in exact decimals — no engine divides); at "
+    "sf0.01 one of three flags honestly lands outside, the design "
+    "effect of cluster sampling vs row sampling made visible — the "
+    "variance lever is the sampling rate, the correctness lever is "
+    "nothing (the estimate is unbiased either way).",
+)
+def q_aqp_sampled_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_repartition_watermark_example_spark.functions.hashing import md5_long
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,2)")
+    samp = (
+        li.where(md5_long(F.col("l_orderkey").cast("string"), salt="aqp") % 10 == 0)
+        .groupBy("l_returnflag")
+        .agg(F.sum(rev).alias("s_samp"))
+    )
+    full = li.groupBy("l_returnflag").agg(F.sum(rev).alias("s_full"))
+    return full.join(samp, "l_returnflag").select(
+        "l_returnflag",
+        F.col("s_full").cast("double").alias("exact_revenue"),
+        (F.lit(10) * F.col("s_samp")).cast("double").alias("est_revenue"),
+        (
+            F.abs(F.lit(10) * F.col("s_samp") - F.col("s_full")) * F.lit(20)
+            <= F.col("s_full")
+        ).alias("within_5pct"),
+    )
