@@ -662,12 +662,63 @@ def _l2sq(a, b):
     )
 
 
+def _fold_l2sq_matrix(V, C):
+    """(n,d) × (m,d) → (n,m) squared L2 distances, fold order per
+    (row, codeword) identical to `_l2sq`'s zip_with-then-fold: one
+    subtract, one multiply, one add per dimension, in order."""
+    import numpy as np
+
+    acc = np.zeros((V.shape[0], C.shape[0]))
+    for i in range(V.shape[1]):
+        d = V[:, i : i + 1] - C[None, :, i]
+        acc = acc + d * d
+    return acc
+
+
 def pq_codes(emb: DataFrame) -> DataFrame:
     """(vec_id, code0..code3): per-subspace nearest-codeword ids
     (ties → smaller codeword id).  The codebook is collected once
-    (8 rows) and shipped as literals; encoding is one scan-side
-    projection — no shuffle, no UDF, and the integer codes make the
-    operator exactly oracle-comparable (unlike float distances)."""
+    (8 rows) and shipped in the task closure; encoding is one
+    Arrow-batched scan through the fold-exact `_fold_l2sq_matrix`
+    kernel — argmin first-win over codewords scanned in ascending-id
+    order == (d asc, cid asc), so the integer codes are bit-identical
+    to the interpreted expression path (`pq_codes_hof`, the retained
+    cross-check) and the DuckDB oracle."""
+    import numpy as np
+    import pandas as pd
+
+    cb = (
+        emb.where(F.col("vec_id").isin(PQ_CODEBOOK_IDS))
+        .select("vec_id", as_double("embedding").alias("v"))
+        .collect()
+    )
+    cb = sorted((r["vec_id"], list(r["v"])) for r in cb)
+    cids = np.array([cid for cid, _ in cb], dtype=np.int64)
+    C = np.array([cv for _, cv in cb], dtype=np.float64)
+
+    def encode(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            out = {"vec_id": pdf["vec_id"]}
+            for j in range(PQ_SUBSPACES):
+                sub = slice(j * PQ_SUBDIM, (j + 1) * PQ_SUBDIM)
+                d = _fold_l2sq_matrix(V[:, sub], C[:, sub])
+                out[f"code{j}"] = cids[np.argmin(d, axis=1)]
+            yield pd.DataFrame(out)
+
+    v = fan_out(emb, "vec_id").select("vec_id", as_double("embedding").alias("v"))
+    schema = "vec_id long, " + ", ".join(
+        f"code{j} long" for j in range(PQ_SUBSPACES)
+    )
+    return v.mapInPandas(encode, schema=schema)
+
+
+def pq_codes_hof(emb: DataFrame) -> DataFrame:
+    """Pure-expression encode path (the original formulation) kept as
+    the cross-check for `pq_codes`'s kernel: 32 interpreted `_l2sq`
+    folds per row, exact same codes."""
     cb = (
         emb.where(F.col("vec_id").isin(PQ_CODEBOOK_IDS))
         .select("vec_id", as_double("embedding").alias("v"))

@@ -205,3 +205,12 @@ def test_semantic_dedup_matches_python_reference(spark, sf_dir, n_cents):
             (int(v), int(lid)) for v in mids if v not in purged
         }
     assert got == expected
+
+
+def test_pq_codes_kernel_matches_expression_path(spark, sf_dir):
+    """The fold-exact encode kernel must produce bit-identical codes
+    to the interpreted expression path it replaced."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    fast = sorted(map(tuple, SIM.pq_codes(emb).collect()))
+    hof = sorted(map(tuple, SIM.pq_codes_hof(emb).collect()))
+    assert fast == hof and len(fast) > 0
