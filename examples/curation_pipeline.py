@@ -120,8 +120,32 @@ def main(sf_dir: str) -> dict:
         )
         .distinct()
     )
-    neardup = neardup.join(contained, "doc_id", "left_anti")
+    # checkpoint between macro-stages: the dedup chain's lineage is
+    # re-referenced by every following purge join (plan size would
+    # otherwise grow multiplicatively — at 100 TB you'd land this on
+    # durable storage; locally a localCheckpoint truncates the same
+    # way)
+    neardup = neardup.join(contained, "doc_id", "left_anti").localCheckpoint()
     n3b = neardup.count()
+
+    # 3c. semantic dedup: embedding-space near-twins the lexical
+    # stages cannot see (paraphrases).  Survivors' vectors are
+    # clustered on the IVF coarse centroids and each >= 0.25-cosine
+    # epsilon-ball keeps its min-id representative (SemDeDup,
+    # arXiv:2303.09540).  Purge-based join so a doc WITHOUT an
+    # embedding row passes through untouched (no evidence, no drop).
+    from flink_repartition_watermark_example_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = emb.join(
+        neardup.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    sem_kept = semantic_dedup(cand).select(F.col("vec_id").alias("doc_id"))
+    sem_purged = cand.select(F.col("vec_id").alias("doc_id")).join(
+        sem_kept, "doc_id", "left_anti"
+    )
+    neardup = neardup.join(sem_purged, "doc_id", "left_anti").localCheckpoint()
+    n3c = neardup.count()
 
     # 4. split assignment + decontamination of train against test.
     bucket = md5_long(F.col("doc_id").cast("string"), salt="split") % 100
@@ -209,13 +233,39 @@ def main(sf_dir: str) -> dict:
         )
     }
 
+    # 8b. mix planning over the curated train split: per-source token
+    # budgets and the 3x-capped uniform-target sampling weight (the
+    # training_mix_weights discipline — exact integers until one
+    # double division per row).
+    from pyspark.sql.window import Window
+
+    per_src = (
+        train_docs.select("source", F.size(TX.tokens("text")).alias("t"))
+        .groupBy("source")
+        .agg(F.sum("t").cast("long").alias("src_tokens"))
+    )
+    w_all = Window.partitionBy()
+    mix_weights = {
+        r["source"]: round(r["w"], 3)
+        for r in per_src.select(
+            "source",
+            F.least(
+                F.lit(3.0),
+                F.sum("src_tokens").over(w_all).cast("double")
+                / (F.count(F.lit(1)).over(w_all) * F.col("src_tokens")),
+            ).alias("w"),
+        ).collect()
+    }
+
     print(f"funnel: raw={n0} quality={n1} boilerplate={n1b} "
           f"exact_dedup={n2} neardup={n3} containment={n3b} "
-          f"decontaminated={n4}")
+          f"semantic={n3c} decontaminated={n4}")
+    print(f"mix weights (train, uniform target, cap 3x): {mix_weights}")
     print(f"chunks per split: {per_split}  → {out}")
     print(f"BPE tokens per split (vocab trained on train only): "
           f"{tokens_by_split}")
-    assert n0 >= n1 >= n1b >= n2 >= n3 >= n3b >= n4 > 0
+    assert n0 >= n1 >= n1b >= n2 >= n3 >= n3b >= n3c >= n4 > 0
+    assert mix_weights and max(mix_weights.values()) <= 3.0
     assert set(per_split) <= {"train", "val", "test"}
     assert tokens_by_split.get("train", 0) > 0
     return {
@@ -226,8 +276,10 @@ def main(sf_dir: str) -> dict:
             "exact_dedup": n2,
             "neardup": n3,
             "containment": n3b,
+            "semantic": n3c,
             "decontaminated": n4,
         },
+        "mix_weights": mix_weights,
         "chunks_per_split": per_split,
         "tokens_by_split": tokens_by_split,
         "out_dir": out,

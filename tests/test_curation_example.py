@@ -51,6 +51,15 @@ def test_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
         pa.concat_tables([tbl, seeded]),
         str(seeded_dir / "documents.parquet"),
     )
+    # the semantic stage needs the embeddings table; the seeded docs
+    # deliberately have NO embedding rows (the purge-based join must
+    # pass them through untouched)
+    import shutil
+
+    shutil.copy(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        str(seeded_dir / "embeddings.parquet"),
+    )
 
     res = main(str(seeded_dir))
     f = res["funnel"]
@@ -60,7 +69,9 @@ def test_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert f["boilerplate"] < f["quality"]
     assert f["neardup"] < f["exact_dedup"]
     assert f["containment"] < f["neardup"]  # the seeded excerpt dropped
-    assert f["decontaminated"] < f["containment"]
+    assert f["semantic"] < f["containment"]  # paraphrase twins purged
+    assert f["decontaminated"] < f["semantic"]
+    assert res["mix_weights"] and max(res["mix_weights"].values()) <= 3.0
     # the written corpus matches the funnel's survivor count
     total_chunks = sum(res["chunks_per_split"].values())
     assert total_chunks >= f["decontaminated"]  # >=1 chunk per doc
