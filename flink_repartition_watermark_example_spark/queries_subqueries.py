@@ -718,3 +718,62 @@ def q_late_line_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@register_extra(
+    "shipping_priority_topk",
+    """
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1997-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l.l_discount AS DECIMAL(18,2))) DESC,
+             o.o_orderdate ASC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: top-10 unshipped BUILDING-segment orders by "
+    "revenue.  Spark side: both date filters and the 3-column "
+    "projections reach the scans, the segment-filtered customer side "
+    "semi-reduces orders BEFORE the lineitem join (the orderkey "
+    "shuffle carries qualifying orders only), and the top-10 is a "
+    "decimal-exact sort with (orderdate, orderkey) tiebreaks so the "
+    "limit is deterministic in both engines.",
+)
+def q_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    of = o.join(c, o.o_custkey == c.c_custkey, "left_semi")
+    return (
+        l.join(of, l.l_orderkey == of.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_rev()).alias("rev"))
+        .orderBy(
+            F.col("rev").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("rev").cast("double").alias("revenue"),
+            "o_orderdate",
+        )
+    )
