@@ -134,17 +134,33 @@ def main(sf_dir: str) -> dict:
     # epsilon-ball keeps its min-id representative (SemDeDup,
     # arXiv:2303.09540).  Purge-based join so a doc WITHOUT an
     # embedding row passes through untouched (no evidence, no drop).
-    from flink_repartition_watermark_example_spark.operators.similarity import semantic_dedup
+    from flink_repartition_watermark_example_spark.operators.similarity import (
+        CENTROID_IDS,
+        semantic_dedup,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     cand = emb.join(
         neardup.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
     )
-    sem_kept = semantic_dedup(cand).select(F.col("vec_id").alias("doc_id"))
-    sem_purged = cand.select(F.col("vec_id").alias("doc_id")).join(
-        sem_kept, "doc_id", "left_anti"
+    # the coarse centroids are corpus rows at fixed ids; earlier
+    # stages may have purged some, so cluster on the SURVIVING subset
+    # explicitly (semantic_dedup refuses silently-shrunk centroid
+    # sets by design)
+    live_cids = sorted(
+        r["vec_id"]
+        for r in cand.where(F.col("vec_id").isin(CENTROID_IDS))
+        .select("vec_id")
+        .collect()
     )
-    neardup = neardup.join(sem_purged, "doc_id", "left_anti").localCheckpoint()
+    if live_cids:
+        sem_kept = semantic_dedup(cand, centroid_ids=live_cids).select(
+            F.col("vec_id").alias("doc_id")
+        )
+        sem_purged = cand.select(F.col("vec_id").alias("doc_id")).join(
+            sem_kept, "doc_id", "left_anti"
+        )
+        neardup = neardup.join(sem_purged, "doc_id", "left_anti").localCheckpoint()
     n3c = neardup.count()
 
     # 4. split assignment + decontamination of train against test.

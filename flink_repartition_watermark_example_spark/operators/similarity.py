@@ -948,11 +948,26 @@ def semantic_dedup(
 
     Parity: assignment + pair scoring run the same fold-exact kernels
     as `ivf_topk`, so doubles are bit-identical to the DuckDB
-    oracle's list_reduce folds and the >= threshold cut is exact."""
+    oracle's list_reduce folds and the >= threshold cut is exact.
+
+    Centroid rows must exist in ``emb``: missing ids raise rather
+    than silently shrinking the clustering (a filtered corpus that
+    lost centroid rows would otherwise cluster differently than the
+    caller believes — pass the surviving ids explicitly instead)."""
     import numpy as np
     import pandas as pd
 
-    cents = _centroids(emb, centroid_ids)
+    if centroid_ids is not None and not centroid_ids:
+        raise ValueError("centroid_ids must be non-empty (or None for defaults)")
+    want = sorted(centroid_ids if centroid_ids is not None else CENTROID_IDS)
+    cents = _centroids(emb, want)
+    if [cid for cid, _ in cents] != want:
+        missing = sorted(set(want) - {cid for cid, _ in cents})
+        raise ValueError(
+            f"centroid vec_ids missing from the input corpus: {missing} — "
+            "semantic_dedup requires every centroid row to be present; "
+            "pass centroid_ids= with ids that exist in this relation"
+        )
     cids = np.array([cid for cid, _ in cents], dtype=np.int64)
     C = np.array([cv for _, cv in cents], dtype=np.float64)
     cnorms = _fold_norm(C)
@@ -981,7 +996,13 @@ def semantic_dedup(
         .mapInPandas(
             assign_top1, schema="vec_id long, v array<double>, nv double, list_id long"
         )
+        # persist + pin: the relation feeds both sides of the pair
+        # self-join AND the final anti-join — uncached, the Arrow
+        # assignment kernel would run 3x per action (the documented
+        # round-5 concurrent-fan-in trap)
+        .persist()
     )
+    assigned.count()
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = a.join(
         b,

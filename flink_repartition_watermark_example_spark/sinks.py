@@ -224,11 +224,15 @@ def forget_keys(
     Durability: each rewrite lands in a ``v{N}_purge`` staging dir
     (invisible to readers — version resolution only accepts all-digit
     suffixes), then atomically swaps in via rename.  A crash between
-    the rmtree and the rename leaves that version ABSENT rather than
-    stale — for a purge, transient absence is the safe failure mode
-    (a reader falls back to another committed version only for
-    versions other than the one mid-swap; re-running forget_keys
-    completes the remaining rewrites and is idempotent).
+    the rmtree and the rename leaves the completed rewrite in the
+    staging dir and the version transiently ABSENT; the next
+    forget_keys run repairs it FIRST (a committed ``v{N}_purge``
+    whose ``v{N}`` is missing is renamed into place before any new
+    work), so no version is ever lost and re-runs are idempotent.
+
+    Cost per version: ONE broadcast anti-join pass (the staging
+    write); the before/after row counts come from parquet footers,
+    not data scans.
 
     Returns {version: rows_removed}.
     """
@@ -236,19 +240,38 @@ def forget_keys(
 
     from pyspark.sql import functions as F  # noqa: F401  (parity with callers)
 
+    # repair a prior crashed swap before doing new work
+    for name in sorted(os.listdir(snapshot_path)):
+        if not (name.startswith("v") and name.endswith("_purge")):
+            continue
+        n = name[1:-len("_purge")]
+        tmp = os.path.join(snapshot_path, name)
+        target = os.path.join(snapshot_path, f"v{n}")
+        if (
+            n.isdigit()
+            and os.path.exists(os.path.join(tmp, "_SUCCESS"))
+            and not os.path.isdir(target)
+        ):
+            os.rename(tmp, target)  # finish the crashed swap
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)  # stale partial
+
     keys = keys_df.select(*key_cols).dropDuplicates()
     removed: dict[int, int] = {}
     for v in _snapshot_versions(snapshot_path):
         vdir = os.path.join(snapshot_path, f"v{v}")
         base = spark.read.parquet(vdir)
-        before = base.count()
-        kept = base.join(keys.hint("broadcast"), key_cols, "left_anti")
-        after = kept.count()
+        before = base.count()  # footer metadata, not a scan
+        staging = os.path.join(snapshot_path, f"v{v}_purge")
+        base.join(keys.hint("broadcast"), key_cols, "left_anti").write.mode(
+            "overwrite"
+        ).parquet(staging)
+        after = spark.read.parquet(staging).count()
         removed[v] = before - after
         if removed[v] == 0:
-            continue  # idempotent: untouched versions are not rewritten
-        staging = os.path.join(snapshot_path, f"v{v}_purge")
-        kept.write.mode("overwrite").parquet(staging)
+            # idempotent: untouched versions are not swapped
+            shutil.rmtree(staging)
+            continue
         shutil.rmtree(vdir)
         os.rename(staging, vdir)
     return removed

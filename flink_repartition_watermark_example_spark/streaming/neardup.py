@@ -86,6 +86,36 @@ def _versions(path: str) -> list[int]:
     )
 
 
+def recover_compaction(path: str) -> None:
+    """Repair a compaction that crashed between its deletes and its
+    final rename.  The staging dir name carries the target version id
+    (``_compact_tmp_v{N}``); a COMMITTED stage (_SUCCESS present)
+    holds the merge of every version <= N at staging time, so it
+    supersedes whatever subset of them a mid-delete crash left
+    behind — finish the deletes and install it.  An uncommitted stage
+    is a dead partial write and is removed.  Writers call this at the
+    head of every batch and compactors/readers at entry, so state can
+    be transiently absent but never silently lost."""
+    import shutil
+
+    if not os.path.isdir(path):
+        return
+    for name in os.listdir(path):
+        if not name.startswith("_compact_tmp_v"):
+            continue
+        tmp = os.path.join(path, name)
+        n = name.removeprefix("_compact_tmp_v")
+        if n.isdigit() and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            for v in _versions(path):
+                if v <= int(n):
+                    shutil.rmtree(
+                        os.path.join(path, f"v{v}"), ignore_errors=True
+                    )
+            os.rename(tmp, os.path.join(path, f"v{n}"))
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _read_index(spark: SparkSession, index_path: str, below: int) -> DataFrame | None:
     vs = [v for v in _versions(index_path) if v < below]
     if not vs:
@@ -130,6 +160,7 @@ def neardup_index_writer(
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         bid = int(batch_id)
+        recover_compaction(index_path)
 
         sigs = minhash_sig_array(batch_df, text_col)
         bands = lsh_bands(sigs)
@@ -241,16 +272,19 @@ def compact_index(spark: SparkSession, index_path: str) -> int:
     """Fold all committed index versions into a single v{max}
     partitioned snapshot and drop the olders — bounds the
     versions-per-read cost for long-running streams.  Returns the
-    surviving version number.  Not crash-atomic against a concurrent
-    writer; run from the maintenance path (same operational slot as
+    surviving version number.  Crash-recoverable via
+    :func:`recover_compaction` (the staged dir name carries the
+    target id); not atomic against a CONCURRENT writer — run from
+    the maintenance path (same operational slot as
     sinks.vacuum_versions)."""
     import shutil
 
+    recover_compaction(index_path)
     vs = _versions(index_path)
     if len(vs) <= 1:
         return vs[0] if vs else -1
     merged = _read_index(spark, index_path, below=vs[-1] + 1)
-    tmp = os.path.join(index_path, "_compact_tmp")
+    tmp = os.path.join(index_path, f"_compact_tmp_v{vs[-1]}")
     merged.write.mode("overwrite").partitionBy("band", "bucket").parquet(tmp)
     for v in vs:
         shutil.rmtree(os.path.join(index_path, f"v{v}"))

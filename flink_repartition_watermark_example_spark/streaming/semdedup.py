@@ -56,7 +56,7 @@ from flink_repartition_watermark_example_spark.operators.similarity import (
     _fold_norm,
     _score_pairs,
 )
-from flink_repartition_watermark_example_spark.streaming.neardup import _versions
+from flink_repartition_watermark_example_spark.streaming.neardup import _versions, recover_compaction
 
 
 def _read_index(spark: SparkSession, index_path: str, below: int) -> DataFrame | None:
@@ -108,15 +108,27 @@ def semdedup_index_writer(
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         bid = int(batch_id)
+        recover_compaction(index_path)
 
-        new = (
-            batch_df.select(
-                "vec_id", as_double("embedding").alias("v")
-            )
+        # Commit the batch's index version FIRST, then re-read it for
+        # the joins: the Arrow assignment kernel runs exactly once per
+        # batch (uncached, the self-join + anti-join would recompute
+        # it ~4x), and a crash before the survivors write replays the
+        # whole batch idempotently (both writes are mode=overwrite).
+        vdir = os.path.join(index_path, f"v{bid}")
+        (
+            batch_df.select("vec_id", as_double("embedding").alias("v"))
             .mapInPandas(
                 assign_top1,
                 schema="vec_id long, v array<double>, nv double, list_id long",
             )
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(vdir)
+        )
+        # partition-column type inference can narrow list_id to int
+        new = spark.read.parquet(vdir).withColumn(
+            "list_id", F.col("list_id").cast("long")
         )
 
         mates = new.select("vec_id", "v", "nv", "list_id")
@@ -148,9 +160,6 @@ def semdedup_index_writer(
         survivors.write.mode("overwrite").parquet(
             os.path.join(survivors_path, f"v{bid}")
         )
-        new.write.mode("overwrite").partitionBy("list_id").parquet(
-            os.path.join(index_path, f"v{bid}")
-        )
 
     return write
 
@@ -167,17 +176,24 @@ def read_semdedup_survivors(spark: SparkSession, survivors_path: str) -> DataFra
 
 def compact_index(spark: SparkSession, index_path: str) -> int:
     """Fold all committed index versions into a single v{max}
-    partitioned snapshot and drop the olders (the neardup/sketch
-    compaction discipline: non-version tmp dir, rmtree olds, rename
-    to the REUSED max id so future batch_ids never collide).  Returns
-    the surviving version number."""
+    partitioned snapshot and drop the olders — reusing the max id so
+    future batch_ids never collide (the sketch-module lesson).
+    Returns the surviving version number.
+
+    Crash safety: the staging dir name carries the target id
+    (``_compact_tmp_v{max}``), so a crash anywhere between the
+    deletes and the final rename is repaired by
+    :func:`streaming.neardup.recover_compaction` (run at the head of every writer
+    batch and of this function) — the index can be transiently
+    ABSENT but never silently empty-forever."""
     import shutil
 
+    recover_compaction(index_path)
     vs = _versions(index_path)
     if len(vs) <= 1:
         return vs[0] if vs else -1
     merged = _read_index(spark, index_path, below=vs[-1] + 1)
-    tmp = os.path.join(index_path, "_compact_tmp")
+    tmp = os.path.join(index_path, f"_compact_tmp_v{vs[-1]}")
     merged.write.mode("overwrite").partitionBy("list_id").parquet(tmp)
     for v in vs:
         shutil.rmtree(os.path.join(index_path, f"v{v}"))

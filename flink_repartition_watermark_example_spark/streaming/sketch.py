@@ -37,6 +37,7 @@ from flink_repartition_watermark_example_spark.operators.sketch import (
     cms_build,
     cms_estimate,
 )
+from flink_repartition_watermark_example_spark.streaming.neardup import recover_compaction
 
 
 def _versions(path: str) -> list[int]:
@@ -57,6 +58,7 @@ def cms_sketch_writer(sketch_path: str, key_col: str = "url"):
     idempotent by construction."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        recover_compaction(sketch_path)
         delta = cms_build(batch_df, F.col(key_col))
         delta.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(sketch_path, f"v{int(batch_id)}")
@@ -99,11 +101,12 @@ def compact_sketch(spark: SparkSession, sketch_path: str) -> int:
     path, like compact_index."""
     import shutil
 
+    recover_compaction(sketch_path)
     vs = _versions(sketch_path)
     if len(vs) <= 1:
         return 0
     merged = read_cms_sketch(spark, sketch_path)
-    tmp = os.path.join(sketch_path, "_compact_tmp")
+    tmp = os.path.join(sketch_path, f"_compact_tmp_v{vs[-1]}")
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     for v in vs:
         shutil.rmtree(os.path.join(sketch_path, f"v{v}"))
@@ -152,6 +155,7 @@ def hll_sketch_writer(sketch_path: str, key_col: str, group_col: str):
 def read_hll_sketch(spark: SparkSession, sketch_path: str, group_col: str) -> DataFrame:
     """The merged per-group sketch: register-max union of all committed
     deltas — equals the one-shot sketch over everything they saw."""
+    recover_compaction(sketch_path)
     vs = _versions(sketch_path)
     if not vs:
         return spark.createDataFrame([], f"{group_col} string, sk binary")
@@ -174,11 +178,12 @@ def compact_hll_sketch(
     batch_id."""
     import shutil
 
+    recover_compaction(sketch_path)
     vs = _versions(sketch_path)
     if len(vs) <= 1:
         return 0
     merged = read_hll_sketch(spark, sketch_path, group_col)
-    tmp = os.path.join(sketch_path, "_compact_tmp")
+    tmp = os.path.join(sketch_path, f"_compact_tmp_v{vs[-1]}")
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     for v in vs:
         shutil.rmtree(os.path.join(sketch_path, f"v{v}"))

@@ -104,3 +104,47 @@ def test_replayed_batch_is_idempotent_and_compaction_lossless(
     # possible re-emission of the same (vec_id, list_id) rows, which
     # the set union absorbs.
     assert after == once
+
+
+def test_compaction_crash_mid_deletes_recovers_losslessly(
+    spark, sf_dir, tmp_path
+):
+    """Simulate the worst compaction crash: the staged merge is
+    committed and SOME old versions are already deleted, but the
+    final rename never ran.  The next writer batch must repair the
+    index to exactly the merged state — no silent reset to empty, no
+    loss of the already-deleted versions' vectors."""
+    import shutil
+
+    from flink_repartition_watermark_example_spark.streaming.semdedup import _read_index
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    first = emb.where(F.col("vec_id") < n // 2)
+    second = emb.where(F.col("vec_id") >= n // 2)
+
+    index = str(tmp_path / "index")
+    surv = str(tmp_path / "surv")
+    w = semdedup_index_writer(index, surv, _centroids(emb))
+    w(first, 0)
+    w(second, 1)
+    once = _survivor_set(read_semdedup_survivors(spark, surv))
+
+    # stage the merge as compact_index would, then "crash" after
+    # deleting v0 (v1 still present, rename never happened)
+    merged = _read_index(spark, index, below=2)
+    merged.write.mode("overwrite").partitionBy("list_id").parquet(
+        os.path.join(index, "_compact_tmp_v1")
+    )
+    shutil.rmtree(os.path.join(index, "v0"))
+
+    # the next batch's writer runs recovery first; re-sending batch
+    # 1's data as batch 2 must purge everything already indexed —
+    # i.e. the recovered index saw batch 0's vectors too
+    w(second, 2)
+    assert not any(
+        d.startswith("_compact_tmp") for d in os.listdir(index)
+    )
+    after = _survivor_set(read_semdedup_survivors(spark, surv))
+    assert after == once
+    assert once == _survivor_set(semantic_dedup(emb))

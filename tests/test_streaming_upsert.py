@@ -231,3 +231,40 @@ def test_forget_keys_staging_dir_is_invisible_to_readers(spark, tmp_path):
     os.makedirs(os.path.join(snap, f"v{versions[-1]}_purge"))
     open(os.path.join(snap, f"v{versions[-1]}_purge", "_SUCCESS"), "w").close()
     assert _snapshot_versions(snap) == versions
+
+
+def test_forget_keys_crashed_swap_is_repaired(spark, tmp_path):
+    """A crash between rmtree(v{N}) and the rename leaves the
+    completed rewrite in v{N}_purge and the version absent; the next
+    forget_keys run must repair it BEFORE doing new work — no version
+    is ever lost."""
+    import shutil
+
+    from flink_repartition_watermark_example_spark.sinks import _snapshot_versions, forget_keys
+
+    src, ckpt, snap = (str(tmp_path / d) for d in ("src", "ckpt", "snap"))
+    _write_change_file(spark, src, 0, BATCH_1)
+    _write_change_file(spark, src, 1, BATCH_2)
+    _drain(spark, src, ckpt, snap)
+    versions = _snapshot_versions(snap)
+    vmax = versions[-1]
+
+    # simulate the crash window: the purged rewrite of v{max} is
+    # committed in staging, v{max} itself is gone
+    forget = spark.createDataFrame([(1,)], "k long")
+    vdir = os.path.join(snap, f"v{vmax}")
+    staging = os.path.join(snap, f"v{vmax}_purge")
+    spark.read.parquet(vdir).join(
+        forget, ["k"], "left_anti"
+    ).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(vdir)
+    assert _snapshot_versions(snap) == versions[:-1]  # transiently absent
+
+    removed = forget_keys(spark, snap, forget, ["k"])
+    # repaired: every original version is back and fully purged
+    assert _snapshot_versions(snap) == versions
+    for v in versions:
+        keys = {r["k"] for r in read_cdc_snapshot(spark, snap, version=v).collect()}
+        assert 1 not in keys
+    # the repaired version needed no further removal (already purged)
+    assert removed[vmax] == 0
