@@ -532,6 +532,11 @@ class WinnowBuild(NamedTuple):
     fp: DataFrame
     sizes: DataFrame
     candidates: DataFrame
+    # the knobs the candidates were built with — the pair wrappers
+    # REFUSE a mismatching build rather than silently ignoring their
+    # own arguments (candidates are already filtered at build time)
+    min_shared: int = 3
+    max_fp_docs: int = MAX_BUCKET_DOCS
 
 
 def winnow_build(
@@ -591,7 +596,24 @@ def winnow_build(
         # the self-join — it re-reads the cached fp either way
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return WinnowBuild(fp=fp, sizes=sizes, candidates=candidates)
+    return WinnowBuild(
+        fp=fp,
+        sizes=sizes,
+        candidates=candidates,
+        min_shared=min_shared,
+        max_fp_docs=max_fp_docs,
+    )
+
+
+def _check_build(build: WinnowBuild, min_shared: int, max_fp_docs: int) -> None:
+    if (build.min_shared, build.max_fp_docs) != (min_shared, max_fp_docs):
+        raise ValueError(
+            f"prebuilt WinnowBuild was computed with min_shared="
+            f"{build.min_shared}, max_fp_docs={build.max_fp_docs}; "
+            f"requested min_shared={min_shared}, max_fp_docs="
+            f"{max_fp_docs} cannot be applied after the fact — "
+            "rebuild with winnow_build(docs, ...) at those settings"
+        )
 
 
 def winnow_neardup_pairs(
@@ -610,6 +632,8 @@ def winnow_neardup_pairs(
     """
     if build is None:
         build = winnow_build(docs, text_col, min_shared, max_fp_docs)
+    else:
+        _check_build(build, min_shared, max_fp_docs)
     return build.candidates
 
 
@@ -644,6 +668,8 @@ def winnow_containment_pairs(
     """
     if build is None:
         build = winnow_build(docs, text_col, min_shared, max_fp_docs)
+    else:
+        _check_build(build, min_shared, max_fp_docs)
     cand = build.candidates.select("doc_a", "doc_b")
     fa = build.fp.select(F.col("doc_id").alias("doc_a"), "fp")
     fb = build.fp.select(F.col("doc_id").alias("doc_b"), "fp")

@@ -286,7 +286,11 @@ def decode_image(payloads: DataFrame) -> DataFrame:
                 rows["sum_b"].append(sums[2])
             yield pd.DataFrame(rows)
 
-    flat = fan_out(payloads.select("doc_id", "payload"), "doc_id")
+    # NO fan_out here: the payload relation arrives already fanned (the
+    # synth/load stage repartitions the cheap doc_id rows BEFORE the
+    # bytes exist) — re-fanning would shuffle O(corpus bytes) of media
+    # a second time for nothing.  Feed adequately-partitioned input.
+    flat = payloads.select("doc_id", "payload")
     return flat.mapInPandas(batches, IMAGE_STATS_SCHEMA)
 
 
@@ -437,7 +441,11 @@ def decode_audio(payloads: DataFrame) -> DataFrame:
                 rows["peak"].append(int(absv.max()))
             yield pd.DataFrame(rows)
 
-    flat = fan_out(payloads.select("doc_id", "payload"), "doc_id")
+    # NO fan_out here: the payload relation arrives already fanned (the
+    # synth/load stage repartitions the cheap doc_id rows BEFORE the
+    # bytes exist) — re-fanning would shuffle O(corpus bytes) of media
+    # a second time for nothing.  Feed adequately-partitioned input.
+    flat = payloads.select("doc_id", "payload")
     return flat.mapInPandas(batches, AUDIO_STATS_SCHEMA)
 
 
@@ -464,7 +472,11 @@ def audio_block_energy(
                 {"doc_id": ids, "block_idx": idxs, "energy": energies}
             )
 
-    flat = fan_out(payloads.select("doc_id", "payload"), "doc_id")
+    # NO fan_out here: the payload relation arrives already fanned (the
+    # synth/load stage repartitions the cheap doc_id rows BEFORE the
+    # bytes exist) — re-fanning would shuffle O(corpus bytes) of media
+    # a second time for nothing.  Feed adequately-partitioned input.
+    flat = payloads.select("doc_id", "payload")
     return flat.mapInPandas(batches, AUDIO_ENERGY_SCHEMA)
 
 
@@ -653,7 +665,11 @@ def decode_video_frames(
                     rows["sum_b"].append(int(sums[2]))
             yield pd.DataFrame(rows)
 
-    flat = fan_out(payloads.select("doc_id", "payload"), "doc_id")
+    # NO fan_out here: the payload relation arrives already fanned (the
+    # synth/load stage repartitions the cheap doc_id rows BEFORE the
+    # bytes exist) — re-fanning would shuffle O(corpus bytes) of media
+    # a second time for nothing.  Feed adequately-partitioned input.
+    flat = payloads.select("doc_id", "payload")
     return flat.mapInPandas(batches, VIDEO_FRAME_SCHEMA)
 
 

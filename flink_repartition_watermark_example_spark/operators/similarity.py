@@ -408,12 +408,7 @@ def ivf_topk_hof(
     than `ivf_topk` at sf0.1; not registered."""
     import math
 
-    cents = (
-        emb.where(F.col("vec_id").isin(CENTROID_IDS))
-        .select("vec_id", as_double("embedding").alias("v"))
-        .collect()
-    )
-    cents = sorted((r["vec_id"], list(r["v"])) for r in cents)
+    cents = _centroids(emb)
 
     def _py_norm(cv: list[float]) -> float:
         acc = 0.0

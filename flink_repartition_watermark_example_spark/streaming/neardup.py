@@ -86,6 +86,21 @@ def _versions(path: str) -> list[int]:
     )
 
 
+COMPACTED_MARKER = "_COMPACTED"
+
+
+def replay_hits_compacted(path: str, batch_id: int) -> bool:
+    """True when ``v{batch_id}`` is a compacted snapshot rather than
+    that batch's own delta — i.e. compaction ran while the stream was
+    down and REUSED this id, and the checkpoint never committed the
+    batch.  A crash-replay of the batch must then SKIP its writes:
+    its delta is already folded into the snapshot, and overwriting
+    would silently destroy every pre-compaction delta."""
+    return os.path.exists(
+        os.path.join(path, f"v{int(batch_id)}", COMPACTED_MARKER)
+    )
+
+
 def recover_compaction(path: str) -> None:
     """Repair a compaction that crashed between its deletes and its
     final rename.  The staging dir name carries the target version id
@@ -161,6 +176,8 @@ def neardup_index_writer(
         spark = batch_df.sparkSession
         bid = int(batch_id)
         recover_compaction(index_path)
+        if replay_hits_compacted(index_path, bid):
+            return  # this batch's delta is already in the snapshot
 
         sigs = minhash_sig_array(batch_df, text_col)
         bands = lsh_bands(sigs)
@@ -286,6 +303,7 @@ def compact_index(spark: SparkSession, index_path: str) -> int:
     merged = _read_index(spark, index_path, below=vs[-1] + 1)
     tmp = os.path.join(index_path, f"_compact_tmp_v{vs[-1]}")
     merged.write.mode("overwrite").partitionBy("band", "bucket").parquet(tmp)
+    open(os.path.join(tmp, COMPACTED_MARKER), "w").close()
     for v in vs:
         shutil.rmtree(os.path.join(index_path, f"v{v}"))
     os.rename(tmp, os.path.join(index_path, f"v{vs[-1]}"))

@@ -56,7 +56,12 @@ from flink_repartition_watermark_example_spark.operators.similarity import (
     _fold_norm,
     _score_pairs,
 )
-from flink_repartition_watermark_example_spark.streaming.neardup import _versions, recover_compaction
+from flink_repartition_watermark_example_spark.streaming.neardup import (
+    COMPACTED_MARKER,
+    _versions,
+    recover_compaction,
+    replay_hits_compacted,
+)
 
 
 def _read_index(spark: SparkSession, index_path: str, below: int) -> DataFrame | None:
@@ -109,6 +114,8 @@ def semdedup_index_writer(
         spark = batch_df.sparkSession
         bid = int(batch_id)
         recover_compaction(index_path)
+        if replay_hits_compacted(index_path, bid):
+            return  # this batch's vectors are already in the snapshot
 
         # Commit the batch's index version FIRST, then re-read it for
         # the joins: the Arrow assignment kernel runs exactly once per
@@ -195,6 +202,7 @@ def compact_index(spark: SparkSession, index_path: str) -> int:
     merged = _read_index(spark, index_path, below=vs[-1] + 1)
     tmp = os.path.join(index_path, f"_compact_tmp_v{vs[-1]}")
     merged.write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+    open(os.path.join(tmp, COMPACTED_MARKER), "w").close()
     for v in vs:
         shutil.rmtree(os.path.join(index_path, f"v{v}"))
     os.rename(tmp, os.path.join(index_path, f"v{vs[-1]}"))

@@ -37,7 +37,11 @@ from flink_repartition_watermark_example_spark.operators.sketch import (
     cms_build,
     cms_estimate,
 )
-from flink_repartition_watermark_example_spark.streaming.neardup import recover_compaction
+from flink_repartition_watermark_example_spark.streaming.neardup import (
+    COMPACTED_MARKER,
+    recover_compaction,
+    replay_hits_compacted,
+)
 
 
 def _versions(path: str) -> list[int]:
@@ -59,6 +63,8 @@ def cms_sketch_writer(sketch_path: str, key_col: str = "url"):
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         recover_compaction(sketch_path)
+        if replay_hits_compacted(sketch_path, batch_id):
+            return  # delta already folded into the compacted snapshot
         delta = cms_build(batch_df, F.col(key_col))
         delta.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(sketch_path, f"v{int(batch_id)}")
@@ -108,6 +114,7 @@ def compact_sketch(spark: SparkSession, sketch_path: str) -> int:
     merged = read_cms_sketch(spark, sketch_path)
     tmp = os.path.join(sketch_path, f"_compact_tmp_v{vs[-1]}")
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    open(os.path.join(tmp, COMPACTED_MARKER), "w").close()
     for v in vs:
         shutil.rmtree(os.path.join(sketch_path, f"v{v}"))
     os.rename(tmp, os.path.join(sketch_path, f"v{vs[-1]}"))
@@ -142,6 +149,9 @@ def hll_sketch_writer(sketch_path: str, key_col: str, group_col: str):
     the ``v{batch_id}`` delta (overwrite ⇒ replay-idempotent)."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        recover_compaction(sketch_path)
+        if replay_hits_compacted(sketch_path, batch_id):
+            return  # delta already folded into the compacted snapshot
         delta = batch_df.groupBy(group_col).agg(
             F.hll_sketch_agg(key_col).alias("sk")
         )
@@ -185,6 +195,7 @@ def compact_hll_sketch(
     merged = read_hll_sketch(spark, sketch_path, group_col)
     tmp = os.path.join(sketch_path, f"_compact_tmp_v{vs[-1]}")
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    open(os.path.join(tmp, COMPACTED_MARKER), "w").close()
     for v in vs:
         shutil.rmtree(os.path.join(sketch_path, f"v{v}"))
     os.rename(tmp, os.path.join(sketch_path, f"v{vs[-1]}"))

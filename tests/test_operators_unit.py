@@ -426,3 +426,25 @@ def test_containment_catches_quotation_that_jaccard_dilutes(spark):
     # that asymmetry is the whole point of the containment signal
     sym = DD.ngram_jaccard_pairs(docs, threshold=0.3).collect()
     assert sym == []
+
+
+def test_winnow_prebuilt_refuses_mismatched_knobs(spark, sf_dir):
+    """A prebuilt WinnowBuild carries the knobs its candidates were
+    filtered with; the pair wrappers must REFUSE a mismatching request
+    instead of silently ignoring it (the candidates cannot be
+    re-filtered after the fact)."""
+    import pytest as _pytest
+
+    from flink_repartition_watermark_example_spark.operators import dedup as DD
+    from flink_repartition_watermark_example_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    build = DD.winnow_build(docs)
+    with _pytest.raises(ValueError, match="min_shared"):
+        DD.winnow_neardup_pairs(build=build, min_shared=5)
+    with _pytest.raises(ValueError, match="max_fp_docs"):
+        DD.winnow_containment_pairs(build=build, max_fp_docs=7)
+    # matching knobs (the defaults) pass through
+    assert DD.winnow_neardup_pairs(build=build).columns == [
+        "doc_a", "doc_b", "shared",
+    ]

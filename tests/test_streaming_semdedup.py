@@ -148,3 +148,27 @@ def test_compaction_crash_mid_deletes_recovers_losslessly(
     after = _survivor_set(read_semdedup_survivors(spark, surv))
     assert after == once
     assert once == _survivor_set(semantic_dedup(emb))
+
+
+def test_replay_of_last_precompaction_batch_is_skipped(spark, sf_dir, tmp_path):
+    """Compaction reuses v{max}; a crash-replay of that same batch id
+    must skip its writes (the _COMPACTED marker) — overwriting would
+    silently drop every earlier vector from the index."""
+    from flink_repartition_watermark_example_spark.streaming.semdedup import compact_index
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    first = emb.where(F.col("vec_id") < n // 2)
+    second = emb.where(F.col("vec_id") >= n // 2)
+
+    index = str(tmp_path / "index")
+    surv = str(tmp_path / "surv")
+    w = semdedup_index_writer(index, surv, _centroids(emb))
+    w(first, 0)
+    w(second, 1)
+    once = _survivor_set(read_semdedup_survivors(spark, surv))
+
+    assert compact_index(spark, index) == 1
+    w(second, 1)  # crash replay of the last pre-compaction batch
+    assert _survivor_set(read_semdedup_survivors(spark, surv)) == once
+    assert once == _survivor_set(semantic_dedup(emb))

@@ -154,3 +154,25 @@ def test_resume_after_compaction_preserves_counts(spark, sf_dir, tmp_path):
     got = _cells(read_cms_sketch(spark, sketch))
     want = _cells(cms_build(events, F.col("event_type")))
     assert got == want and len(got) > 0
+
+
+def test_replay_of_last_precompaction_batch_is_skipped(spark, sf_dir, tmp_path):
+    """The nastiest replay window: compaction runs while the stream is
+    down and reuses v{max} — but the checkpoint never committed that
+    last batch.  On resume the writer replays it; overwriting the
+    compacted snapshot with the batch-only delta would silently
+    destroy every earlier count.  The _COMPACTED marker makes the
+    replay a no-op (its delta is already folded in)."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    b0 = events.where(F.col("event_id") % 2 == 0)
+    b1 = events.where(F.col("event_id") % 2 == 1)
+
+    sketch = str(tmp_path / "sketch")
+    w = cms_sketch_writer(sketch, key_col="event_type")
+    w(b0, 0)
+    w(b1, 1)
+    want = _cells(read_cms_sketch(spark, sketch))
+
+    assert compact_sketch(spark, sketch) == 1  # folds v0+v1 into v1
+    w(b1, 1)  # crash replay of the LAST pre-compaction batch
+    assert _cells(read_cms_sketch(spark, sketch)) == want
