@@ -164,10 +164,7 @@ def encode_bmp(arr) -> bytes:
     img_size = row_size * h
     header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 0, 0, 0, 0)
-    pad = b"\x00" * (row_size - w * 3)
-    bgr = a[:, :, ::-1]
-    rows = b"".join(bgr[y].tobytes() + pad for y in range(h - 1, -1, -1))
-    return header + info + rows
+    return header + info + _dib_encode(a)
 
 
 def encode_ppm(arr) -> bytes:
@@ -195,12 +192,7 @@ def decode_image_bytes(raw: bytes):
         if bpp != 24 or comp != 0:
             raise ValueError(f"unsupported BMP profile: bpp={bpp} comp={comp}")
         top_down, h = h < 0, abs(h)
-        row_size = (w * 3 + 3) // 4 * 4
-        out = np.empty((h, w, 3), np.uint8)
-        for i in range(h):
-            row = np.frombuffer(raw, np.uint8, w * 3, offset + i * row_size)
-            out[i if top_down else h - 1 - i] = row.reshape(w, 3)[:, ::-1]
-        return "bmp", out
+        return "bmp", _dib_decode(raw, w, h, offset=offset, top_down=top_down)
     if raw[:2] == b"P6":
         # header: magic, width, height, maxval — whitespace separated
         parts, pos = [], 2
@@ -513,14 +505,17 @@ def _dib_encode(arr) -> bytes:
     return b"".join(bgr[y].tobytes() + pad for y in range(h - 1, -1, -1))
 
 
-def _dib_decode(raw: bytes, w: int, h: int):
+def _dib_decode(raw: bytes, w: int, h: int, offset: int = 0, top_down: bool = False):
+    """Inverse of _dib_encode, shared by the BMP file decoder (which
+    passes its pixel-array offset and sign-derived row order) and the
+    AVI frame decoder (offset 0, bottom-up)."""
     import numpy as np
 
     row_size = (w * 3 + 3) // 4 * 4
     out = np.empty((h, w, 3), np.uint8)
     for i in range(h):
-        row = np.frombuffer(raw, np.uint8, w * 3, i * row_size)
-        out[h - 1 - i] = row.reshape(w, 3)[:, ::-1]
+        row = np.frombuffer(raw, np.uint8, w * 3, offset + i * row_size)
+        out[i if top_down else h - 1 - i] = row.reshape(w, 3)[:, ::-1]
     return out
 
 

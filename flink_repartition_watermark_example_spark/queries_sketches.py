@@ -83,6 +83,47 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.orderBy(F.col("est").desc(), "user_id").limit(20)
 
 
+def _replay_through_sketch(spark, df, writer, compact, reader, out_schema):
+    """Shared streaming replay harness for the sketch queries: split
+    ``df`` into three event_id-keyed arrival files, stream them
+    through ``writer`` (foreachBatch, availableNow), ``compact`` the
+    versioned store, and pull the bounded sketch snapshot local via
+    ``reader`` (the O(1)-index-collect discipline — the returned plan
+    must not dangle on the temp dir)."""
+    import os
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="stream_sketch_")
+    try:
+        src = os.path.join(root, "replay")
+        for cond in (
+            F.col("event_id") % 3 == 0,
+            F.col("event_id") % 3 == 1,
+            F.col("event_id") % 3 == 2,
+        ):
+            df.where(cond).coalesce(1).write.mode("append").parquet(src)
+
+        sketch_dir = os.path.join(root, "sketch")
+        q = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.outputMode("append")
+            .foreachBatch(writer(sketch_dir))
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        compact(sketch_dir)
+        return spark.createDataFrame(
+            reader(sketch_dir).collect(), out_schema
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register_extra(
     "streaming_cms_heavy_hitters",
     _CMS_ORACLE,
@@ -97,10 +138,6 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "compacted, and batch all agree bit-for-bit.",
 )
 def q_streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-    import tempfile
-
     from flink_repartition_watermark_example_spark.streaming.sketch import (
         cms_sketch_writer,
         compact_sketch,
@@ -111,41 +148,14 @@ def q_streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
     keyed = ev.select(
         "event_id", F.col("user_id").cast("string").alias("ukey")
     )
-
-    root = tempfile.mkdtemp(prefix="stream_cms_")
-    try:
-        src = os.path.join(root, "replay")
-        for cond in (
-            F.col("event_id") % 3 == 0,
-            F.col("event_id") % 3 == 1,
-            F.col("event_id") % 3 == 2,
-        ):
-            keyed.where(cond).coalesce(1).write.mode("append").parquet(src)
-
-        sketch_dir = os.path.join(root, "sketch")
-        q = (
-            spark.readStream.schema(keyed.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-            .writeStream.outputMode("append")
-            .foreachBatch(cms_sketch_writer(sketch_dir, key_col="ukey"))
-            .option("checkpointLocation", os.path.join(root, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        compact_sketch(spark, sketch_dir)
-
-        # The maintained sketch is O(depth x width) by construction --
-        # pull the bounded snapshot local so the returned plan doesn't
-        # dangle on the temp dir (same O(1)-index-collect discipline as
-        # the ANN index builds).
-        sketch = spark.createDataFrame(
-            read_cms_sketch(spark, sketch_dir).collect(),
-            "depth int, cell bigint, n bigint",
-        )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    sketch = _replay_through_sketch(
+        spark,
+        keyed,
+        lambda d: cms_sketch_writer(d, key_col="ukey"),
+        lambda d: compact_sketch(spark, d),
+        lambda d: read_cms_sketch(spark, d),
+        "depth int, cell bigint, n bigint",
+    )
 
     cand = ev.select("user_id").distinct()
     est = cms_estimate(sketch, cand, F.col("user_id").cast("string"))
@@ -173,10 +183,6 @@ def q_streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
     "sketch per key regardless of stream length.",
 )
 def q_streaming_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-    import tempfile
-
     from flink_repartition_watermark_example_spark.streaming.sketch import (
         compact_hll_sketch,
         hll_sketch_writer,
@@ -186,40 +192,14 @@ def q_streaming_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id"
     )
-    root = tempfile.mkdtemp(prefix="stream_hll_")
-    try:
-        src = os.path.join(root, "replay")
-        for cond in (
-            F.col("event_id") % 3 == 0,
-            F.col("event_id") % 3 == 1,
-            F.col("event_id") % 3 == 2,
-        ):
-            ev.where(cond).coalesce(1).write.mode("append").parquet(src)
-
-        sketch_dir = os.path.join(root, "sketch")
-        q = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-            .writeStream.outputMode("append")
-            .foreachBatch(
-                hll_sketch_writer(sketch_dir, key_col="user_id", group_col="event_type")
-            )
-            .option("checkpointLocation", os.path.join(root, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        compact_hll_sketch(spark, sketch_dir, "event_type")
-
-        # one fixed-size sketch per key — bounded snapshot, pulled
-        # local so the returned plan doesn't dangle on the temp dir
-        merged = spark.createDataFrame(
-            read_hll_sketch(spark, sketch_dir, "event_type").collect(),
-            "event_type string, sk binary",
-        )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    merged = _replay_through_sketch(
+        spark,
+        ev,
+        lambda d: hll_sketch_writer(d, key_col="user_id", group_col="event_type"),
+        lambda d: compact_hll_sketch(spark, d, "event_type"),
+        lambda d: read_hll_sketch(spark, d, "event_type"),
+        "event_type string, sk binary",
+    )
 
     streamed = merged.select(
         "event_type", F.hll_sketch_estimate("sk").alias("streamed_users")
