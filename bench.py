@@ -92,7 +92,7 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 4)
         spreads[name] = round(max(runs) - min(runs), 4)
 
-    line = json.dumps(
+    full = json.dumps(
         {
             "metric": "engine_bench_total",
             "value": round(sum(timings.values()), 4),
@@ -103,16 +103,28 @@ def main() -> None:
             "sf": sf,
         }
     )
-    # The driver tail-captures stdout, which once truncated the JSON
-    # line from the front (BENCH_r05 parsed: null) — ALSO write the
-    # artifact to a file the snapshot commits, so per-query medians
-    # survive any stdout capture window.
+    # The driver tail-captures a bounded stdout window and truncated
+    # the full line from the front in BENCH_r05 AND r06 (parsed:
+    # null) — the spread dict pushed it past the window.  So: the full
+    # artifact goes to a file the snapshot commits, and stdout gets a
+    # COMPACT line (medians only, 2-decimal, separators tightened)
+    # that fits the observed window with 2x headroom.
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
         "w",
     ) as f:
-        f.write(line + "\n")
-    print(line)
+        f.write(full + "\n")
+    compact = json.dumps(
+        {
+            "metric": "engine_bench_total",
+            "value": round(sum(timings.values()), 2),
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in timings.items()},
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+    print(compact, flush=True)
 
 
 if __name__ == "__main__":

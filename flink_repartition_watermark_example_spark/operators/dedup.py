@@ -274,7 +274,13 @@ def ngram_jaccard_pairs(
     candidates drop out of the inner counting join, which is exactly
     the set the threshold filter discards anyway.
     """
-    assert threshold > 0, "threshold must be positive (see docstring)"
+    if threshold <= 0:
+        # ValueError, not assert: the precondition is load-bearing
+        # (zero-overlap pairs drop out of the inner counting join), and
+        # an assert is stripped under ``python -O`` — a threshold=0
+        # caller would then silently lose every zero/NaN-jaccard
+        # candidate pair instead of failing fast.
+        raise ValueError("threshold must be positive (see docstring)")
     # fan_out at stage_width (= shuffle.partitions): the shingle
     # lambda is the expensive projection and downstream sorts inherit
     # this width (see winnow_fingerprints).

@@ -240,18 +240,25 @@ def forget_keys(
 
     from pyspark.sql import functions as F  # noqa: F401  (parity with callers)
 
-    # repair a prior crashed swap before doing new work
+    # Repair a prior crashed swap before doing new work.  A COMMITTED
+    # staging dir wins unconditionally: the swap sequence is
+    # rmtree(v{N}) then rename, so whatever remains at v{N} when a
+    # committed v{N}_purge exists is either intact (crash before the
+    # rmtree started) or a mid-rmtree truncation — in both cases the
+    # staging holds the completed rewrite and must be installed.
+    # Gating the install on `not isdir(target)` would route the
+    # committed staging into the stale-partial branch whenever the
+    # interrupted rmtree left the directory behind, deleting the
+    # rewrite and keeping the truncated version (silent row loss if
+    # its _SUCCESS survived, permanent version loss otherwise).
     for name in sorted(os.listdir(snapshot_path)):
         if not (name.startswith("v") and name.endswith("_purge")):
             continue
         n = name[1:-len("_purge")]
         tmp = os.path.join(snapshot_path, name)
         target = os.path.join(snapshot_path, f"v{n}")
-        if (
-            n.isdigit()
-            and os.path.exists(os.path.join(tmp, "_SUCCESS"))
-            and not os.path.isdir(target)
-        ):
+        if n.isdigit() and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            shutil.rmtree(target, ignore_errors=True)
             os.rename(tmp, target)  # finish the crashed swap
         else:
             shutil.rmtree(tmp, ignore_errors=True)  # stale partial

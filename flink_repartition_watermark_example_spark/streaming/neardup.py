@@ -104,13 +104,23 @@ def replay_hits_compacted(path: str, batch_id: int) -> bool:
 def recover_compaction(path: str) -> None:
     """Repair a compaction that crashed between its deletes and its
     final rename.  The staging dir name carries the target version id
-    (``_compact_tmp_v{N}``); a COMMITTED stage (_SUCCESS present)
-    holds the merge of every version <= N at staging time, so it
-    supersedes whatever subset of them a mid-delete crash left
-    behind — finish the deletes and install it.  An uncommitted stage
-    is a dead partial write and is removed.  Writers call this at the
-    head of every batch and compactors/readers at entry, so state can
-    be transiently absent but never silently lost."""
+    (``_compact_tmp_v{N}``); a COMMITTED stage holds the merge of
+    every version <= N at staging time, so it supersedes whatever
+    subset of them a mid-delete crash left behind — finish the deletes
+    and install it.  An uncommitted stage is a dead partial write and
+    is removed.  Writers call this at the head of every batch and
+    compactors/readers at entry, so state can be transiently absent
+    but never silently lost.
+
+    "Committed" is gated on COMPACTED_MARKER, NOT parquet's _SUCCESS:
+    every compactor touches the marker immediately after the parquet
+    write, and the marker is what :func:`replay_hits_compacted` keys
+    on.  Gating on _SUCCESS alone would install a stage that crashed
+    between the parquet commit and the marker touch as ``v{N}``
+    WITHOUT the marker — a later replay of batch N would then miss the
+    compaction check and its overwrite-mode delta write would destroy
+    every pre-compaction delta folded into the snapshot (the exact
+    loss the marker exists to prevent)."""
     import shutil
 
     if not os.path.isdir(path):
@@ -120,7 +130,7 @@ def recover_compaction(path: str) -> None:
             continue
         tmp = os.path.join(path, name)
         n = name.removeprefix("_compact_tmp_v")
-        if n.isdigit() and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        if n.isdigit() and os.path.exists(os.path.join(tmp, COMPACTED_MARKER)):
             for v in _versions(path):
                 if v <= int(n):
                     shutil.rmtree(

@@ -117,12 +117,21 @@ def semdedup_index_writer(
         if replay_hits_compacted(index_path, bid):
             return  # this batch's vectors are already in the snapshot
 
-        # Commit the batch's index version FIRST, then re-read it for
-        # the joins: the Arrow assignment kernel runs exactly once per
-        # batch (uncached, the self-join + anti-join would recompute
-        # it ~4x), and a crash before the survivors write replays the
-        # whole batch idempotently (both writes are mode=overwrite).
+        # Write the assignment to a NON-version staging dir first and
+        # re-read it for the joins: the Arrow assignment kernel runs
+        # exactly once per batch (uncached, the self-join + anti-join
+        # would recompute it ~4x).  The index delta is only PUBLISHED
+        # (staging renamed to v{bid}) after the survivors write
+        # commits — the same pairs-before-index ordering as
+        # streaming/neardup.py — so a folded delta always implies
+        # committed survivors.  The reverse order would lose a batch's
+        # survivors forever if it crashed between the two writes and
+        # compact_index ran while the stream was down: the replay
+        # would hit replay_hits_compacted and return before writing
+        # them.  Both writes are mode=overwrite, so replays of any
+        # crash point are idempotent.
         vdir = os.path.join(index_path, f"v{bid}")
+        tmp = os.path.join(index_path, f"_batch_tmp_v{bid}")
         (
             batch_df.select("vec_id", as_double("embedding").alias("v"))
             .mapInPandas(
@@ -131,10 +140,10 @@ def semdedup_index_writer(
             )
             .write.mode("overwrite")
             .partitionBy("list_id")
-            .parquet(vdir)
+            .parquet(tmp)
         )
         # partition-column type inference can narrow list_id to int
-        new = spark.read.parquet(vdir).withColumn(
+        new = spark.read.parquet(tmp).withColumn(
             "list_id", F.col("list_id").cast("long")
         )
 
@@ -167,6 +176,16 @@ def semdedup_index_writer(
         survivors.write.mode("overwrite").parquet(
             os.path.join(survivors_path, f"v{bid}")
         )
+        # survivors are durable — publish the index delta last.  A
+        # replay after a crash between the survivors write and this
+        # rename re-runs the whole batch (v{bid} absent, so neither
+        # _versions nor replay_hits_compacted sees it) and overwrites
+        # both staging and survivors before publishing again.
+        import shutil
+
+        if os.path.isdir(vdir):
+            shutil.rmtree(vdir)  # replay of a published-but-uncommitted batch
+        os.rename(tmp, vdir)
 
     return write
 

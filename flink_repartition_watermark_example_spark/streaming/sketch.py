@@ -56,10 +56,15 @@ def _versions(path: str) -> list[int]:
     )
 
 
-def cms_sketch_writer(sketch_path: str, key_col: str = "url"):
+def cms_sketch_writer(sketch_path: str, *, key_col: str):
     """foreachBatch body: write each batch's delta sketch as
     ``v{batch_id}``.  Replayed batches overwrite their own version —
-    idempotent by construction."""
+    idempotent by construction.
+
+    ``key_col`` is keyword-required with no default: the old
+    ``key_col="url"`` default let a caller sketching a different
+    column silently count the wrong thing (the exact foot-gun behind
+    round 5's red streaming-sketch tests)."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         recover_compaction(sketch_path)

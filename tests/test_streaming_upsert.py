@@ -268,3 +268,46 @@ def test_forget_keys_crashed_swap_is_repaired(spark, tmp_path):
         assert 1 not in keys
     # the repaired version needed no further removal (already purged)
     assert removed[vmax] == 0
+
+
+def test_forget_keys_mid_rmtree_crash_prefers_committed_staging(spark, tmp_path):
+    """Round-6 advisor finding: a crash MID-rmtree(v{N}) leaves v{N}
+    partially deleted but still a directory.  The committed v{N}_purge
+    must win unconditionally — the old `not isdir(target)` guard
+    routed it into the stale-partial branch and deleted the completed
+    rewrite, keeping the truncated version (silent row loss if its
+    _SUCCESS survived the partial delete, permanent version loss
+    otherwise)."""
+    import shutil
+
+    from flink_repartition_watermark_example_spark.sinks import _snapshot_versions, forget_keys
+
+    src, ckpt, snap = (str(tmp_path / d) for d in ("src", "ckpt", "snap"))
+    _write_change_file(spark, src, 0, BATCH_1)
+    _write_change_file(spark, src, 1, BATCH_2)
+    _drain(spark, src, ckpt, snap)
+    versions = _snapshot_versions(snap)
+    vmax = versions[-1]
+
+    forget = spark.createDataFrame([(2,)], "k long")
+    vdir = os.path.join(snap, f"v{vmax}")
+    staging = os.path.join(snap, f"v{vmax}_purge")
+    expected = spark.read.parquet(vdir).join(forget, ["k"], "left_anti")
+    want = {(r["k"], r["val"]) for r in expected.collect()}
+    expected.write.mode("overwrite").parquet(staging)
+
+    # simulate the mid-rmtree crash: the data files are gone but the
+    # directory (and its _SUCCESS) survived — the nastier variant,
+    # since the truncated version still LOOKS committed
+    for name in os.listdir(vdir):
+        p = os.path.join(vdir, name)
+        if name.endswith(".parquet"):
+            os.remove(p) if os.path.isfile(p) else shutil.rmtree(p)
+
+    forget_keys(spark, snap, forget, ["k"])
+    assert _snapshot_versions(snap) == versions
+    got = {
+        (r["k"], r["val"])
+        for r in read_cdc_snapshot(spark, snap, version=vmax).collect()
+    }
+    assert got == want and 2 not in {k for k, _ in got}
