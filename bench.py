@@ -42,15 +42,19 @@ BENCH_EXTRAS = [
     "pq_adc_topk_fast",
     "multi_join_revenue_bucketed",
     "image_decode_stats",
-    "streaming_cms_heavy_hitters",
     "streaming_hll_distinct_users",
     "audio_decode_stats",
     "waiting_suppliers",
     "order_priority_late_exists",
-    "nation_market_share",
     "volume_shipping",
-    "semantic_dedup_survivors",
     "training_mix_weights",
+    # round-7 gate rotation: these three moved from the primary 50 to
+    # extras (their replacements — semantic_dedup_survivors,
+    # streaming_cms_heavy_hitters, nation_market_share — are now
+    # benched as primaries), keeping the benched set identical.
+    "windowed_daily_user_activity",
+    "lsh_ann_topk",
+    "multimodal_fake_decode",
 ]
 
 

@@ -146,6 +146,11 @@ IMAGE_STATS_SCHEMA = T.StructType(
         T.StructField("sum_r", T.LongType()),
         T.StructField("sum_g", T.LongType()),
         T.StructField("sum_b", T.LongType()),
+        # per-row decode error (null = decoded).  At 100 TB a corpus
+        # ALWAYS carries truncated/corrupt payloads; one bad byte
+        # stream must cost one null row, never the task (a task
+        # failure retries the whole partition into the same byte).
+        T.StructField("err", T.StringType()),
     ]
 )
 
@@ -265,17 +270,25 @@ def decode_image(payloads: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = {k: [] for k in ("doc_id", "format", "width", "height",
-                                    "sum_r", "sum_g", "sum_b")}
+                                    "sum_r", "sum_g", "sum_b", "err")}
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                fmt, img = decode_image_bytes(bytes(b))
-                sums = img.astype("int64").sum(axis=(0, 1))
                 rows["doc_id"].append(doc_id)
+                try:
+                    fmt, img = decode_image_bytes(bytes(b))
+                    sums = img.astype("int64").sum(axis=(0, 1))
+                except Exception as e:  # dirty bytes → row, not task
+                    for k in ("format", "width", "height",
+                              "sum_r", "sum_g", "sum_b"):
+                        rows[k].append(None)
+                    rows["err"].append(f"{type(e).__name__}: {e}"[:200])
+                    continue
                 rows["format"].append(fmt)
                 rows["width"].append(img.shape[1])
                 rows["height"].append(img.shape[0])
                 rows["sum_r"].append(sums[0])
                 rows["sum_g"].append(sums[1])
                 rows["sum_b"].append(sums[2])
+                rows["err"].append(None)
             yield pd.DataFrame(rows)
 
     # NO fan_out here: the payload relation arrives already fanned (the
@@ -305,6 +318,7 @@ AUDIO_STATS_SCHEMA = T.StructType(
         T.StructField("n_frames", T.LongType()),
         T.StructField("sum_abs", T.LongType()),
         T.StructField("peak", T.IntegerType()),
+        T.StructField("err", T.StringType()),  # null = decoded (see IMAGE_STATS_SCHEMA)
     ]
 )
 
@@ -421,16 +435,25 @@ def decode_audio(payloads: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = {k: [] for k in ("doc_id", "sample_rate", "channels",
-                                    "n_frames", "sum_abs", "peak")}
+                                    "n_frames", "sum_abs", "peak", "err")}
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                sr, frames = decode_wav_bytes(bytes(b))
-                absv = abs(frames.astype("int64"))
                 rows["doc_id"].append(doc_id)
-                rows["sample_rate"].append(sr)
-                rows["channels"].append(frames.shape[1])
-                rows["n_frames"].append(frames.shape[0])
-                rows["sum_abs"].append(int(absv.sum()))
-                rows["peak"].append(int(absv.max()))
+                try:
+                    sr, frames = decode_wav_bytes(bytes(b))
+                    absv = abs(frames.astype("int64"))
+                    stats = (sr, frames.shape[1], frames.shape[0],
+                             int(absv.sum()),
+                             int(absv.max()) if frames.size else 0)
+                except Exception as e:  # dirty bytes → row, not task
+                    for k in ("sample_rate", "channels", "n_frames",
+                              "sum_abs", "peak"):
+                        rows[k].append(None)
+                    rows["err"].append(f"{type(e).__name__}: {e}"[:200])
+                    continue
+                for k, v in zip(("sample_rate", "channels", "n_frames",
+                                 "sum_abs", "peak"), stats):
+                    rows[k].append(v)
+                rows["err"].append(None)
             yield pd.DataFrame(rows)
 
     # NO fan_out here: the payload relation arrives already fanned (the
@@ -488,6 +511,7 @@ VIDEO_FRAME_SCHEMA = T.StructType(
         T.StructField("sum_r", T.LongType()),
         T.StructField("sum_g", T.LongType()),
         T.StructField("sum_b", T.LongType()),
+        T.StructField("err", T.StringType()),  # null = decoded (see IMAGE_STATS_SCHEMA)
     ]
 )
 
@@ -648,9 +672,16 @@ def decode_video_frames(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = {k: [] for k in ("doc_id", "frame_idx", "sum_r",
-                                    "sum_g", "sum_b")}
+                                    "sum_g", "sum_b", "err")}
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                _, _, clip = decode_avi_bytes(bytes(b))
+                try:
+                    _, _, clip = decode_avi_bytes(bytes(b))
+                except Exception as e:  # dirty bytes → ONE err row
+                    rows["doc_id"].append(doc_id)
+                    for k in ("frame_idx", "sum_r", "sum_g", "sum_b"):
+                        rows[k].append(None)
+                    rows["err"].append(f"{type(e).__name__}: {e}"[:200])
+                    continue
                 for f in range(0, clip.shape[0], stride):
                     sums = clip[f].astype("int64").sum(axis=(0, 1))
                     rows["doc_id"].append(doc_id)
@@ -658,6 +689,7 @@ def decode_video_frames(
                     rows["sum_r"].append(int(sums[0]))
                     rows["sum_g"].append(int(sums[1]))
                     rows["sum_b"].append(int(sums[2]))
+                    rows["err"].append(None)
             yield pd.DataFrame(rows)
 
     # NO fan_out here: the payload relation arrives already fanned (the

@@ -125,7 +125,7 @@ def q_windowed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "windowed_daily_user_activity",
     """
     SELECT date_trunc('day', ts) AS window_start,

@@ -44,7 +44,7 @@ _BYTES_SUM = " + ".join(
 )
 
 
-@register(
+@register_extra(
     "multimodal_fake_decode",
     f"""
     SELECT doc_id, CAST({_BYTES_SUM} AS BIGINT) AS feature_bytes_sum
@@ -104,7 +104,11 @@ def q_multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return MM.decode_image(MM.synth_image_payload(docs))
+    # synth payloads are well-formed, so the decoded-rows filter is a
+    # no-op here; the err column is the dirty-bytes path, exercised in
+    # tests/test_multimodal_robustness.py
+    decoded = MM.decode_image(MM.synth_image_payload(docs))
+    return decoded.where(F.col("err").isNull()).drop("err")
 
 
 @register_extra(
@@ -142,7 +146,8 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return MM.decode_audio(MM.synth_audio_payload(docs))
+    decoded = MM.decode_audio(MM.synth_audio_payload(docs))
+    return decoded.where(F.col("err").isNull()).drop("err")
 
 
 @register_extra(
@@ -210,7 +215,8 @@ def q_audio_block_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return MM.decode_video_frames(MM.synth_video_payload(docs))
+    decoded = MM.decode_video_frames(MM.synth_video_payload(docs))
+    return decoded.where(F.col("err").isNull()).drop("err")
 
 
 @register_extra(

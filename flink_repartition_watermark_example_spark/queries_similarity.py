@@ -50,7 +50,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(load_table(spark, sf_dir, "embeddings"))
 
 
-@register(
+@register_extra(
     "lsh_ann_topk",
     f"""
     WITH v AS (
@@ -394,7 +394,7 @@ _EXACT_ORACLE = QUERIES["cosine_topk"].oracle
 
 @register_extra(
     "ann_recall_lsh",
-    _recall_sql(QUERIES["lsh_ann_topk"].oracle, _EXACT_ORACLE, "lsh"),
+    _recall_sql(EXTRA_QUERIES["lsh_ann_topk"].oracle, _EXACT_ORACLE, "lsh"),
     doc="recall@5 of the LSH multi-probe ANN path against the exact "
     "cosine baseline, as per-query integer intersection counts — the "
     "approximate path's quality as a regression-checked number.",
@@ -544,7 +544,7 @@ def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_df(SIM.pq_adc_topk(emb), SIM.cosine_topk(emb), "pq")
 
 
-@register_extra(
+@register(
     "semantic_dedup_survivors",
     f"""
     WITH cent AS (

@@ -23,7 +23,7 @@ from flink_repartition_watermark_example_spark.operators.sketch import (
     cms_estimate,
 )
 from flink_repartition_watermark_example_spark.functions.hashing import md5_long_sql
-from flink_repartition_watermark_example_spark.queries import register_extra
+from flink_repartition_watermark_example_spark.queries import register, register_extra
 from flink_repartition_watermark_example_spark.sources.tables import load_table
 
 
@@ -124,7 +124,7 @@ def _replay_through_sketch(spark, df, writer, compact, reader, out_schema):
         shutil.rmtree(root, ignore_errors=True)
 
 
-@register_extra(
+@register(
     "streaming_cms_heavy_hitters",
     _CMS_ORACLE,
     doc="The incremental count-min sketch (streaming/sketch.py) run "

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_repartition_watermark_example_spark.queries import dec_sum, register_extra
+from flink_repartition_watermark_example_spark.queries import dec_sum, register, register_extra
 from flink_repartition_watermark_example_spark.sources.tables import load_table
 
 
@@ -291,19 +291,23 @@ _Q8_ORACLE = """
     """
 
 
-@register_extra(
+@register(
     "nation_market_share",
     _Q8_ORACLE,
     doc="TPC-H Q8 shape: NATION_7 suppliers' share of ASIA-customer "
     "revenue per order year — the widest join tree in the catalog "
     "(both fact tables AND two independent dimension arms).  Spark "
     "side: the supplier arm reduces to (suppkey, is_target) with "
-    "nation broadcast; lineitem joins it, then collapses to one "
-    "(orderkey, rev, target_rev) row per order BEFORE touching the "
-    "order/customer arm — the orderkey join carries O(orders) narrow "
-    "rows, and the two-level decimal sum re-associates exactly.  Both "
-    "year sums stay exact decimal until a single cast each, then one "
-    "double division (the promo_revenue_share discipline).",
+    "nation broadcast; the orders arm reduces to a narrow "
+    "(orderkey, year) relation and becomes the BUILD side of a "
+    "shuffled HASH join — the 600M-row lineitem side is probed, "
+    "never sorted, and never pre-aggregated (the round-6 per-order "
+    "pre-agg was the sf100 superlinear term: a near-unique-key "
+    "150M-group hash aggregate that spilled, feeding SMJ sorts; the "
+    "final aggregate has only O(years) groups, so map-side partial "
+    "aggregation does all the reduction AFTER the join for free).  "
+    "Both year sums stay exact decimal until a single cast each, "
+    "then one double division (the promo_revenue_share discipline).",
 )
 def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nation_market_share_plan(
@@ -355,15 +359,8 @@ def _nation_market_share_plan(
     zero = F.lit(0).cast(_DEC)
     if broadcast_arms:
         supp = F.broadcast(supp)
-    per_order = (
-        l.join(supp, l.l_suppkey == supp.s_suppkey)
-        .groupBy("l_orderkey")
-        .agg(
-            F.sum(_rev()).alias("rev"),
-            F.sum(F.when(F.col("is_target"), _rev()).otherwise(zero)).alias(
-                "target_rev"
-            ),
-        )
+    lf = l.join(supp, l.l_suppkey == supp.s_suppkey).select(
+        "l_orderkey", _rev().alias("rev"), "is_target"
     )
     cust = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -376,12 +373,24 @@ def _nation_market_share_plan(
     ord_year = o.join(cust, o.o_custkey == cust.c_custkey).select(
         "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
     )
+    # SHUFFLE_HASH on the (orderkey, year) arm: the build side is
+    # O(filtered orders) rows at ~16 bytes each — per shuffle
+    # partition a few MB at any SF with data-sized partition counts —
+    # while the probe side is the raw fact.  A sort-merge join here
+    # would sort the 600M-row side; the hash join never does, and on
+    # the bucketed twin both sides already report
+    # HashPartitioning(orderkey), so the join runs with zero exchange
+    # AND zero sort.
     return (
-        per_order.join(ord_year, per_order.l_orderkey == ord_year.o_orderkey)
+        lf.join(
+            ord_year.hint("shuffle_hash"),
+            lf.l_orderkey == ord_year.o_orderkey,
+        )
         .groupBy("o_year")
         .agg(
             (
-                F.sum("target_rev").cast("double")
+                F.sum(F.when(F.col("is_target"), F.col("rev")).otherwise(zero))
+                .cast("double")
                 / F.sum("rev").cast("double")
             ).alias("mkt_share")
         )
@@ -495,9 +504,7 @@ def q_small_qty_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
-    "volume_shipping",
-    """
+_Q7_ORACLE = """
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
            CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
@@ -514,7 +521,12 @@ def q_small_qty_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l.l_shipdate >= TIMESTAMP '1995-01-01'
       AND l.l_shipdate <  TIMESTAMP '1998-01-01'
     GROUP BY 1, 2, 3
-    """,
+    """
+
+
+@register_extra(
+    "volume_shipping",
+    _Q7_ORACLE,
     doc="TPC-H Q7 shape: bilateral trade volume between two nations "
     "by ship year — the disjunctive two-sided nation predicate.  "
     "Spark side: each fact table is cut down by its own broadcast "
@@ -525,6 +537,34 @@ def q_small_qty_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "evaluated post-join.",
 )
 def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _volume_shipping_plan(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        spark, sf_dir,
+    )
+
+
+@register_extra(
+    "volume_shipping_bucketed",
+    _Q7_ORACLE,
+    doc="The Q7 join tree on BUCKETED fact tables: lineitem and "
+    "orders are read from their bucketBy(orderkey)+sortBy copies, the "
+    "broadcast nation arms preserve each side's bucketing, and the "
+    "shuffled hash join consumes the bucket partitioning directly — "
+    "zero exchange, zero sort on either fact side.  Same logical "
+    "result and oracle hash as volume_shipping; the plan test pins "
+    "the absent exchanges.",
+)
+def q_volume_shipping_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_repartition_watermark_example_spark.storage import bucketed_table, suggest_buckets
+
+    nb = suggest_buckets(sf_dir, "lineitem")
+    l = spark.table(bucketed_table(spark, sf_dir, "lineitem", ["l_orderkey"], nb))
+    o = spark.table(bucketed_table(spark, sf_dir, "orders", ["o_orderkey"], nb))
+    return _volume_shipping_plan(l, o, spark, sf_dir)
+
+
+def _volume_shipping_plan(l, o, spark, sf_dir) -> DataFrame:
     nations = ("NATION_3", "NATION_9")
     n = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(*nations))
     s = _t(spark, sf_dir, "supplier").join(
@@ -534,7 +574,7 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
     ).select("c_custkey", F.col("n_name").alias("cust_nation"))
     l = (
-        _t(spark, sf_dir, "lineitem")
+        l
         .where(
             (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -542,11 +582,16 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey", "l_shipdate",
                 "l_extendedprice", "l_discount")
     )
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    o = o.select("o_orderkey", "o_custkey")
     lf = l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
     of = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    # Same shuffled-hash-join discipline as nation_market_share: the
+    # orders arm (only the two nations' customers survive the
+    # broadcast cut) is the narrow build side; the date-filtered fact
+    # side is probed, never sorted — the SMJ sorts were the sf100
+    # superlinear term.
     return (
-        lf.join(of, lf.l_orderkey == of.o_orderkey)
+        lf.join(of.hint("shuffle_hash"), lf.l_orderkey == of.o_orderkey)
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",

@@ -173,15 +173,14 @@ def test_bucketed_join_tree_no_orderkey_exchange(spark, sf_dir):
 
 
 def test_bucketed_q8_tree_no_orderkey_exchange(spark, sf_dir):
-    """The bucketed Q8 twin must hash-match the plain tree and run
-    BOTH fact arms (the lineitem per-order pre-aggregation and the
-    final orderkey join) with no exchange above either bucketed fact
-    scan — the widest tree's sf100 sweep entry is exactly this
-    exchange."""
-    from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES
+    """The bucketed Q8 twin must hash-match the plain tree and join
+    the two fact arms via a shuffled HASH join with no exchange above
+    either bucketed fact scan and no sort anywhere — both the
+    orderkey exchange AND the SMJ sorts were sf100 superlinear terms."""
+    from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES, QUERIES
 
     bucketed = EXTRA_QUERIES["nation_market_share_bucketed"].spark(spark, sf_dir)
-    plain = EXTRA_QUERIES["nation_market_share"].spark(spark, sf_dir)
+    plain = QUERIES["nation_market_share"].spark(spark, sf_dir)
     got = sorted(map(tuple, bucketed.collect()))
     assert got == sorted(map(tuple, plain.collect())) and got
 
@@ -189,3 +188,25 @@ def test_bucketed_q8_tree_no_orderkey_exchange(spark, sf_dir):
     assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
     assert "Bucketed: true" in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_fact_fact_joins_are_hash_not_sort(spark, sf_dir):
+    """The PLAIN Q7/Q8 trees must probe the raw fact side with a
+    shuffled hash join built on the narrow orders arm — a sort-merge
+    join here sorts the 600M-row side at sf100 (the round-6
+    superlinear tail)."""
+    from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES, QUERIES
+
+    for reg, name in (
+        (QUERIES, "nation_market_share"),
+        (EXTRA_QUERIES, "volume_shipping"),
+        (EXTRA_QUERIES, "volume_shipping_bucketed"),
+    ):
+        plan = (
+            reg[name].spark(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "ShuffledHashJoin" in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
