@@ -116,6 +116,14 @@ DEFAULT_QUERIES = [
     # conditional counts
     "returned_item_revenue",
     "late_line_priority_counts",
+    # round-7: the bucketed fact-layout twins of the two widest join
+    # trees — the artifact carries the layout win head-to-head with
+    # the plain plans (VERDICT r6 #2) — and the incremental streaming
+    # CMS index, whose stream==batch FULL-ROW equality is recorded in
+    # stream_batch_rows at both scales (VERDICT r6 #7)
+    "nation_market_share_bucketed",
+    "volume_shipping_bucketed",
+    "streaming_cms_heavy_hitters",
 ]
 
 _NODE_RE = re.compile(r"^\* ([A-Za-z]+[A-Za-z0-9]*)", re.MULTILINE)
@@ -253,18 +261,32 @@ def main() -> None:
     # workload.  Recording the counts makes that failure loud
     # (tests/test_scale_artifact.py asserts equality).
     stream_batch: dict[str, dict] = {}
-    for s_name, b_name in (("streaming_windowed_count", "windowed_count"),):
+    for s_name, b_name, full_rows in (
+        ("streaming_windowed_count", "windowed_count", False),
+        # streaming sketch index vs its batch twin: the heavy-hitter
+        # output is O(k) rows, so the contract here is FULL row-set
+        # equality (estimates included), not just counts
+        ("streaming_cms_heavy_hitters", "cms_heavy_hitters", True),
+    ):
         if s_name not in report:
             continue
         for label, d in (("sf01", args.baseline), ("sf1", args.sf1)):
-            sc = all_queries[s_name].spark(spark, d).count()
-            bc = all_queries[b_name].spark(spark, d).count()
+            sdf = all_queries[s_name].spark(spark, d)
+            bdf = all_queries[b_name].spark(spark, d)
+            if full_rows:
+                srows = sorted(map(tuple, sdf.collect()))
+                brows = sorted(map(tuple, bdf.collect()))
+                sc, bc, eq = len(srows), len(brows), srows == brows
+            else:
+                sc, bc = sdf.count(), bdf.count()
+                eq = sc == bc
             stream_batch[f"{s_name}@{label}"] = {
                 "stream_rows": sc,
                 "batch_rows": bc,
-                "equal": sc == bc,
+                "equal": eq,
             }
-            print(f"{s_name}@{label}: stream={sc} batch={bc}", flush=True)
+            print(f"{s_name}@{label}: stream={sc} batch={bc} eq={eq}",
+                  flush=True)
 
     artifact = {
         "mult": args.mult,
