@@ -60,42 +60,49 @@ def q_multi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _multi_join_revenue_plan(l, o, c, n, r)
 
 
-def _multi_join_revenue_plan(l, o, c, n, r) -> DataFrame:
+def _multi_join_revenue_plan(l, o, c, n, r, broadcast_arms: bool = False) -> DataFrame:
     cust = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .where(F.col("r_name").isin("ASIA", "EUROPE"))
         .select("c_custkey", "n_name")
     )
+    # broadcast_arms: the bucketed twin must keep the reduced customer
+    # arm as the BUILD side (at toy SF AQE would broadcast the tiny
+    # FACT side instead and discard its bucketing — the Q8 twin's
+    # lesson); the plain plan leaves the pick to AQE because customer
+    # grows with the corpus (forcing broadcast was the sf10-diagnosed
+    # 12.9× blowup).
+    if broadcast_arms:
+        cust = F.broadcast(cust)
     oc = (
         o.join(cust, o.o_custkey == cust.c_custkey)
         .select("o_orderkey", "n_name")
     )
-    # Aggregate-below-join: collapse lineitem to one exact-decimal
-    # (revenue, line count) row per orderkey BEFORE the join — the
-    # orderkey exchange then carries O(orders) narrow rows instead of
-    # O(lineitem) wide ones, and the partial hash agg combines
-    # map-side.  Join strategy deliberately unhinted: A/B-measured at
-    # sf0.1/sf1/sf10, AQE's runtime pick (broadcast while the reduced
-    # order side is small, sort-merge over the already-narrow agg
-    # output after) beat a pinned shuffle_hash at every scale
-    # (1.5/8.4/23.6 s vs 5.7/12.7/55.9 s); the original fact-side
-    # sort-merge the sweep flagged went 13× on 10× data.
-    lrev = (
-        l.groupBy("l_orderkey")
-        .agg(
-            F.count(F.lit(1)).alias("lc"),
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
-            ).alias("rev"),
-        )
+    # Shuffled HASH join built on the narrow reduced orders arm, raw
+    # fact side probed (the Q8/Q7 discipline): the final aggregate has
+    # only O(nations) groups, so map-side partial aggregation does all
+    # the reduction AFTER the join for free, and nothing ever sorts or
+    # pre-aggregates the fact side.  A/B vs the round-5 shape (orderkey
+    # pre-agg + AQE-picked join): 2.98→1.99 s at sf1, 12.0→7.7 s at
+    # sf10 (min-of-2, 8g) — the per-order 150M-group hash agg it
+    # replaced was the same spilling near-unique-key term Q8 carried.
+    # (The round-5 note that "AQE beat a pinned shuffle_hash" measured
+    # the hint WITH the pre-agg retained — building the hash map on
+    # the agg output; probing the raw fact against the O(orders)
+    # build side was never in that A/B.)
+    lf = l.select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+        ).alias("rev"),
     )
     return (
-        lrev.join(oc, lrev.l_orderkey == oc.o_orderkey)
+        lf.join(oc.hint("shuffle_hash"), lf.l_orderkey == oc.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.sum("lc").alias("line_count"),
+            F.count(F.lit(1)).alias("line_count"),
             F.sum("rev").cast("double").alias("revenue"),
         )
     )
@@ -140,7 +147,7 @@ def q_multi_join_revenue_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
         _t(spark, sf_dir, "nation"),
         _t(spark, sf_dir, "region"),
     )
-    return _multi_join_revenue_plan(l, o, c, n, r)
+    return _multi_join_revenue_plan(l, o, c, n, r, broadcast_arms=True)
 
 
 @register(

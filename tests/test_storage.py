@@ -210,3 +210,8 @@ def test_fact_fact_joins_are_hash_not_sort(spark, sf_dir):
         )
         assert "ShuffledHashJoin" in plan, (name, plan)
         assert "SortMergeJoin" not in plan, (name, plan)
+        # the hash map must be built on the narrow orders arm (right
+        # side), never the raw fact — BuildLeft at sf100 means a
+        # 600M-row per-partition build
+        shj = next(ln for ln in plan.splitlines() if "ShuffledHashJoin" in ln)
+        assert "BuildRight" in shj, (name, shj)
