@@ -78,16 +78,36 @@ def bucketed_table(
             tempfile.gettempdir(), "spark_graft_bucketed", name
         )
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        (
-            load_table(spark, sf_dir, table)
-            .repartition(num_buckets, *bucket_cols)
-            .write.mode("overwrite")
-            .option("path", path)
-            .bucketBy(num_buckets, *bucket_cols)
-            .sortBy(*bucket_cols)
-            .format("parquet")
-            .saveAsTable(name)
-        )
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            # A previous SESSION already paid the bucketed write (the
+            # layout's entire point): register the existing files with
+            # bucket DDL instead of rewriting — Spark's bucketed file
+            # names carry the bucket id, so a metadata-only CREATE
+            # TABLE restores HashPartitioning to the scan.  At sf100
+            # the rewrite is a 600M-row shuffle+sort+write; the DDL is
+            # instant (and the rewrite under 32 concurrent bucket
+            # writers once OOMed an 8g sweep heap).
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in load_table(spark, sf_dir, table).schema.fields
+            )
+            bcols = ", ".join(f"`{c}`" for c in bucket_cols)
+            spark.sql(
+                f"CREATE TABLE {name} ({cols}) USING parquet "
+                f"CLUSTERED BY ({bcols}) SORTED BY ({bcols}) "
+                f"INTO {num_buckets} BUCKETS LOCATION '{path}'"
+            )
+        else:
+            (
+                load_table(spark, sf_dir, table)
+                .repartition(num_buckets, *bucket_cols)
+                .write.mode("overwrite")
+                .option("path", path)
+                .bucketBy(num_buckets, *bucket_cols)
+                .sortBy(*bucket_cols)
+                .format("parquet")
+                .saveAsTable(name)
+            )
     _BUCKETED_MEMO[key] = name
     return name
 

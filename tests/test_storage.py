@@ -192,6 +192,41 @@ def test_bucketed_q8_tree_no_orderkey_exchange(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_bucketed_table_cross_session_reuse_is_metadata_only(spark, sf_dir):
+    """A later SESSION must not re-pay the bucketed write: when the
+    bucket files already exist (_SUCCESS present), bucketed_table
+    registers them with CLUSTERED BY DDL — and the DDL-registered
+    table must scan bucketed with identical rows (at sf100 the rewrite
+    is a 600M-row shuffle+sort+write that once OOMed the sweep heap)."""
+    from flink_repartition_watermark_example_spark import storage
+
+    nb = storage.suggest_buckets(sf_dir, "lineitem")
+    name = storage.bucketed_table(spark, sf_dir, "lineitem", ["l_orderkey"], nb)
+    before = spark.table(name).groupBy().agg(
+        F.count(F.lit(1)), F.sum("l_orderkey")
+    ).collect()
+
+    # simulate a fresh session: catalog entry and memo gone, files kept
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    storage._BUCKETED_MEMO.clear()
+    again = storage.bucketed_table(spark, sf_dir, "lineitem", ["l_orderkey"], nb)
+    assert again == name
+    ddl = spark.sql(f"SHOW CREATE TABLE {name}").first()[0]
+    assert "CLUSTERED BY" in ddl and f"INTO {nb} BUCKETS" in ddl, ddl
+    after = spark.table(name).groupBy().agg(
+        F.count(F.lit(1)), F.sum("l_orderkey")
+    ).collect()
+    assert after == before
+    # a groupBy on the bucket key must consume the DDL-restored
+    # HashPartitioning: bucketed scan, no exchange (a bare filter scan
+    # reports "Bucketed: false (disabled by query planner)" because
+    # nothing there needs the distribution)
+    agg = spark.table(name).groupBy("l_orderkey").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+
+
 def test_fact_fact_joins_are_hash_not_sort(spark, sf_dir):
     """The PLAIN Q7/Q8 trees must probe the raw fact side with a
     shuffled hash join built on the narrow orders arm — a sort-merge
