@@ -487,31 +487,52 @@ def winnow_fingerprints(
     sufficiently long shared SUBSTRING is represented, so it catches
     partial overlap/quotation that whole-document signatures dilute).
 
-    Scale shape: per-DOCUMENT array algebra — gram hashes, sliding
-    minima, and the per-doc distinct all evaluate inside one codegen'd
-    projection over (doc_id, text) rows, so the stage is map-only:
-    zero shuffle, zero sort, no window exec (the round-6 window-sort
-    formulation shuffled+sorted every exploded gram row and was the
-    7.6× sf1→sf10 sweep entry; positions never cross documents, so the
-    global sort bought nothing — the repetition_signals lesson).  The
-    output carries ~|grams|/w longs per doc, already distinct per doc.
+    Scale shape: one hash shuffle on doc_id feeds both window
+    functions (count + sliding min share the partitioning; Catalyst
+    plans a single exchange+sort), and the output carries ~|grams|/w
+    longs per doc — the 100 TB win over storing full shingle sets.
     Docs shorter than one full window contribute their single partial
     window's min (pos 0), so every non-empty doc has >= 1 fingerprint.
+
+    MEASURED DEAD END (round 7, kept as a warning): rewriting this as
+    per-document array algebra (transform/sequence/slice/array_min —
+    the repetition_signals pattern) removes the shuffle and the sort
+    but ran 2.3→86 s at sf1 and 17→898 s at sf10: Spark evaluates
+    higher-order-function lambdas INTERPRETED (HigherOrderFunction is
+    excluded from whole-stage codegen), so O(grams × w) boxed
+    allocations per doc lose by ~50× to exploded rows that stay
+    inside codegen'd projections + a codegen'd WindowExec.  The
+    window sort is the right plan on Spark; its sf1→sf10 ratio (7.6×)
+    is the linear asymptote of exploded-gram volume, not a defect.
     """
+    from pyspark.sql.window import Window
+
     grams = TX.shingles(TX.tokens(text_col), n)
-    hs = F.transform(grams, lambda g: md5_long(g))
-    # One entry per full window start [0, m-w]; greatest(·, 0) keeps
-    # the single partial window of short docs, and slice() naturally
-    # truncates it to the doc's length.  Empty/null docs fall out via
-    # the null-fp filter (array_min of an empty slice is null).
-    mins = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(hs) - w, F.lit(0))),
-        lambda p: F.array_min(F.slice(hs, p + F.lit(1), w)),
+    # width = shuffle.partitions (scale.stage_width): the window stage
+    # sorts EXPLODED gram rows and inherits this hash partitioning
+    # (doc_id satisfies its distribution — no extra exchange), so the
+    # conf sizes each task's sort buffer.  At sf10 the core-count-wide
+    # window sort exhausted a 1 g heap outright; at 4x width (the
+    # sweep config) it completes in it.
+    from flink_repartition_watermark_example_spark.scale import stage_width
+
+    g = (
+        fan_out(docs, "doc_id", parts=stage_width(docs))
+        .select("doc_id", F.posexplode_outer(grams).alias("pos", "g"))
+        .where(F.col("g").isNotNull())
+        .select("doc_id", "pos", md5_long(F.col("g")).alias("h"))
     )
+    doc_w = Window.partitionBy("doc_id")
+    slide = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     return (
-        fan_out(docs, "doc_id")
-        .select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
-        .where(F.col("fp").isNotNull())
+        g.withColumn("n", F.count(F.lit(1)).over(doc_w))
+        .withColumn("wmin", F.min("h").over(slide))
+        .where(
+            (F.col("pos") <= F.col("n") - w)
+            | ((F.col("n") < w) & (F.col("pos") == 0))
+        )
+        .select("doc_id", F.col("wmin").alias("fp"))
+        .distinct()
     )
 
 
