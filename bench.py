@@ -44,7 +44,10 @@ BENCH_EXTRAS = [
     "image_decode_stats",
     "streaming_hll_distinct_users",
     "audio_decode_stats",
-    "waiting_suppliers",
+    # round-8 gate rotation: waiting_suppliers (Q21) moved into the
+    # primary 50; union_active_days moved out to extras — swapping
+    # them here keeps the benched 64-query set identical.
+    "union_active_days",
     "order_priority_late_exists",
     "volume_shipping",
     "training_mix_weights",

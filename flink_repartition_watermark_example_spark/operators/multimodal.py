@@ -269,27 +269,59 @@ def decode_image(payloads: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = {k: [] for k in ("doc_id", "format", "width", "height",
-                                    "sum_r", "sum_g", "sum_b", "err")}
-            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                rows["doc_id"].append(doc_id)
-                try:
-                    fmt, img = decode_image_bytes(bytes(b))
-                    sums = img.astype("int64").sum(axis=(0, 1))
-                except Exception as e:  # dirty bytes → row, not task
-                    for k in ("format", "width", "height",
-                              "sum_r", "sum_g", "sum_b"):
-                        rows[k].append(None)
-                    rows["err"].append(f"{type(e).__name__}: {e}"[:200])
+            n = len(pdf)
+            # Pre-sized columns + index writes: the hardening cost is
+            # confined to corrupt rows — well-formed rows take one
+            # magic/length pre-check and a straight-line parse (the
+            # try block is a safety net that costs nothing unless it
+            # fires); the dict-of-append version charged 8 dict
+            # lookups + appends to every row.
+            fmts: list = [None] * n
+            ws: list = [None] * n
+            hs: list = [None] * n
+            rs: list = [None] * n
+            gs: list = [None] * n
+            bs: list = [None] * n
+            errs: list = [None] * n
+            for i, b in enumerate(pdf["payload"]):
+                raw = bytes(b) if b is not None else b""
+                # cheap structural gate: magic + minimal header length
+                # (BMP file+info header = 54 B; PPM "P6 1 1 255 " +
+                # 3 B pixel = 14 B) — obvious junk skips the full
+                # parse AND the exception plumbing entirely
+                m = raw[:2]
+                if not (
+                    (m == b"BM" and len(raw) >= 54)
+                    or (m == b"P6" and len(raw) >= 14)
+                ):
+                    errs[i] = f"ValueError: unknown or truncated image magic {m!r}"
                     continue
-                rows["format"].append(fmt)
-                rows["width"].append(img.shape[1])
-                rows["height"].append(img.shape[0])
-                rows["sum_r"].append(sums[0])
-                rows["sum_g"].append(sums[1])
-                rows["sum_b"].append(sums[2])
-                rows["err"].append(None)
-            yield pd.DataFrame(rows)
+                try:
+                    fmt, img = decode_image_bytes(raw)
+                    # dtype= accumulates in int64 without materializing
+                    # an int64 copy of the pixel array first
+                    sums = img.sum(axis=(0, 1), dtype="int64")
+                except Exception as e:  # dirty bytes → row, not task
+                    errs[i] = f"{type(e).__name__}: {e}"[:200]
+                    continue
+                fmts[i] = fmt
+                ws[i] = img.shape[1]
+                hs[i] = img.shape[0]
+                rs[i] = int(sums[0])
+                gs[i] = int(sums[1])
+                bs[i] = int(sums[2])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "format": fmts,
+                    "width": ws,
+                    "height": hs,
+                    "sum_r": rs,
+                    "sum_g": gs,
+                    "sum_b": bs,
+                    "err": errs,
+                }
+            )
 
     # NO fan_out here: the payload relation arrives already fanned (the
     # synth/load stage repartitions the cheap doc_id rows BEFORE the

@@ -122,13 +122,15 @@ _MJR_ORACLE = _Q["multi_join_revenue"].oracle
     "layout that removes the one superlinear entry of the sf10→sf100 "
     "sweep (the orderkey exchange over 600M lineitem rows).  lineitem "
     "and orders are materialized once bucketBy(orderkey); the "
-    "bucketed scans report HashPartitioning(orderkey, n), so the "
-    "lineitem pre-aggregation runs with NO exchange, and when the "
+    "bucketed scans report HashPartitioning(orderkey, n), so when the "
     "bounded-dim-reduced customer side broadcasts onto orders, the "
-    "final orderkey join is exchange-free on BOTH fact sides (orders "
-    "keeps its bucketing through the broadcast join).  Same logical "
-    "plan, same oracle hash as multi_join_revenue; a plan test pins "
-    "the absence of any orderkey exchange above the lineitem scan.",
+    "orderkey hash join probes the RAW lineitem scan with NO exchange "
+    "on either fact side (orders keeps its bucketing through the "
+    "broadcast join; nothing sorts or pre-aggregates the fact side — "
+    "the reduction happens in the post-join O(nations) partial agg).  "
+    "Same logical plan, same oracle hash as multi_join_revenue; a "
+    "plan test pins the absence of any orderkey exchange above the "
+    "lineitem scan.",
 )
 def q_multi_join_revenue_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_repartition_watermark_example_spark.storage import (
@@ -256,7 +258,7 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "union_active_days",
     """
     SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS day FROM orders

@@ -341,32 +341,40 @@ PACK_BUDGET_TOKENS = 256
 @register_extra(
     "pack_chunks_into_sequences",
     f"""
-    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-    c AS (SELECT doc_id, CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS chunk_id,
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    c AS (SELECT doc_id, source,
+                 CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS chunk_id,
                  CAST(least({TX.CHUNK_SIZE},
                             len(t) - (generate_subscripts(chunks, 1) - 1)
                                 * {TX.CHUNK_STRIDE}) AS BIGINT) AS n_tok
-          FROM (SELECT doc_id, t, {TX.chunk_texts_sql('t')} AS chunks FROM toks)),
+          FROM (SELECT doc_id, source, t, {TX.chunk_texts_sql('t')} AS chunks FROM toks)),
     p AS (
-      SELECT doc_id, chunk_id, n_tok,
-             CAST((sum(n_tok) OVER (ORDER BY doc_id, chunk_id) - n_tok)
+      SELECT source, doc_id, chunk_id, n_tok,
+             CAST((sum(n_tok) OVER (PARTITION BY source
+                                    ORDER BY doc_id, chunk_id) - n_tok)
                   // {PACK_BUDGET_TOKENS} AS BIGINT) AS pack_id
       FROM c
     )
-    SELECT pack_id, count(*) AS n_chunks,
+    SELECT source, pack_id, count(*) AS n_chunks,
            CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
-    FROM p GROUP BY pack_id
+    FROM p GROUP BY source, pack_id
     """,
-    doc="Sequence packing: chunks are assigned to fixed-token-budget "
-    "training sequences by cumulative token count over the "
-    "deterministic (doc_id, chunk_id) order — pack_id = "
-    "tokens-before // budget. NOTE the globally-ordered cumsum runs "
-    "the window in a single task (Spark's contract for partition-less "
-    "windows); that is fine at gate scale and exactly why the 100 TB "
-    "deployment adds a shard key (e.g. hash_split or source) to the "
-    "window PARTITION BY, packing each shard independently in "
-    "parallel — same plan, one extra key.",
+    doc="SHARDED sequence packing: chunks are assigned to "
+    "fixed-token-budget training sequences by cumulative token count "
+    "within each shard (PARTITION BY source, ordered by (doc_id, "
+    "chunk_id)) — pack_id = shard-local tokens-before // budget.  The "
+    "shard key is what makes the cumsum scale: each shard's window "
+    "runs in its own task after one hash exchange on source, so 100 TB "
+    "packs at shard parallelism (shard further by hash_split buckets "
+    "when one source dominates — same plan, one more key).  A "
+    "partition-LESS cumsum would funnel the whole corpus through one "
+    "task; tests/test_plan_audit.py now bans that plan shape "
+    "repo-wide.  Packing stays deterministic and exact per shard: "
+    "every engine computes the identical assignment, and a pack "
+    "overflows its budget by at most one chunk (the standard "
+    "concat-then-split approximation used when packing pretraining "
+    "corpora).",
 )
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -376,12 +384,14 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = (
         docs.select(
             "doc_id",
+            "source",
             F.size(toks).alias("n"),
             F.posexplode_outer(TX.chunk_texts(toks)).alias("chunk_id", "chunk_text"),
         )
         .where(F.col("chunk_text").isNotNull())
         .select(
             "doc_id",
+            "source",
             F.col("chunk_id").cast("long").alias("chunk_id"),
             F.least(
                 F.lit(TX.CHUNK_SIZE),
@@ -389,18 +399,21 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_tok"),
         )
     )
-    w = Window.orderBy("doc_id", "chunk_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     packed = chunks.select(
         "doc_id",
+        "source",
         "chunk_id",
         "n_tok",
         F.floor(
             (F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_BUDGET_TOKENS
         ).cast("long").alias("pack_id"),
     )
-    return packed.groupBy("pack_id").agg(
+    return packed.groupBy("source", "pack_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("n_tok").cast("long").alias("pack_tokens"),
         F.min("doc_id").alias("first_doc"),

@@ -84,6 +84,7 @@ def _replay_dir(
     sf_dir: str,
     raw_schema,
     sentinel_event_types: tuple[str, ...] | None = None,
+    files_per_trigger: int = 1,
 ) -> str:
     """Stage a file-stream replay dir: the events file plus two close-
     sentinel files written afterwards (the file source orders batches
@@ -145,7 +146,18 @@ def _replay_dir(
                     sent = sent.unionByName(row(et))
             else:
                 sent = row(None)
-            sent.coalesce(1).write.mode("append").parquet(d)
+            # With maxFilesPerTrigger = k > 1 the flush contract needs
+            # a batch BOUNDARY between the two sentinels (the second
+            # sentinel's batch flushes windows the first closed; if
+            # both share a batch, the tail windows stay in state
+            # forever under availableNow).  k copies of the FIRST
+            # sentinel guarantee it: ceil((P+1+k)/k) = ceil((P+1)/k)+1,
+            # so sentinel 2 always lands at least one batch after the
+            # first sentinel-1 file.  Duplicate sentinel rows are
+            # dropped by the cutoff predicate before aggregation.
+            copies = files_per_trigger if ts_str == _SENTINEL_TIMES[0] else 1
+            for _ in range(copies):
+                sent.coalesce(1).write.mode("append").parquet(d)
         return d
     except BaseException:
         shutil.rmtree(d, ignore_errors=True)
@@ -230,16 +242,23 @@ def q_streaming_windowed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events")  # sets the nanosAsLong conf
     name = "stream_wc_" + uuid.uuid4().hex[:8]
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    replay = _replay_dir(spark, sf_dir, raw_schema)
+    # SPARK_GRAFT_STREAM_FPT batches k files per micro-batch: at sf100
+    # the events table is ~250 part files, and with k=1 the drain is
+    # linear in BATCH COUNT (per-trigger state commit + planning
+    # overhead), measuring the harness rather than throughput.  The
+    # replay dir pads sentinel-1 copies so the two-sentinel flush
+    # contract survives any k (see _replay_dir).
+    fpt = max(1, int(os.environ.get("SPARK_GRAFT_STREAM_FPT", "1")))
+    replay = _replay_dir(spark, sf_dir, raw_schema, files_per_trigger=fpt)
     try:
         stream = (
             spark.readStream.schema(raw_schema)  # ts arrives as long nanos
             .option("pathGlobFilter", "*.parquet")
-            # One file per micro-batch: data, then each sentinel — the
+            # k files per micro-batch: data, then each sentinel — the
             # second sentinel batch flushes windows closed by the first
             # (emission happens at the start of the batch AFTER the
             # watermark advances; availableNow runs no no-data batch).
-            .option("maxFilesPerTrigger", 1)
+            .option("maxFilesPerTrigger", fpt)
             .parquet(replay)
         )
         stream = _event_ts(stream).withWatermark("ts", "0 seconds")

@@ -196,7 +196,7 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
     "waiting_suppliers",
     """
     SELECT s.s_name, count(*) AS numwait
@@ -324,10 +324,11 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fix for the 15.7x sf10->sf100 sweep entry (the widest tree's "
     "orderkey exchange over both fact sides).  lineitem and orders "
     "are materialized once bucketBy(orderkey) with a shared bucket "
-    "count: the lineitem per-order pre-aggregation runs with NO "
-    "exchange, the broadcast supplier/customer arms preserve each "
-    "side's bucketing, and the final orderkey join is exchange-free "
-    "on BOTH fact sides.  Same logical plan, same oracle hash as "
+    "count: the broadcast supplier/customer arms preserve each side's "
+    "bucketing, so the final orderkey hash join probes the raw "
+    "lineitem scan exchange-free on BOTH fact sides (no sort, no "
+    "fact-side pre-agg — the raw-probe discipline of the plain twin "
+    "plus the layout win).  Same logical plan, same oracle hash as "
     "nation_market_share; the plan test pins the absent exchanges.",
 )
 def q_nation_market_share_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:

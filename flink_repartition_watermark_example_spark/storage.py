@@ -26,7 +26,36 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table)
 
 
-_BUCKETED_MEMO: dict[tuple[str, str], str] = {}
+_BUCKETED_MEMO: dict[tuple, str] = {}
+
+
+def _source_files(sf_dir: str, table: str) -> list[str]:
+    import os
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(src):
+        return sorted(
+            os.path.join(src, p)
+            for p in os.listdir(src)
+            if p.endswith(".parquet")
+        )
+    return [src]
+
+
+def _source_fingerprint(sf_dir: str, table: str) -> tuple:
+    """(relative name, size, mtime_ns) of every source parquet file —
+    folded into the bucketed table's identity so a regenerated sf_dir
+    (gen_scale re-run with a different seed/mult, datamodel change)
+    gets a FRESH bucketed copy instead of silently serving the stale
+    files under the old digest.  Pytest hash checks would catch stale
+    data loudly, but the bench/scale sweeps run without them."""
+    import os
+
+    return tuple(
+        (os.path.basename(p), st.st_size, st.st_mtime_ns)
+        for p in _source_files(sf_dir, table)
+        for st in [os.stat(p)]
+    )
 
 
 def bucketed_table(
@@ -48,8 +77,8 @@ def bucketed_table(
     layout decision (the sf10→sf100 sweep's one superlinear entry).
 
     The copy lands under the system temp dir keyed by (sf_dir, table,
-    num_buckets) and is memoized per session; re-invocations reuse the
-    existing table.  The writer REPARTITIONS on the bucket columns
+    bucket_cols, num_buckets, source-file fingerprint) and is memoized
+    per session; re-invocations reuse the existing table.  The writer REPARTITIONS on the bucket columns
     first: repartition(n, cols) and the bucket-file router use the
     same Murmur3 hash, so each task then owns exactly one bucket —
     one output file per bucket, and the per-task write sort covers one
@@ -66,7 +95,19 @@ def bucketed_table(
     import os
     import tempfile
 
-    key = (os.path.abspath(sf_dir), table, num_buckets)
+    # Identity = (dir, table, BUCKET COLS, count, SOURCE FINGERPRINT):
+    # omitting bucket_cols would let two callers bucketing the same
+    # table on different columns share one physical layout (a silently
+    # wrong zero-exchange join once the DDL path re-registers it);
+    # omitting the fingerprint would serve stale buckets after the
+    # source data is regenerated in place.
+    key = (
+        os.path.abspath(sf_dir),
+        table,
+        tuple(bucket_cols),
+        num_buckets,
+        _source_fingerprint(sf_dir, table),
+    )
     if key in _BUCKETED_MEMO:
         return _BUCKETED_MEMO[key]
     from flink_repartition_watermark_example_spark.sources.tables import load_table

@@ -124,9 +124,101 @@ DEFAULT_QUERIES = [
     "nation_market_share_bucketed",
     "volume_shipping_bucketed",
     "streaming_cms_heavy_hitters",
+    # round-8: the sharded sequence-packing window (hash-partitioned
+    # WindowExec — the last single-task plan, now sharded by source)
+    # and the Q19 disjunction rewrite (broadcast-side residue
+    # pushdown), previously without scale evidence
+    "pack_chunks_into_sequences",
+    "disjunctive_brand_revenue",
 ]
 
 _NODE_RE = re.compile(r"^\* ([A-Za-z]+[A-Za-z0-9]*)", re.MULTILINE)
+
+
+def _rows_by_name(df) -> list:
+    """Rows as name-sorted value tuples with a None-safe total order:
+    each value becomes (is_null, value), so columns that mix NULL and
+    non-NULL rows sort without ever comparing None to a value."""
+    cols = sorted(df.columns)
+    return sorted(
+        tuple((1, "") if r[c] is None else (0, r[c]) for c in cols)
+        for r in df.collect()
+    )
+
+
+def semdedup_stream_batch_equality(spark, sf_dir: str, splits: int = 3) -> dict:
+    """Stream==batch contract for the incremental SemDeDup index at
+    SWEEP scale (VERDICT r7 #4): replay the embeddings table in
+    vec_id-ordered splits through semdedup_index_writer and compare
+    the full survivor (vec_id, list_id) set against the batch
+    semantic_dedup operator.  The pytest twin proves this at toy
+    scale; this records it in the artifact at sf1/sf10."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_repartition_watermark_example_spark.operators.similarity import (
+        CENTROID_IDS,
+        semantic_dedup,
+    )
+    from flink_repartition_watermark_example_spark.sources.tables import load_table
+    from flink_repartition_watermark_example_spark.streaming.semdedup import (
+        read_semdedup_survivors,
+        semdedup_index_writer,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    cents = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id").isin(CENTROID_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    work = tempfile.mkdtemp(prefix="semdedup_sweep_")
+    t0 = time.perf_counter()
+    try:
+        src = os.path.join(work, "emb_stream")
+        cuts = [n * i // splits for i in range(1, splits)]
+        bounds = [0, *cuts, n]
+        for lo, hi in zip(bounds, bounds[1:]):
+            (
+                emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+        index = os.path.join(work, "index")
+        surv = os.path.join(work, "surv")
+        q = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.outputMode("append")
+            .foreachBatch(semdedup_index_writer(index, surv, cents))
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["vec_id"], r["list_id"])
+            for r in read_semdedup_survivors(spark, surv).collect()
+        }
+        want = {
+            (r["vec_id"], r["list_id"])
+            for r in semantic_dedup(emb).collect()
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return {
+        "stream_rows": len(got),
+        "batch_rows": len(want),
+        "equal": got == want,
+        "splits": splits,
+        "sec": round(time.perf_counter() - t0, 3),
+    }
 
 
 def plan_signature(df) -> dict[str, int]:
@@ -194,7 +286,25 @@ def main() -> None:
         help="data multiplier of --sf1 relative to --baseline (artifact "
         "metadata only; e.g. 10 for sf0.1->sf1, also 10 for sf1->sf10)",
     )
+    ap.add_argument(
+        "--stream-fpt",
+        type=int,
+        default=0,
+        help="maxFilesPerTrigger for streaming_windowed_count's replay "
+        "(0 = leave at 1).  At sf100 the events table is ~250 part "
+        "files and per-file triggers measure per-batch overhead, not "
+        "throughput; ~10 batches the files to ~25 triggers.",
+    )
+    ap.add_argument(
+        "--semdedup-equality",
+        action="store_true",
+        help="also record stream==batch FULL survivor-set equality for "
+        "the incremental SemDeDup index at the --sf1 dir (heavy: one "
+        "streaming replay + one batch semantic_dedup)",
+    )
     args = ap.parse_args()
+    if args.stream_fpt > 0:
+        os.environ["SPARK_GRAFT_STREAM_FPT"] = str(args.stream_fpt)
 
     if not os.path.isdir(args.sf1):
         raise SystemExit(
@@ -248,6 +358,17 @@ def main() -> None:
             "plan_sf01": sig_small,
             "plan_sf1": sig_big,
         }
+        if name == "streaming_windowed_count":
+            # throughput, not just wall: events/s at the big SF plus
+            # the batching knob, so the artifact distinguishes "slow
+            # engine" from "many tiny micro-batches"
+            n_events = spark.read.parquet(
+                os.path.join(args.sf1, "events.parquet")
+            ).count()
+            report[name]["files_per_trigger"] = int(
+                os.environ.get("SPARK_GRAFT_STREAM_FPT", "1")
+            )
+            report[name]["events_per_sec_sf1"] = round(n_events / t_big)
         print(
             f"{name}: {t_small:.2f}s -> {t_big:.2f}s "
             f"(x{t_big / t_small:.1f}) flips={flips or 'none'}",
@@ -274,9 +395,18 @@ def main() -> None:
             sdf = all_queries[s_name].spark(spark, d)
             bdf = all_queries[b_name].spark(spark, d)
             if full_rows:
-                srows = sorted(map(tuple, sdf.collect()))
-                brows = sorted(map(tuple, bdf.collect()))
-                sc, bc, eq = len(srows), len(brows), srows == brows
+                # Order-insensitive BY NAME with a None-safe sort key:
+                # tuple(row) is column-order-sensitive, and a raw None
+                # in a sort position aborts the whole sweep with
+                # TypeError instead of recording equal=false.
+                try:
+                    srows = _rows_by_name(sdf)
+                    brows = _rows_by_name(bdf)
+                    sc, bc, eq = len(srows), len(brows), srows == brows
+                except Exception as e:  # record, don't crash the sweep
+                    print(f"{s_name}@{label}: compare failed: {e}",
+                          flush=True)
+                    sc, bc, eq = -1, -1, False
             else:
                 sc, bc = sdf.count(), bdf.count()
                 eq = sc == bc
@@ -287,6 +417,11 @@ def main() -> None:
             }
             print(f"{s_name}@{label}: stream={sc} batch={bc} eq={eq}",
                   flush=True)
+
+    if args.semdedup_equality:
+        res = semdedup_stream_batch_equality(spark, args.sf1)
+        stream_batch["streaming_semdedup@sf1"] = res
+        print(f"streaming_semdedup@sf1: {res}", flush=True)
 
     artifact = {
         "mult": args.mult,

@@ -53,6 +53,58 @@ NESTED_LOOP_ALLOWED = {
 }
 
 
+# Partition-less WindowExec funnels its entire input through ONE task
+# (Spark's contract for a window with no PARTITION BY) — the silent
+# single-task bottleneck class (the old pack_chunks_into_sequences
+# plan).  Allowed only where the windowed relation is provably
+# bounded, never data-scale:
+GLOBAL_WINDOW_ALLOWED = {
+    # window over the O(#sources) aggregate, ~20 rows at any SF
+    # (queries_text.py: training_mix_weights)
+    "training_mix_weights",
+    # rank over the top-N bm25 result: the window's input is a
+    # TakeOrderedAndProject(limit=20) — O(topN) rows (queries_text.py)
+    "bm25_search",
+    # ntile is inherently global; documented extra whose at-scale
+    # substitute (approx-percentile cutpoints + bucket join) exists
+    # (queries_catalog.py:~1231)
+    "ntile_price_quartiles",
+}
+
+
+def _physical_nodes(jplan):
+    """DFS over a physical plan's JVM tree.  AdaptiveSparkPlanExec and
+    query-stage wrappers are LEAF nodes whose real plan hangs off an
+    accessor, not children() — without unwrapping them the walk sees
+    nothing and the guard silently passes everything."""
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        yield node
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            stack.append(node.executedPlan())
+            continue
+        if cls.endswith("QueryStageExec"):
+            stack.append(node.plan())
+            continue
+        it = node.children().iterator()
+        while it.hasNext():
+            stack.append(it.next())
+
+
+def _unpartitioned_windows(df) -> list[str]:
+    """Simple names of Window-style physical nodes whose partitionSpec
+    is empty — each one is a single-task global sort at runtime."""
+    hits = []
+    for node in _physical_nodes(df._jdf.queryExecution().executedPlan()):
+        cls = node.getClass().getSimpleName()
+        if cls in ("WindowExec", "WindowGroupLimitExec", "WindowInPandasExec"):
+            if node.partitionSpec().isEmpty():
+                hits.append(cls)
+    return hits
+
+
 @pytest.mark.parametrize("name", BATCH)
 def test_plan_stays_in_scale_envelope(spark, sf_dir, name):
     df = ALL[name].spark(spark, sf_dir)
@@ -65,6 +117,13 @@ def test_plan_stays_in_scale_envelope(spark, sf_dir, name):
     assert "BatchEvalPython" not in plan, (
         f"{name}: row-at-a-time Python UDF in the plan\n{plan[:1500]}"
     )
+    if name not in GLOBAL_WINDOW_ALLOWED:
+        bad = _unpartitioned_windows(df)
+        assert not bad, (
+            f"{name}: partition-less {bad} — the whole input funnels "
+            f"through one task; add a shard key to PARTITION BY or "
+            f"allowlist with a boundedness argument\n{plan[:1500]}"
+        )
 
 
 def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):

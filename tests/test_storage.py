@@ -148,9 +148,10 @@ def test_zorder_layout_localizes_both_columns(spark, tmp_path):
 
 def test_bucketed_join_tree_no_orderkey_exchange(spark, sf_dir):
     """The bucketed twin must (a) hash-match the plain join tree and
-    (b) run its lineitem pre-aggregation and orderkey join with NO
-    exchange above either bucketed fact scan — the layout paid the
-    shuffle at write time."""
+    (b) probe the raw lineitem scan through its orderkey hash join
+    with NO exchange above either bucketed fact scan — the layout
+    paid the shuffle at write time (there is no fact-side pre-agg:
+    the reduction happens in the post-join O(nations) partial agg)."""
     from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES, QUERIES
 
     bucketed = EXTRA_QUERIES["multi_join_revenue_bucketed"].spark(spark, sf_dir)
@@ -250,3 +251,10 @@ def test_fact_fact_joins_are_hash_not_sort(spark, sf_dir):
         # 600M-row per-partition build
         shj = next(ln for ln in plan.splitlines() if "ShuffledHashJoin" in ln)
         assert "BuildRight" in shj, (name, shj)
+        if name.endswith("_bucketed"):
+            # the bucketed twin's extra guarantee: the layout already
+            # paid the orderkey shuffle, so neither fact side may
+            # re-exchange above its bucketed scan
+            assert "Exchange hashpartitioning(l_orderkey" not in plan, (name, plan)
+            assert "Exchange hashpartitioning(o_orderkey" not in plan, (name, plan)
+            assert "Bucketed: true" in plan, (name, plan)

@@ -221,3 +221,20 @@ def test_late_row_within_watermark_delay_is_included(spark, tmp_path):
     q.awaitTermination()
     fired = sorted((r.window_start.hour, r.aggregate) for r in emitted)
     assert fired == [(10, 7), (11, 1), (13, 1)], fired
+
+
+def test_batched_replay_fpt_equals_batch(spark, sf_dir, monkeypatch):
+    """SPARK_GRAFT_STREAM_FPT > 1 (the sf100 sweep's batching knob —
+    k files per micro-batch instead of one) must not change the
+    emitted window SET: the replay dir pads k copies of the first
+    close sentinel so a batch boundary always separates the two
+    sentinels, and the final windows still flush.  Full-row equality
+    vs the batch GROUP BY, exactly the driver-gate contract."""
+    from flink_repartition_watermark_example_spark.queries import QUERIES
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_FPT", "4")
+    stream = QUERIES["streaming_windowed_count"].spark(spark, sf_dir)
+    batch = QUERIES["windowed_count"].spark(spark, sf_dir)
+    got = sorted(map(tuple, stream.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got and got == want
