@@ -58,6 +58,12 @@ BENCH_EXTRAS = [
     "windowed_daily_user_activity",
     "lsh_ann_topk",
     "multimodal_fake_decode",
+    # round-8 additions: sub-document span dedup (stats + rewrite
+    # passes) and filtered ANN (metadata predicate pushed below the
+    # IVF assignment) — the set grows 64 → 67
+    "span_dedup_stats",
+    "span_dedup_docs",
+    "ivf_ann_filtered_topk",
 ]
 
 

@@ -309,6 +309,7 @@ def ivf_topk(
     num_queries: int = 10,
     k: int = 5,
     nprobe: int = NPROBE,
+    corpus_pred=None,
 ) -> DataFrame:
     """Approximate top-k via an IVF-flat coarse index — the k-means-
     family counterpart of `lsh_ann_topk`.  Index build collects the 16
@@ -375,7 +376,14 @@ def ivf_topk(
             )
 
     v = emb.select("vec_id", as_double("embedding").alias("v"))
-    corpus = fan_out(v.where(F.col("vec_id") >= num_queries), "vec_id").mapInPandas(
+    # Filtered search: `corpus_pred` restricts the INDEXED side only —
+    # queries and centroids always come from the full table, so the
+    # index geometry is stable and the predicate lands in the parquet
+    # scan under the assignment stage (pre-filter, not post-filter:
+    # non-matching rows are never decoded, assigned, or scored).
+    corpus_src = emb.where(corpus_pred) if corpus_pred is not None else emb
+    cv = corpus_src.select("vec_id", as_double("embedding").alias("v"))
+    corpus = fan_out(cv.where(F.col("vec_id") >= num_queries), "vec_id").mapInPandas(
         assign_top1, schema="vec_id long, v array<double>, nv double, list_id long"
     )
     q = v.where(F.col("vec_id") < num_queries).mapInPandas(

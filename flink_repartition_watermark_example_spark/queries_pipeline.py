@@ -421,6 +421,146 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Span-level dedup segments: DISJOINT token windows (stride == size),
+# unlike the overlapping training chunks above — dedup over overlapped
+# windows would double-count every shared token run.
+SPAN_SIZE = TX.CHUNK_SIZE
+
+
+def _span_segments(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, chunk_id, chunk_text, seg_key) — each doc cut
+    into disjoint SPAN_SIZE-token segments keyed by md5(text).  Pure
+    scan-side projection (sequence + slice + posexplode): 100 TB
+    segments at full scan parallelism, no shuffle."""
+    toks = TX.tokens("text")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.posexplode_outer(
+                TX.chunk_texts(toks, SPAN_SIZE, SPAN_SIZE)
+            ).alias("chunk_id", "chunk_text"),
+        )
+        .where(F.col("chunk_text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            "chunk_text",
+            F.md5("chunk_text").alias("seg_key"),
+        )
+    )
+
+
+_SPAN_SEGS_SQL = f"""
+    toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    segs AS (
+      SELECT doc_id, source,
+             CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS chunk_id,
+             unnest(chunks) AS chunk_text
+      FROM (SELECT doc_id, source,
+                   {TX.chunk_texts_sql('t', SPAN_SIZE, SPAN_SIZE)} AS chunks
+            FROM toks)),
+    keyed AS (
+      SELECT doc_id, source, chunk_id, chunk_text, md5(chunk_text) AS seg_key
+      FROM segs),
+    flagged AS (
+      SELECT doc_id, source, chunk_id, chunk_text,
+             row_number() OVER (PARTITION BY seg_key
+                                ORDER BY doc_id, chunk_id) AS rn
+      FROM keyed)
+"""
+
+
+@register_extra(
+    "span_dedup_stats",
+    f"""
+    WITH {_SPAN_SEGS_SQL}
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_segs,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS dup_frac
+    FROM flagged GROUP BY source
+    """,
+    doc="Sub-document exact dedup, stats pass: the duplicated-span "
+    "removal stage of web-corpus curation (FineWeb/RefinedWeb run it "
+    "per line; the synthetic corpus has no newlines, so spans are "
+    "disjoint 32-token windows — same plan either way).  Each segment "
+    "is keyed by md5 and only the first (doc_id, chunk_id) occurrence "
+    "corpus-wide survives; the per-source roll-up reports how much of "
+    "each source is boilerplate already seen elsewhere.  Scale shape: "
+    "one hash exchange on the 128-bit segment key (near-unique — the "
+    "same shuffle fingerprint_dedup pays at document grain), a rank-1 "
+    "flag inside each key partition, then an O(sources) partial+final "
+    "agg.  No UDF, no driver loop; 100 TB dedups at shuffle "
+    "parallelism.",
+)
+def q_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    segs = _span_segments(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("seg_key").orderBy("doc_id", "chunk_id")
+    flagged = segs.select(
+        "source",
+        (F.row_number().over(w) == 1).cast("long").alias("kept"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segs"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum("kept")).cast("long").alias("n_dropped"),
+        (
+            (F.count(F.lit(1)) - F.sum("kept")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("dup_frac"),
+    )
+
+
+@register_extra(
+    "span_dedup_docs",
+    f"""
+    WITH {_SPAN_SEGS_SQL}
+    SELECT doc_id,
+           string_agg(chunk_text, ' ' ORDER BY chunk_id) AS dedup_text,
+           CAST(count(*) AS BIGINT) AS n_kept_segs
+    FROM flagged WHERE rn = 1
+    GROUP BY doc_id
+    """,
+    doc="Sub-document exact dedup, rewrite pass: documents reassembled "
+    "from only their corpus-wide-first 32-token segments, in original "
+    "segment order — the text that actually ships to training after "
+    "span_dedup_stats decides the policy.  Docs whose every segment "
+    "was seen earlier disappear entirely (same contract both "
+    "engines).  Scale shape: the same seg_key exchange + rank-1 "
+    "filter, then one doc_id exchange whose groups are bounded by "
+    "document length; reassembly is sort_array over an "
+    "array<struct<chunk_id,text>> inside the agg — no UDF.  At 100 TB "
+    "both exchanges are plain hash shuffles; nothing global.",
+)
+def q_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    segs = _span_segments(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("seg_key").orderBy("doc_id", "chunk_id")
+    kept = segs.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("chunk_id", "chunk_text"))
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept_segs"),
+    )
+
+
 @register_extra(
     "mask_numeric_ids",
     """

@@ -183,6 +183,65 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+@register_extra(
+    "ivf_ann_filtered_topk",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+      WHERE vec_id IN ({", ".join(str(c) for c in SIM.CENTROID_IDS)})
+    ),
+    corpus AS (SELECT vec_id, embedding AS v FROM embeddings
+               WHERE vec_id >= 10 AND label IN (0, 2, 4, 6, 8)),
+    assign AS (
+      SELECT vec_id, v, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {cosine_sql('v', 'cv')} DESC,
+                                         centroid_id ASC) AS rn
+      FROM corpus CROSS JOIN cent
+    ),
+    lists AS (SELECT vec_id, v, centroid_id AS list_id FROM assign WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < 10),
+    qp AS (
+      SELECT query_id, qv, centroid_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {cosine_sql('qv', 'cv')} DESC,
+                                         centroid_id ASC) AS rn
+      FROM q CROSS JOIN cent
+    ),
+    probes AS (SELECT query_id, qv, centroid_id AS list_id FROM qp
+               WHERE rn <= {SIM.NPROBE}),
+    scored AS (
+      SELECT p.query_id, l.vec_id, {cosine_sql('p.qv', 'l.v')} AS cos_sim
+      FROM probes p JOIN lists l ON l.list_id = p.list_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="FILTERED approximate search — ivf_ann_topk under a metadata "
+    "predicate (even label): top-5 among only the corpus vectors "
+    "that satisfy the filter, the retrieval shape behind 'nearest "
+    "documents from source X / license Y'.  The predicate restricts "
+    "the INDEXED side only (queries and centroids stay fixed, so the "
+    "index geometry is stable) and is applied as a PRE-filter: the IN "
+    "list lands in the parquet scan below the assignment stage "
+    "(PushedFilters: In(label, ...)), so at 100 TB non-matching "
+    "vectors are "
+    "never decoded, assigned, or scored — unlike post-filtering a "
+    "top-k' result, which pays full probe cost and can starve "
+    "high-selectivity filters of candidates.",
+)
+def q_ivf_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, corpus_pred=F.col("label").isin(0, 2, 4, 6, 8))
+
+
 def _l2sq_sql(a: str, b: str, n: int) -> str:
     """Left-fold squared L2 over n elements — lockstep with
     operators/similarity._l2sq."""

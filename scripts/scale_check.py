@@ -420,8 +420,9 @@ def main() -> None:
 
     if args.semdedup_equality:
         res = semdedup_stream_batch_equality(spark, args.sf1)
-        stream_batch["streaming_semdedup@sf1"] = res
-        print(f"streaming_semdedup@sf1: {res}", flush=True)
+        tag = f"streaming_semdedup@{os.path.basename(os.path.normpath(args.sf1))}"
+        stream_batch[tag] = res
+        print(f"{tag}: {res}", flush=True)
 
     artifact = {
         "mult": args.mult,

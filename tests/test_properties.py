@@ -342,3 +342,49 @@ def test_winnow_matches_pure_python_reference(spark):
         (r.doc_id, r.fp) for r in DD.winnow_fingerprints(docs).collect()
     }
     assert got == expected
+
+
+def test_span_dedup_reassembles_unduplicated_docs_verbatim(spark, sf_dir):
+    """Docs none of whose segments were seen earlier corpus-wide must
+    come out of the rewrite pass verbatim (the corpus text is already
+    single-space separated, so segment-join(' ') is the identity on
+    untouched docs); and the stats pass must agree with the rewrite
+    pass on how many segments survived."""
+    from pyspark.sql import functions as F
+
+    from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES
+    from flink_repartition_watermark_example_spark.sources.tables import load_table
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    out = {
+        r["doc_id"]: (r["dedup_text"], r["n_kept_segs"])
+        for r in EXTRA_QUERIES["span_dedup_docs"].spark(spark, sf_dir).collect()
+    }
+    assert set(out) <= set(docs)
+    untouched = verbatim = 0
+    for did, (text, _) in out.items():
+        if text == docs[did].strip():
+            verbatim += 1
+    # every doc whose rewrite kept ALL its segments must be verbatim
+    from flink_repartition_watermark_example_spark.queries_pipeline import _span_segments
+
+    seg_counts = {
+        r["doc_id"]: r["n"]
+        for r in _span_segments(load_table(spark, sf_dir, "documents"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for did, (text, kept) in out.items():
+        if kept == seg_counts[did]:
+            untouched += 1
+            assert text == docs[did].strip(), did
+    assert untouched > 0 and verbatim >= untouched
+
+    # stats pass agrees with the rewrite pass segment-for-segment
+    stats = EXTRA_QUERIES["span_dedup_stats"].spark(spark, sf_dir).collect()
+    assert sum(r["n_kept"] for r in stats) == sum(k for _, k in out.values())
+    assert sum(r["n_segs"] for r in stats) == sum(seg_counts.values())

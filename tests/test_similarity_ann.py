@@ -214,3 +214,24 @@ def test_pq_codes_kernel_matches_expression_path(spark, sf_dir):
     fast = sorted(map(tuple, SIM.pq_codes(emb).collect()))
     hof = sorted(map(tuple, SIM.pq_codes_hof(emb).collect()))
     assert fast == hof and len(fast) > 0
+
+
+def test_filtered_ann_predicate_contract_and_pushdown(spark, sf_dir):
+    """Every neighbor returned by the filtered-search variant must
+    satisfy the metadata predicate, and the predicate must reach the
+    parquet scan as a pushed In filter (pre-filter, not post-filter —
+    the plan property that makes filtered search cheaper than topk'
+    + discard at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from flink_repartition_watermark_example_spark.plans.introspect import explain_str
+    from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES
+
+    df = EXTRA_QUERIES["ivf_ann_filtered_topk"].spark(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 50  # 10 queries x top-5
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    assert all(labels[r["vec_id"]] % 2 == 0 for r in rows)
+    plan = explain_str(df)
+    assert "In(label" in plan, "label IN filter not pushed to the scan"
