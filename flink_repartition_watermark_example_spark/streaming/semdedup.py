@@ -116,6 +116,16 @@ def semdedup_index_writer(
         recover_compaction(index_path)
         if replay_hits_compacted(index_path, bid):
             return  # this batch's vectors are already in the snapshot
+        if batch_df.isEmpty():
+            # An empty micro-batch (source idle tick, or a replayed
+            # trigger whose files were all consumed) must be a no-op:
+            # the partitionBy staging write below would produce a dir
+            # with no data files and the re-read would die on
+            # UNABLE_TO_INFER_SCHEMA — a crash loop, since every
+            # replay of the batch is empty again.  No v{bid} dir is
+            # published, which is correct: an empty batch contributes
+            # neither index rows nor survivors.
+            return
 
         # Write the assignment to a NON-version staging dir first and
         # re-read it for the joins: the Arrow assignment kernel runs

@@ -169,7 +169,6 @@ def semdedup_stream_batch_equality(spark, sf_dir: str, splits: int = 3) -> dict:
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n = emb.count()
     cents = sorted(
         (r["vec_id"], [float(x) for x in r["embedding"]])
         for r in emb.where(F.col("vec_id").isin(CENTROID_IDS))
@@ -180,8 +179,19 @@ def semdedup_stream_batch_equality(spark, sf_dir: str, splits: int = 3) -> dict:
     t0 = time.perf_counter()
     try:
         src = os.path.join(work, "emb_stream")
-        cuts = [n * i // splits for i in range(1, splits)]
-        bounds = [0, *cuts, n]
+        # Split bounds by RANK quantile, not by id arithmetic: scaled
+        # dirs have sparse vec_ids (gen_scale strides each replica's
+        # ids), so n*i//splits bounds would leave some splits empty —
+        # and an empty split file is an empty micro-batch.  Quantiles
+        # of the actual id distribution keep every split populated.
+        qs = emb.approxQuantile(
+            "vec_id", [i / splits for i in range(1, splits)], 0.001
+        )
+        lo_id, hi_id = emb.agg(
+            F.min("vec_id"), F.max("vec_id")
+        ).collect()[0]
+        cuts = sorted({int(q) + 1 for q in qs})
+        bounds = [lo_id, *cuts, hi_id + 1]
         for lo, hi in zip(bounds, bounds[1:]):
             (
                 emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
@@ -302,7 +312,30 @@ def main() -> None:
         "the incremental SemDeDup index at the --sf1 dir (heavy: one "
         "streaming replay + one batch semantic_dedup)",
     )
+    ap.add_argument(
+        "--semdedup-equality-only",
+        action="store_true",
+        help="run ONLY the SemDeDup equality check and merge its row "
+        "into the existing --out artifact's stream_batch_rows — so an "
+        "equality-stage failure can never cost the sweep timings",
+    )
     args = ap.parse_args()
+    if args.semdedup_equality_only:
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "4g")
+        spark = get_spark(app_name="scale-check-semdedup")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(4 * spark.sparkContext.defaultParallelism),
+        )
+        res = semdedup_stream_batch_equality(spark, args.sf1)
+        tag = f"streaming_semdedup@{os.path.basename(os.path.normpath(args.sf1))}"
+        with open(args.out) as f:
+            artifact = json.load(f)
+        artifact.setdefault("stream_batch_rows", {})[tag] = res
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=2)
+        print(f"{tag}: {res}", flush=True)
+        return
     if args.stream_fpt > 0:
         os.environ["SPARK_GRAFT_STREAM_FPT"] = str(args.stream_fpt)
 
@@ -419,8 +452,11 @@ def main() -> None:
                   flush=True)
 
     if args.semdedup_equality:
-        res = semdedup_stream_batch_equality(spark, args.sf1)
         tag = f"streaming_semdedup@{os.path.basename(os.path.normpath(args.sf1))}"
+        try:
+            res = semdedup_stream_batch_equality(spark, args.sf1)
+        except Exception as e:  # never lose the timings to this stage
+            res = {"equal": False, "error": str(e)[:500]}
         stream_batch[tag] = res
         print(f"{tag}: {res}", flush=True)
 

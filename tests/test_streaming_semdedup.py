@@ -231,3 +231,45 @@ def test_replay_of_last_precompaction_batch_is_skipped(spark, sf_dir, tmp_path):
     w(second, 1)  # crash replay of the last pre-compaction batch
     assert _survivor_set(read_semdedup_survivors(spark, surv)) == once
     assert once == _survivor_set(semantic_dedup(emb))
+
+
+def test_empty_micro_batch_is_a_safe_noop(spark, sf_dir, tmp_path):
+    """An empty micro-batch (idle source tick, or a split filter that
+    matched nothing — scaled dirs have SPARSE vec_ids, so id-arithmetic
+    splits can be empty) must be a no-op: the partitionBy staging write
+    of an empty batch has no data files, and the un-guarded re-read
+    died on UNABLE_TO_INFER_SCHEMA in a crash loop (every replay of
+    the batch is empty again).  Survivors must equal the batch
+    operator's as if the empty batch never happened."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+
+    src = str(tmp_path / "emb_stream")
+    # batch 1: first half; batch 2: EMPTY (impossible filter); batch 3:
+    # second half — written sequentially so mtime order replays them
+    # as three triggers, the middle one empty.
+    emb.where(F.col("vec_id") < n // 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    emb.where(F.lit(False)).coalesce(1).write.mode("append").parquet(src)
+    emb.where(F.col("vec_id") >= n // 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    index = str(tmp_path / "index")
+    surv = str(tmp_path / "surv")
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.outputMode("append")
+        .foreachBatch(semdedup_index_writer(index, surv, _centroids(emb)))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = _survivor_set(read_semdedup_survivors(spark, surv))
+    want = _survivor_set(semantic_dedup(emb))
+    assert got == want
