@@ -64,6 +64,11 @@ BENCH_EXTRAS = [
     "span_dedup_stats",
     "span_dedup_docs",
     "ivf_ann_filtered_topk",
+    # round-9 gate rotation: the fixed-k semantic_dedup_survivors
+    # moved to extras (its production-k twin semantic_dedup_scaled
+    # took the gate slot and is benched as a primary) — keeping it
+    # here keeps the historical series comparable; set grows 67 → 68
+    "semantic_dedup_survivors",
 ]
 
 

@@ -181,10 +181,23 @@ def encode_ppm(arr) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + a.tobytes()
 
 
+# (magic bytes → minimal well-formed payload length) for every format
+# decode_image_bytes understands.  decode_image's structural pre-gate
+# derives from THIS table: adding a format below means adding a row
+# here, or the gate would route valid payloads of the new format to
+# err rows without ever calling the decoder.
+IMAGE_MAGICS: dict[bytes, int] = {
+    b"BM": 54,  # BITMAPFILEHEADER (14 B) + BITMAPINFOHEADER (40 B)
+    b"P6": 14,  # "P6 1 1 255 " header + one 3 B pixel
+}
+
+
 def decode_image_bytes(raw: bytes):
     """Parse one BMP (uncompressed 24-bit) or PPM P6 payload to an
     (h, w, 3) uint8 RGB array.  Format dispatch by magic bytes — the
-    shape a production decoder takes, minus the compressed codecs."""
+    shape a production decoder takes, minus the compressed codecs.
+    Supported magics are enumerated in IMAGE_MAGICS (keep in lockstep:
+    decode_image's pre-gate trusts that table)."""
     import struct
 
     import numpy as np
@@ -259,13 +272,20 @@ def synth_image_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payloads: DataFrame) -> DataFrame:
+def decode_image(payloads: DataFrame, pregate: bool = True) -> DataFrame:
     """REAL image decode over binary payloads via mapInPandas: parses
     each BMP/PPM byte stream (magic sniff, header fields, row padding,
     bottom-up order, channel order) and emits per-image dimensions and
     exact per-channel pixel sums.  Arrow-batched, per-partition
     streaming — at 100 TB this is a scan-shaped stage with no shuffle;
-    batch size bounded by arrow.maxRecordsPerBatch."""
+    batch size bounded by arrow.maxRecordsPerBatch.
+
+    ``pregate=False`` disables the structural magic/length pre-check
+    so every row goes through decode + exception plumbing — identical
+    output (same err classification, message text aside), exists ONLY
+    so scripts/bench_decode_gate.py can measure the gate's win on
+    dirty corpora A/B in one process.  Production callers keep the
+    default."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -285,17 +305,19 @@ def decode_image(payloads: DataFrame) -> DataFrame:
             errs: list = [None] * n
             for i, b in enumerate(pdf["payload"]):
                 raw = bytes(b) if b is not None else b""
-                # cheap structural gate: magic + minimal header length
-                # (BMP file+info header = 54 B; PPM "P6 1 1 255 " +
-                # 3 B pixel = 14 B) — obvious junk skips the full
-                # parse AND the exception plumbing entirely
-                m = raw[:2]
-                if not (
-                    (m == b"BM" and len(raw) >= 54)
-                    or (m == b"P6" and len(raw) >= 14)
-                ):
-                    errs[i] = f"ValueError: unknown or truncated image magic {m!r}"
-                    continue
+                # cheap structural gate: magic + minimal header length,
+                # driven by the IMAGE_MAGICS table next to
+                # decode_image_bytes so gate and decoder can't drift —
+                # obvious junk skips the full parse AND the exception
+                # plumbing entirely
+                if pregate:
+                    m = raw[:2]
+                    min_len = IMAGE_MAGICS.get(m)
+                    if min_len is None or len(raw) < min_len:
+                        errs[i] = (
+                            f"ValueError: unknown or truncated image magic {m!r}"
+                        )
+                        continue
                 try:
                     fmt, img = decode_image_bytes(raw)
                     # dtype= accumulates in int64 without materializing

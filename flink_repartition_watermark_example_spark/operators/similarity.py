@@ -186,6 +186,36 @@ def neardup_pairs_lsh(
 CENTROID_IDS = [10 + 13 * j for j in range(16)]
 NPROBE = 2
 
+# SemDeDup's corpus-size lever (Abbas et al. 2023, §SemDeDup): cluster
+# count grows with the corpus so the quadratic-within-cluster pairing
+# stays ~per_cluster comparisons per vector.  k = max(16, n // 500)
+# keeps the gate-scale configs at the fixed-16 floor (identical to the
+# historical sweep rows) while sf1+ scales k linearly — measured in
+# BENCH_sf100.json semdedup_scaled_k: 2M vectors at k=4000 in 1188 s
+# vs ~25 h extrapolated at k=16.
+SEMDEDUP_PER_CLUSTER = 500
+
+
+def scaled_centroid_ids(emb: DataFrame, per_cluster: int = SEMDEDUP_PER_CLUSTER) -> list[int]:
+    """Corpus-scaled SemDeDup centroid set: the first max(16, n //
+    per_cluster) eligible vec_ids, ascending (eligible = vec_id >= 10,
+    the query-row convention).  Deterministic, guaranteed present in
+    the corpus as :func:`semantic_dedup` requires, and expressible as
+    a fixed SQL string (row_number over vec_id <= GREATEST(16,
+    count(*) // per_cluster)) so the DuckDB oracle computes the same
+    set without parameter plumbing.  Driver cost: one count() plus an
+    O(k) collect — the same O(centroids) budget as _centroids."""
+    n = emb.count()
+    k = max(16, n // per_cluster)
+    return [
+        r["vec_id"]
+        for r in emb.where(F.col("vec_id") >= 10)
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    ]
+
 
 # --- fold-exact numpy kernels ---------------------------------------------
 # IEEE 754 double ops are deterministic: the SEQUENCE of operations

@@ -337,44 +337,58 @@ def q_source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # packing corpora for pretraining).
 PACK_BUDGET_TOKENS = 256
 
+# Sub-shard fan-out within each source: the shard key is (source,
+# split) with split = md5(doc_id, salt='pack') % PACK_SPLITS, so a
+# corpus where ONE source dominates (the common case: a web crawl
+# dwarfing every curated set) still spreads its cumsum windows over
+# PACK_SPLITS tasks instead of funneling through one.  At 100 TB you'd
+# raise this to ~cluster-core count; it only changes which docs share
+# a pack, never packing validity (docs are order-independent in
+# pretraining packing, and the assignment stays deterministic + exact
+# per shard in every engine).
+PACK_SPLITS = 8
+
 
 @register_extra(
     "pack_chunks_into_sequences",
     f"""
     WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
     c AS (SELECT doc_id, source,
+                 {md5_long_sql("CAST(doc_id AS VARCHAR)", salt="pack")}
+                     % {PACK_SPLITS} AS split,
                  CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS chunk_id,
                  CAST(least({TX.CHUNK_SIZE},
                             len(t) - (generate_subscripts(chunks, 1) - 1)
                                 * {TX.CHUNK_STRIDE}) AS BIGINT) AS n_tok
           FROM (SELECT doc_id, source, t, {TX.chunk_texts_sql('t')} AS chunks FROM toks)),
     p AS (
-      SELECT source, doc_id, chunk_id, n_tok,
-             CAST((sum(n_tok) OVER (PARTITION BY source
+      SELECT source, split, doc_id, chunk_id, n_tok,
+             CAST((sum(n_tok) OVER (PARTITION BY source, split
                                     ORDER BY doc_id, chunk_id) - n_tok)
                   // {PACK_BUDGET_TOKENS} AS BIGINT) AS pack_id
       FROM c
     )
-    SELECT source, pack_id, count(*) AS n_chunks,
+    SELECT source, split, pack_id, count(*) AS n_chunks,
            CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
-    FROM p GROUP BY source, pack_id
+    FROM p GROUP BY source, split, pack_id
     """,
     doc="SHARDED sequence packing: chunks are assigned to "
     "fixed-token-budget training sequences by cumulative token count "
-    "within each shard (PARTITION BY source, ordered by (doc_id, "
-    "chunk_id)) — pack_id = shard-local tokens-before // budget.  The "
-    "shard key is what makes the cumsum scale: each shard's window "
-    "runs in its own task after one hash exchange on source, so 100 TB "
-    "packs at shard parallelism (shard further by hash_split buckets "
-    "when one source dominates — same plan, one more key).  A "
-    "partition-LESS cumsum would funnel the whole corpus through one "
-    "task; tests/test_plan_audit.py now bans that plan shape "
-    "repo-wide.  Packing stays deterministic and exact per shard: "
-    "every engine computes the identical assignment, and a pack "
-    "overflows its budget by at most one chunk (the standard "
-    "concat-then-split approximation used when packing pretraining "
-    "corpora).",
+    "within each shard (PARTITION BY (source, split), ordered by "
+    "(doc_id, chunk_id)) — pack_id = shard-local tokens-before // "
+    "budget, split = md5(doc_id) % PACK_SPLITS.  The two-level shard "
+    "key is what makes the cumsum scale: each shard's window runs in "
+    "its own task after one hash exchange on (source, split), and the "
+    "hash sub-shard keeps a corpus dominated by a single source (a "
+    "web crawl next to small curated sets) spread over PACK_SPLITS "
+    "tasks instead of funneling one.  A partition-LESS cumsum would "
+    "funnel the whole corpus through one task; "
+    "tests/test_plan_audit.py bans that plan shape repo-wide.  "
+    "Packing stays deterministic and exact per shard: every engine "
+    "computes the identical assignment, and a pack overflows its "
+    "budget by at most one chunk (the standard concat-then-split "
+    "approximation used when packing pretraining corpora).",
 )
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -399,21 +413,26 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_tok"),
         )
     )
+    chunks = chunks.withColumn(
+        "split",
+        md5_long(F.col("doc_id").cast("string"), salt="pack") % PACK_SPLITS,
+    )
     w = (
-        Window.partitionBy("source")
+        Window.partitionBy("source", "split")
         .orderBy("doc_id", "chunk_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     packed = chunks.select(
         "doc_id",
         "source",
+        "split",
         "chunk_id",
         "n_tok",
         F.floor(
             (F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_BUDGET_TOKENS
         ).cast("long").alias("pack_id"),
     )
-    return packed.groupBy("source", "pack_id").agg(
+    return packed.groupBy("source", "split", "pack_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("n_tok").cast("long").alias("pack_tokens"),
         F.min("doc_id").alias("first_doc"),
@@ -805,5 +824,140 @@ def q_lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("micro_p").cast("double")
                 / (F.count(F.lit(1)) * F.lit(_LM_MICRO))
             ).alias("mean_transition_p"),
+        )
+    )
+
+
+# Inference/training batching: pow-2 length buckets.  The bucket CASE
+# chain is GENERATED ONCE and shared verbatim by the Spark plan
+# (F.expr) and the DuckDB oracle — integer comparisons only, so there
+# is no log2 float-parity hazard at exact powers of two.
+_LEN_BUCKETS = [1 << i for i in range(18)]  # 1 .. 131072 tokens
+
+
+def _len_bucket_case(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} <= {b} THEN {b}" for b in _LEN_BUCKETS
+    )
+    return f"CASE {whens} ELSE {_LEN_BUCKETS[-1] * 2} END"
+
+
+def _len_bucket_col(n):
+    # the F.when fold of _len_bucket_case — same comparisons, same
+    # order, integer literals only
+    bucket = F.lit(_LEN_BUCKETS[-1] * 2)
+    for b in reversed(_LEN_BUCKETS):
+        bucket = F.when(n <= b, F.lit(b)).otherwise(bucket)
+    return bucket.cast("long")
+
+
+@register_extra(
+    "length_bucket_padding_stats",
+    f"""
+    WITH d AS (SELECT doc_id, len({_TOKS}) AS n FROM documents),
+    b AS (SELECT doc_id, n,
+                 CAST({_len_bucket_case('n')} AS BIGINT) AS bucket
+          FROM d)
+    SELECT bucket,
+           count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS real_tokens,
+           CAST(bucket * count(*) AS BIGINT) AS padded_tokens,
+           CAST(bucket * count(*) - sum(n) AS BIGINT) AS wasted_tokens
+    FROM b GROUP BY bucket
+    """,
+    doc="Length-bucketed batching stats: every document lands in the "
+    "smallest power-of-two token bucket that holds it, and per bucket "
+    "the query reports real vs padded token volume — the padding-"
+    "waste metric that drives dynamic-batching/bucketing decisions "
+    "for inference and packing-free fine-tuning.  One scan + one "
+    "small hash agg (O(#buckets) groups); the bucket expression is a "
+    "generated integer CASE chain shared verbatim with the oracle, "
+    "immune to log2 float-boundary divergence.  At 100 TB this is a "
+    "pure map-side-combine aggregation — partial aggs reduce each "
+    "scan split to <=19 rows before the exchange.",
+)
+def q_length_bucket_padding_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(TX.tokens("text"))
+    return (
+        docs.select(n.alias("n"), _len_bucket_col(n).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("real_tokens"),
+            (F.col("bucket") * F.count(F.lit(1)))
+            .cast("long")
+            .alias("padded_tokens"),
+            (F.col("bucket") * F.count(F.lit(1)) - F.sum("n"))
+            .cast("long")
+            .alias("wasted_tokens"),
+        )
+    )
+
+
+# Deterministic global training shuffle: at 100 TB you never ORDER BY
+# rand() over the corpus (one total-order sort, and irreproducible);
+# you hash-shard and sort WITHIN shards — one exchange on shard, each
+# shard's sort local to its task, and the ordering is a pure function
+# of doc_id so every rerun (and every engine) derives the same epoch
+# order.  SHUFFLE_SHARDS is the parallelism knob (~cluster cores in
+# production; 16 keeps the oracle output readable).
+SHUFFLE_SHARDS = 16
+
+
+@register_extra(
+    "shuffle_shard_stats",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             {md5_long_sql("CAST(doc_id AS VARCHAR)", salt="shuffle")} AS k
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, k, k % {SHUFFLE_SHARDS} AS shard,
+             row_number() OVER (PARTITION BY k % {SHUFFLE_SHARDS}
+                                ORDER BY k, doc_id) AS pos
+      FROM s
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(sum(pos * (doc_id % 1000)) AS BIGINT) AS order_checksum,
+           CAST(min(k) AS BIGINT) AS min_key,
+           CAST(max(k) AS BIGINT) AS max_key
+    FROM r GROUP BY shard
+    """,
+    doc="Deterministic epoch-shuffle sharding: shuffle key = "
+    "md5(doc_id, salt='shuffle'), shard = key % SHUFFLE_SHARDS, "
+    "position = rank of (key, doc_id) within the shard.  The "
+    "order_checksum (sum of pos * (doc_id % 1000), mod-reduced so the "
+    "BIGINT sum can't overflow DuckDB's checked arithmetic at any "
+    "tested scale) is ORDER-SENSITIVE: any engine that assigns a "
+    "different within-shard permutation fails the hash compare, so "
+    "the oracle pins the full shuffle order, not just shard counts.  "
+    "Plan shape: one hash exchange on shard + per-shard local sort "
+    "(partitioned WindowExec) + partial/final agg — no total-order "
+    "sort, no rand(), reruns reproduce the epoch exactly.",
+)
+def q_shuffle_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = md5_long(F.col("doc_id").cast("string"), salt="shuffle")
+    s = docs.select(
+        "doc_id", k.alias("k"), (k % SHUFFLE_SHARDS).alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return (
+        s.withColumn("pos", F.row_number().over(w))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("pos") * (F.col("doc_id") % 1000))
+            .cast("long")
+            .alias("order_checksum"),
+            F.min("k").cast("long").alias("min_key"),
+            F.max("k").cast("long").alias("max_key"),
         )
     )

@@ -603,7 +603,13 @@ def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_df(SIM.pq_adc_topk(emb), SIM.cosine_topk(emb), "pq")
 
 
-@register(
+# Demoted to extra in round 9 (still oracle-checked every pytest run):
+# the fixed k=16 keeps the DuckDB oracle literal and the historical
+# sweep rows comparable, but it is pair-dominated at scale (sf1→sf10
+# honestly measured ~90×) — the GATE slot now belongs to the
+# production-shaped semantic_dedup_scaled below, so the driver-checked
+# artifact is the configuration you'd run at 100×.
+@register_extra(
     "semantic_dedup_survivors",
     f"""
     WITH cent AS (
@@ -640,3 +646,55 @@ def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "semantic_dedup_scaled",
+    f"""
+    WITH params AS (
+      SELECT GREATEST(16, CAST(count(*) // {SIM.SEMDEDUP_PER_CLUSTER} AS BIGINT)) AS k
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS centroid_id, embedding AS cv
+      FROM (SELECT vec_id, embedding,
+                   row_number() OVER (ORDER BY vec_id) AS rn
+            FROM embeddings WHERE vec_id >= 10) e, params
+      WHERE e.rn <= params.k
+    ),
+    v AS (SELECT vec_id, embedding AS x FROM embeddings),
+    assign AS (
+      SELECT vec_id, x, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {cosine_sql('x', 'cv')} DESC,
+                                         centroid_id ASC) AS rn
+      FROM v CROSS JOIN cent
+    ),
+    lists AS (SELECT vec_id, x, centroid_id AS list_id FROM assign WHERE rn = 1),
+    purged AS (
+      SELECT DISTINCT b.vec_id
+      FROM lists a JOIN lists b
+        ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      WHERE {cosine_sql('a.x', 'b.x')} >= 0.25
+    )
+    SELECT l.vec_id, l.list_id FROM lists l
+    WHERE l.vec_id NOT IN (SELECT vec_id FROM purged)
+    """,
+    doc="SemDeDup at the PRODUCTION configuration: the same "
+    "semantic_dedup operator as semantic_dedup_survivors, but the "
+    "centroid count scales with the corpus — k = max(16, n // "
+    f"{SIM.SEMDEDUP_PER_CLUSTER}), centroids = the first k eligible "
+    "vec_ids ascending (scaled_centroid_ids).  Cluster size stays "
+    "~constant, so the within-cluster quadratic pairing is O(n · "
+    "per_cluster) corpus-wide instead of O(n²/16) — the 100 TB plan, "
+    "gate-checked: the oracle computes the identical k and centroid "
+    "set from fixed SQL (GREATEST(16, count(*)//500) over "
+    "row_number-ranked eligible ids).  At the driver's sf0.01 both "
+    "variants sit at the k=16 floor (different centroid IDs), so the "
+    "gate stays cheap; the sf1+/sf10 sweeps are where the lever "
+    "shows (scripts/semdedup_scaled_k.py: 2M vectors, k=4000, "
+    "1188 s vs ~25 h extrapolated at fixed k=16).",
+)
+def q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(emb, centroid_ids=SIM.scaled_centroid_ids(emb))

@@ -90,6 +90,17 @@ def bucketed_table(
     tables of a co-located join — callers joining two bucketed tables
     pass the same ``num_buckets`` for both, sized to the bigger one
     (see suggest_buckets).
+
+    REBUILD TRIGGER: the source fingerprint includes ``st_mtime_ns``,
+    so ANY metadata change to the source files — a byte-identical
+    copy of the sf_dir, a ``touch``, a backup/restore — invalidates
+    the cached layout and forces a full bucketBy rewrite (minutes and
+    a sweep-sized heap at sf100).  That is deliberate: serving stale
+    buckets after an in-place regeneration would be silently wrong,
+    and content-hashing 100 TB to tolerate metadata-only changes costs
+    more than the rewrite it avoids.  If you copied/moved a large
+    sf_dir, preserve mtimes (``cp -p`` / ``rsync -a``) to keep the
+    existing layout valid.
     """
     import hashlib
     import os

@@ -130,6 +130,11 @@ DEFAULT_QUERIES = [
     # pushdown), previously without scale evidence
     "pack_chunks_into_sequences",
     "disjunctive_brand_revenue",
+    # round-9: SemDeDup at the production configuration — centroid
+    # count scales with the corpus (k = max(16, n//500)), so unlike
+    # semantic_dedup_survivors (the fixed-k=16 QUADRATIC_FAMILY
+    # entry) this one must satisfy the NORMAL near-linear ratio bound
+    "semantic_dedup_scaled",
 ]
 
 _NODE_RE = re.compile(r"^\* ([A-Za-z]+[A-Za-z0-9]*)", re.MULTILINE)
@@ -192,13 +197,27 @@ def semdedup_stream_batch_equality(spark, sf_dir: str, splits: int = 3) -> dict:
         ).collect()[0]
         cuts = sorted({int(q) + 1 for q in qs})
         bounds = [lo_id, *cuts, hi_id + 1]
-        for lo, hi in zip(bounds, bounds[1:]):
+        # The splits MUST replay in write order (ascending vec_id): the
+        # survivor set is arrival-order dependent — a lower-id vector
+        # arriving after its higher-id cluster mate never retro-purges
+        # it — and FileStreamSource orders files by mtime.  Stamp each
+        # split's part files with a strictly increasing mtime so coarse
+        # filesystem timestamp granularity (or a tie across appends)
+        # can never reorder splits and record a spurious equal=false.
+        mtime_base = time.time()
+        stamped: set[str] = set()
+        for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
             (
                 emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
                 .coalesce(1)
                 .write.mode("append")
                 .parquet(src)
             )
+            for name in os.listdir(src):
+                if name.endswith(".parquet") and name not in stamped:
+                    t = mtime_base + i
+                    os.utime(os.path.join(src, name), (t, t))
+                    stamped.add(name)
         index = os.path.join(work, "index")
         surv = os.path.join(work, "surv")
         q = (
@@ -329,8 +348,18 @@ def main() -> None:
         )
         res = semdedup_stream_batch_equality(spark, args.sf1)
         tag = f"streaming_semdedup@{os.path.basename(os.path.normpath(args.sf1))}"
-        with open(args.out) as f:
-            artifact = json.load(f)
+        # On a fresh box the sweep artifact may not exist yet — the
+        # whole point of this flag is never losing the equality result,
+        # so fall back to a minimal artifact instead of crashing
+        # (mirrors semdedup_scaled_k.py's guarded merge).
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                artifact = json.load(f)
+        else:
+            artifact = {
+                "note": "created by --semdedup-equality-only before any "
+                "sweep run; only stream_batch_rows is populated"
+            }
         artifact.setdefault("stream_batch_rows", {})[tag] = res
         with open(args.out, "w") as f:
             json.dump(artifact, f, indent=2)

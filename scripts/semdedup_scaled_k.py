@@ -1,13 +1,19 @@
 """One-off scale evidence for SemDeDup's corpus-size lever.
 
-The REGISTERED semantic_dedup_survivors pins k=16 centroids so its
-DuckDB oracle stays a fixed SQL string — at that toy k the candidate
-pairing is pair-dominated and 10x vectors = ~100x pairs (the sf1->sf10
-sweep honestly records ~85x wall).  The production answer (SemDeDup,
-Abbas et al. 2023, arXiv:2303.09540 — clusters sized so within-cluster
-pairing stays bounded) is to grow the centroid count with the corpus:
-cluster size ~= n/k, pair work ~= n * (n/k) / 2, so k ~ n/500 keeps
-per-vector comparisons constant.
+Since round 9 the production configuration is ALSO a registered,
+oracle-checked gate query: semantic_dedup_scaled (queries_similarity)
+computes k = max(16, n // 500) with scaled_centroid_ids and its DuckDB
+oracle derives the identical k and centroid set from fixed SQL.  This
+script remains the BIG-dir evidence runner (sf100 is too heavy for the
+per-round gate) and the historical record of the measurement.
+
+The fixed-k semantic_dedup_survivors pins k=16 centroids — at that toy
+k the candidate pairing is pair-dominated and 10x vectors = ~100x
+pairs (the sf1->sf10 sweep honestly records ~90x wall).  The
+production answer (SemDeDup, Abbas et al. 2023, arXiv:2303.09540 —
+clusters sized so within-cluster pairing stays bounded) is to grow the
+centroid count with the corpus: cluster size ~= n/k, pair work
+~= n * (n/k) / 2, so k ~ n/500 keeps per-vector comparisons constant.
 
 This script runs the SAME operator (operators/similarity.semantic_dedup,
 unchanged code) at a corpus-scaled k on the big generated dirs and
@@ -35,7 +41,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from flink_repartition_watermark_example_spark import get_spark
-from flink_repartition_watermark_example_spark.operators.similarity import semantic_dedup
+from flink_repartition_watermark_example_spark.operators.similarity import (
+    scaled_centroid_ids,
+    semantic_dedup,
+)
 from flink_repartition_watermark_example_spark.sources.tables import load_table
 
 
@@ -54,20 +63,13 @@ def main() -> None:
         str(4 * spark.sparkContext.defaultParallelism),
     )
 
-    from pyspark.sql import functions as F
-
     emb = load_table(spark, args.dir, "embeddings").select("vec_id", "embedding")
     n = emb.count()
-    k = max(16, n // args.per_cluster)
-    # first k eligible ids, ascending — O(k) driver rows
-    cids = [
-        r["vec_id"]
-        for r in emb.where(F.col("vec_id") >= 10)
-        .select("vec_id")
-        .orderBy("vec_id")
-        .limit(k)
-        .collect()
-    ]
+    # shared helper — the registered semantic_dedup_scaled gate query
+    # computes the identical set, so this script measures exactly the
+    # gate-checked configuration at the big dirs
+    cids = scaled_centroid_ids(emb, per_cluster=args.per_cluster)
+    k = len(cids)
 
     best, survivors = float("inf"), -1
     for _ in range(args.reps):

@@ -113,6 +113,12 @@ SF10 = os.path.join(os.path.dirname(ARTIFACT), "BENCH_sf10.json")
 # growth itself (×100 + overhead headroom), so a REGRESSION beyond the
 # known asymptote still fails.
 QUADRATIC_FAMILY = {"semantic_dedup_survivors"}
+# The production twin semantic_dedup_scaled (k = max(16, n//500)) is
+# deliberately NOT in the family: scaling k with the corpus is exactly
+# what bounds cluster sizes, so its sweep ratio must satisfy the
+# normal near-linear limit below.  (sf1 sits at the k=16 floor with
+# ~20k vectors; sf10 runs k=400 over 200k — the decade that proves
+# the lever.)
 
 
 @pytest.mark.skipif(not os.path.exists(SF10), reason="BENCH_sf10.json not generated")
