@@ -135,6 +135,11 @@ DEFAULT_QUERIES = [
     # semantic_dedup_survivors (the fixed-k=16 QUADRATIC_FAMILY
     # entry) this one must satisfy the NORMAL near-linear ratio bound
     "semantic_dedup_scaled",
+    # round-9 additions: pow-2 length-bucket padding stats (pure
+    # map-side-combine agg) and the deterministic epoch-shuffle
+    # sharder (hash exchange + per-shard window)
+    "length_bucket_padding_stats",
+    "shuffle_shard_stats",
 ]
 
 _NODE_RE = re.compile(r"^\* ([A-Za-z]+[A-Za-z0-9]*)", re.MULTILINE)
@@ -308,6 +313,16 @@ def main() -> None:
     ap.add_argument("--baseline", default="/root/testdata/sf0.1")
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_sf1.json"))
+    ap.add_argument(
+        "--merge",
+        action="store_true",
+        help="merge this run's per-query rows into an existing --out "
+        "artifact instead of overwriting it — so a changed/new query "
+        "can be re-swept without losing (or re-paying for) the other "
+        "entries.  Top-level aggregates (max_ratio, total_sec_sf1) are "
+        "recomputed over the merged set; the dirs/mult metadata must "
+        "match or the merge refuses.",
+    )
     ap.add_argument(
         "--mult",
         type=int,
@@ -489,14 +504,42 @@ def main() -> None:
         stream_batch[tag] = res
         print(f"{tag}: {res}", flush=True)
 
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            old = json.load(f)
+        for key, val in (("baseline_dir", args.baseline),
+                         ("sf1_dir", args.sf1), ("mult", args.mult)):
+            if old.get(key) != val:
+                raise SystemExit(
+                    f"--merge refused: existing {args.out} has "
+                    f"{key}={old.get(key)!r}, this run uses {val!r} — "
+                    "the ratios would not be comparable"
+                )
+        report = {**old.get("queries", {}), **report}
+        stream_batch = {**old.get("stream_batch_rows", {}), **stream_batch}
+        # carry over recorder keys other tools merged into the artifact
+        # (e.g. semdedup_scaled_k) — rebuilding from scratch would
+        # silently drop them
+        extra_top = {
+            k: v
+            for k, v in old.items()
+            if k not in ("mult", "baseline_dir", "sf1_dir", "driver_mem",
+                         "queries", "stream_batch_rows", "max_ratio",
+                         "total_sec_sf1")
+        }
+    else:
+        extra_top = {}
     artifact = {
+        **extra_top,
         "mult": args.mult,
         "baseline_dir": args.baseline,
         "sf1_dir": args.sf1,
         "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "1g"),
         "queries": report,
         "stream_batch_rows": stream_batch,
-        "max_ratio": max(r["ratio"] for r in report.values()),
+        "max_ratio": max(
+            r["ratio"] for r in report.values() if r["ratio"] is not None
+        ),
         "total_sec_sf1": round(sum(r["sec_sf1"] for r in report.values()), 2),
     }
     with open(args.out, "w") as f:

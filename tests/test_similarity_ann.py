@@ -235,3 +235,27 @@ def test_filtered_ann_predicate_contract_and_pushdown(spark, sf_dir):
     assert all(labels[r["vec_id"]] % 2 == 0 for r in rows)
     plan = explain_str(df)
     assert "In(label" in plan, "label IN filter not pushed to the scan"
+
+
+def test_scaled_centroid_ids_matches_oracle_construction(spark, sf_dir):
+    """scaled_centroid_ids must be exactly the set the
+    semantic_dedup_scaled ORACLE derives in SQL: the first
+    max(16, n // per_cluster) vec_ids >= 10, ascending — any drift
+    between the two constructions silently re-clusters the corpus."""
+    from flink_repartition_watermark_example_spark.operators.similarity import (
+        SEMDEDUP_PER_CLUSTER,
+        scaled_centroid_ids,
+    )
+    from flink_repartition_watermark_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+    n = len(ids)
+
+    for per_cluster in (SEMDEDUP_PER_CLUSTER, 20):
+        k = max(16, n // per_cluster)
+        want = [i for i in ids if i >= 10][:k]
+        got = scaled_centroid_ids(emb, per_cluster=per_cluster)
+        assert got == want, (per_cluster, got[:5], want[:5])
+        assert got == sorted(got)
+        assert len(got) == k
