@@ -1036,6 +1036,17 @@ def semantic_dedup(
         .persist()
     )
     assigned.count()
+    return _purge_within_lists(assigned, threshold)
+
+
+def _purge_within_lists(assigned: DataFrame, threshold: float) -> DataFrame:
+    """SemDeDup's purge stage over an assigned (vec_id, v, nv, list_id)
+    relation (caller persists + count-pins it — it feeds both sides of
+    the pair self-join AND the final anti-join): within each list_id,
+    drop every vector with a >= threshold cosine to a LOWER-id
+    cluster-mate; the min-id representative of each epsilon-ball
+    survives.  Candidate pairing is an equi-join on list_id — never
+    all-pairs across clusters."""
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = a.join(
         b,
@@ -1056,3 +1067,101 @@ def semantic_dedup(
         .dropDuplicates()
     )
     return assigned.join(purged, "vec_id", "left_anti").select("vec_id", "list_id")
+
+
+def semantic_dedup_two_level(
+    emb: DataFrame,
+    threshold: float = 0.25,
+    centroid_ids: list[int] | None = None,
+) -> DataFrame:
+    """SemDeDup with TWO-LEVEL centroid routing — the assignment-cost
+    fix for the fourth decade.  Flat assignment is O(n·k) cosine
+    folds; with the corpus-scaled k ~ n/500 that term grows ~n²/500
+    and eventually dominates (the SemDeDup paper pays it on GPUs).
+    Here every m-th centroid (m = ceil(sqrt(k)), over the ascending-id
+    centroid list) doubles as a SUPER-centroid: each centroid routes
+    to its nearest super (driver-side, O(k·sqrt(k)) on ~sqrt(k)
+    supers), and each vector routes to its nearest super then to the
+    nearest centroid among that super's children — O(n·(sqrt(k) +
+    k/sqrt(k))) = O(n·sqrt(k)) folds, a sqrt(k)/2 reduction that keeps
+    assignment subdominant at any corpus the pair term can handle.
+
+    The routing is a deterministic pure function (all tiebreaks
+    cos DESC, id ASC; same fold kernels as ivf_topk), so the DuckDB
+    oracle reproduces the identical two-level assignment from fixed
+    SQL — hash-exact, not approximately-equal.  Routing may differ
+    from flat assignment for vectors near cluster boundaries (the
+    standard IVF coarse-quantizer trade; recall governed by the same
+    geometry as nprobe=1), so this is a sibling of semantic_dedup,
+    not a drop-in twin.
+
+    Purge semantics after assignment are identical (shared
+    _purge_within_lists)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if centroid_ids is not None and not centroid_ids:
+        raise ValueError("centroid_ids must be non-empty (or None for defaults)")
+    want = sorted(centroid_ids if centroid_ids is not None else CENTROID_IDS)
+    cents = _centroids(emb, want)
+    if [cid for cid, _ in cents] != want:
+        missing = sorted(set(want) - {cid for cid, _ in cents})
+        raise ValueError(
+            f"centroid vec_ids missing from the input corpus: {missing} — "
+            "semantic_dedup_two_level requires every centroid row to be "
+            "present; pass centroid_ids= with ids that exist in this relation"
+        )
+    k = len(cents)
+    m = int(math.ceil(math.sqrt(k)))  # float sqrt: lockstep with the oracle
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    C = np.array([cv for _, cv in cents], dtype=np.float64)
+    cnorms = _fold_norm(C)
+    sup_idx = np.arange(0, k, m)  # every m-th centroid, ascending id
+    S, snorms = C[sup_idx], cnorms[sup_idx]
+    # centroid → parent super, driver-side: argmax first-win over
+    # ascending-super-id columns == (cos DESC, super_id ASC).  A super
+    # parents ITSELF by definition (not by argmax: its FP self-cosine
+    # is 1±ulp and could lose a tie to a near-collinear sibling, which
+    # would leave that super's child set empty — a crash here and a
+    # silent row drop in the oracle's join) — so every routable super
+    # has at least one child.
+    parent = np.argmax(
+        _fold_dot_matrix(C, S) / (cnorms[:, None] * snorms[None, :]), axis=1
+    )
+    parent[sup_idx] = np.arange(len(sup_idx))
+    children = [np.flatnonzero(parent == p) for p in range(len(sup_idx))]
+
+    def assign_two_level(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            nv = _fold_norm(V)
+            p_of = np.argmax(
+                _fold_dot_matrix(V, S) / (nv[:, None] * snorms[None, :]), axis=1
+            )
+            lists = np.empty(len(V), dtype=np.int64)
+            for p in np.unique(p_of):
+                rows = np.flatnonzero(p_of == p)
+                ch = children[p]  # ascending cidx == ascending centroid_id
+                cos = _fold_dot_matrix(V[rows], C[ch]) / (
+                    nv[rows, None] * cnorms[ch][None, :]
+                )
+                lists[rows] = cids[ch[np.argmax(cos, axis=1)]]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "v": pdf["v"], "nv": nv, "list_id": lists}
+            )
+
+    assigned = (
+        fan_out(emb, "vec_id")
+        .select("vec_id", as_double("embedding").alias("v"))
+        .mapInPandas(
+            assign_two_level,
+            schema="vec_id long, v array<double>, nv double, list_id long",
+        )
+        .persist()
+    )
+    assigned.count()
+    return _purge_within_lists(assigned, threshold)

