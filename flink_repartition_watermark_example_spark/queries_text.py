@@ -874,3 +874,81 @@ def q_training_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_sources") * F.col("src_tokens")),
         ).alias("sample_weight"),
     )
+
+
+@register_extra(
+    "vocab_growth_by_source",
+    f"""
+    WITH t AS (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+    SELECT source,
+           count(*) AS n_tokens,
+           count(DISTINCT tok) AS n_distinct,
+           CAST(count(DISTINCT tok) AS DOUBLE) / count(*) AS type_token_ratio
+    FROM t GROUP BY source
+    """,
+    doc="Vocabulary growth (Heaps-law) stats per source: total token "
+    "occurrences, distinct vocabulary size, type-token ratio — the "
+    "corpus-analysis numbers that flag machine-generated or "
+    "template-heavy sources (abnormally low TTR) before training.  "
+    "Scale shape: one explode + a distinct aggregate keyed "
+    "(source, tok) — Zipfian vocabularies combine heavily in the "
+    "map-side partial (unlike near-unique (doc, gram) keys, the "
+    "documented sf10 OOM shape), so the exchange carries ~|vocab| "
+    "rows per source, not the corpus.  Ratio is one double division "
+    "after exact integer counts.",
+)
+def q_vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = fan_out(docs.select("source", "text"), "source", "text").select(
+        "source", F.explode(TX.tokens("text")).alias("tok")
+    )
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+        (
+            F.countDistinct("tok").cast("double") / F.count(F.lit(1))
+        ).alias("type_token_ratio"),
+    )
+
+
+@register_extra(
+    "source_overlap_matrix",
+    """
+    WITH f AS (SELECT DISTINCT source, md5(text) AS fp FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS shared_fingerprints
+    FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+    doc="Cross-source duplication matrix: for every ordered source "
+    "pair, how many exact-text fingerprints they share — the "
+    "provenance view of dedup (which crawls/datasets re-serve each "
+    "other's content) that decides dedup ORDER and source priorities "
+    "before a training mix.  Scale shape: distinct (source, "
+    "fingerprint) first (collapses within-source duplicates), then a "
+    "self-equi-join on the near-unique fingerprint — per fingerprint "
+    "the join emits at most (#sources choose 2) rows, so the output "
+    "is bounded by duplicate mass x S^2 with S the (small) source "
+    "count, never all-pairs of documents.",
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    f = (
+        fan_out(docs.select("source", "text"), "source", "text")
+        .select("source", F.md5("text").alias("fp"))
+        .dropDuplicates()
+    )
+    a, b = f.alias("a"), f.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+    )

@@ -143,6 +143,11 @@ DEFAULT_QUERIES = [
     "length_bucket_padding_stats",
     "shuffle_shard_stats",
     "semantic_dedup_hier",
+    # round-9 corpus-analysis pair: Zipfian-vocab distinct agg and the
+    # cross-source duplicate-fingerprint matrix (near-unique-key
+    # self-join, output bounded by duplicate mass x S^2)
+    "vocab_growth_by_source",
+    "source_overlap_matrix",
 ]
 
 _NODE_RE = re.compile(r"^\* ([A-Za-z]+[A-Za-z0-9]*)", re.MULTILINE)
