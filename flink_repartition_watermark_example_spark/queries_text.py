@@ -924,12 +924,15 @@ def q_vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pair, how many exact-text fingerprints they share — the "
     "provenance view of dedup (which crawls/datasets re-serve each "
     "other's content) that decides dedup ORDER and source priorities "
-    "before a training mix.  Scale shape: distinct (source, "
-    "fingerprint) first (collapses within-source duplicates), then a "
-    "self-equi-join on the near-unique fingerprint — per fingerprint "
-    "the join emits at most (#sources choose 2) rows, so the output "
-    "is bounded by duplicate mass x S^2 with S the (small) source "
-    "count, never all-pairs of documents.",
+    "before a training mix.  Scale shape: the ORACLE says self-join, "
+    "the plan does better — distinct (source, fingerprint), then ONE "
+    "groupBy(fingerprint) collecting the sorted source set, then "
+    "scan-side pair expansion (posexplode + slice).  One parquet "
+    "scan and two narrow-key exchanges; the naive fingerprint "
+    "self-join read the 2-column corpus twice (no exchange reuse "
+    "across the aliased sides).  Per fingerprint at most (#sources "
+    "choose 2) pairs, so output is bounded by duplicate mass x S^2, "
+    "never all-pairs of documents.",
 )
 def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -938,17 +941,17 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.md5("text").alias("fp"))
         .dropDuplicates()
     )
-    a, b = f.alias("a"), f.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
+    g = f.groupBy("fp").agg(F.sort_array(F.collect_set("source")).alias("ss"))
+    pairs = (
+        g.where(F.size("ss") >= 2)
+        .select(F.col("ss"), F.posexplode("ss").alias("i", "source_a"))
         .select(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
+            "source_a",
+            F.explode(
+                F.slice(F.col("ss"), F.col("i") + 2, F.size("ss"))
+            ).alias("source_b"),
         )
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("shared_fingerprints")
     )
