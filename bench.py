@@ -69,6 +69,14 @@ BENCH_EXTRAS = [
     # took the gate slot and is benched as a primary) — keeping it
     # here keeps the historical series comparable; set grows 67 → 68
     "semantic_dedup_survivors",
+    # round-9 additions: sharded sequence packing (never benched at
+    # sf0.1 before — sweeps only), the batching/shuffle pair, and the
+    # corpus-analysis pair; set grows 68 → 73
+    "pack_chunks_into_sequences",
+    "length_bucket_padding_stats",
+    "shuffle_shard_stats",
+    "vocab_growth_by_source",
+    "source_overlap_matrix",
 ]
 
 

@@ -583,20 +583,35 @@ def q_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     key, price = F.col("o_orderkey"), F.col("o_totalprice")
 
-    def ch(filter_mod, keyx, pricex, op, seq):
-        return base.where(key % 10 == filter_mod).select(
+    # Synthesize the whole changeset from ONE scan: each base row emits
+    # its 0-2 change rows via a scan-side explode (empty array = no
+    # change).  The earlier four-arm union scanned the 2-column orders
+    # file once PER ARM — and apply_changes references the changeset
+    # twice (latest-per-key feeds both the anti-join and the output
+    # union), so the plan read orders 9x; this shape reads it 3x.
+    def row(keyx, pricex, op, seq):
+        return F.struct(
             keyx.alias("o_orderkey"),
             pricex.alias("o_totalprice"),
             F.lit(op).alias("op"),
             F.lit(seq).alias("seq"),
         )
 
-    changes = (
-        ch(3, key, price * 1.05, "U", 1)
-        .unionByName(ch(3, key, price * 1.1, "U", 2))
-        .unionByName(ch(7, key, F.lit(None).cast("double"), "D", 1))
-        .unionByName(ch(1, key + 100000000, price, "I", 1))
+    change_rows = (
+        F.when(
+            key % 10 == 3,
+            F.array(row(key, price * 1.05, "U", 1), row(key, price * 1.1, "U", 2)),
+        )
+        .when(key % 10 == 7, F.array(row(key, F.lit(None).cast("double"), "D", 1)))
+        .when(key % 10 == 1, F.array(row(key + 100000000, price, "I", 1)))
+        .otherwise(
+            F.array().cast(
+                "array<struct<o_orderkey:bigint,o_totalprice:double,"
+                "op:string,seq:int>>"
+            )
+        )
     )
+    changes = base.select(F.explode(change_rows).alias("c")).select("c.*")
     return apply_changes(base, changes, ["o_orderkey"])
 
 
