@@ -1,0 +1,114 @@
+"""Invariant tests for the round-9 pipeline operators, beyond the
+DuckDB hash compare: the oracle proves Spark and DuckDB agree; these
+prove the AGREED answer has the properties the operator promises
+(conservation, budget bounds, permutation validity) — a shared bug in
+both renderings of the same formula would pass the oracle but fail
+here."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES
+from flink_repartition_watermark_example_spark.queries_pipeline import (
+    PACK_BUDGET_TOKENS,
+    PACK_SPLITS,
+    SHUFFLE_SHARDS,
+    _LEN_BUCKETS,
+)
+from flink_repartition_watermark_example_spark.functions import textfns as TX
+from flink_repartition_watermark_example_spark.sources.tables import load_table
+
+
+def _rows(spark, sf_dir, name):
+    return EXTRA_QUERIES[name].spark(spark, sf_dir).collect()
+
+
+def test_packing_conserves_chunks_and_respects_budget(spark, sf_dir):
+    packs = _rows(spark, sf_dir, "pack_chunks_into_sequences")
+    # conservation: every chunk of every document lands in exactly one
+    # pack — totals must match the chunking query
+    chunk_total = (
+        EXTRA_QUERIES["doc_chunks_udtf"]
+        .spark(spark, sf_dir)
+        .count()
+    )
+    assert sum(r["n_chunks"] for r in packs) == chunk_total
+    # budget: a pack overflows by at most one chunk (tokens-before the
+    # last chunk < budget, chunk <= CHUNK_SIZE)
+    for r in packs:
+        assert r["pack_tokens"] < PACK_BUDGET_TOKENS + TX.CHUNK_SIZE, r
+        assert 0 <= r["split"] < PACK_SPLITS, r
+    # shard-local pack_ids are contiguous from 0 — no gaps, no
+    # duplicates (the cumsum // budget can't skip a bin that has rows
+    # only if every bin boundary is crossed in order)
+    by_shard: dict = {}
+    for r in packs:
+        by_shard.setdefault((r["source"], r["split"]), []).append(r["pack_id"])
+    for key, ids in by_shard.items():
+        assert sorted(ids) == list(range(len(ids))), key
+
+
+def test_shuffle_shard_is_a_partition_of_the_corpus(spark, sf_dir):
+    shards = _rows(spark, sf_dir, "shuffle_shard_stats")
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in shards) == n_docs
+    assert all(0 <= r["shard"] < SHUFFLE_SHARDS for r in shards)
+    assert len({r["shard"] for r in shards}) == len(shards)
+    # the 60-bit keys are non-negative and each shard's [min, max] is
+    # internally consistent
+    for r in shards:
+        assert 0 <= r["min_key"] <= r["max_key"], r
+
+
+def test_length_buckets_partition_docs_and_padding_is_consistent(
+    spark, sf_dir
+):
+    buckets = _rows(spark, sf_dir, "length_bucket_padding_stats")
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in buckets) == docs.count()
+    valid = set(_LEN_BUCKETS) | {_LEN_BUCKETS[-1] * 2}
+    for r in buckets:
+        assert r["bucket"] in valid, r
+        assert r["padded_tokens"] == r["bucket"] * r["n_docs"], r
+        assert r["wasted_tokens"] == r["padded_tokens"] - r["real_tokens"], r
+        # every doc fits its bucket and would NOT fit the next-smaller
+        # power of two (bucket minimality, aggregate form): real tokens
+        # exceed n_docs * bucket/2 only if some doc needed this bucket
+        assert r["real_tokens"] <= r["padded_tokens"], r
+    # bucket minimality, exact form: recompute per-doc and compare
+    n = F.size(TX.tokens("text"))
+    per_doc = docs.select(n.alias("n")).collect()
+    from collections import Counter
+
+    want = Counter()
+    for row in per_doc:
+        b = next((b for b in _LEN_BUCKETS if row["n"] <= b), _LEN_BUCKETS[-1] * 2)
+        want[b] += 1
+    got = {r["bucket"]: r["n_docs"] for r in buckets}
+    assert got == dict(want)
+
+
+def test_source_overlap_is_symmetric_free_and_bounded(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "source_overlap_matrix")
+    seen = set()
+    for r in rows:
+        assert r["source_a"] < r["source_b"], r  # ordered pairs only
+        assert (r["source_a"], r["source_b"]) not in seen
+        seen.add((r["source_a"], r["source_b"]))
+        assert r["shared_fingerprints"] >= 1
+    # each pair count is bounded by the smaller side's distinct
+    # fingerprint inventory
+    docs = load_table(spark, sf_dir, "documents")
+    inv = {
+        r["source"]: r["n"]
+        for r in docs.select("source", F.md5("text").alias("fp"))
+        .dropDuplicates()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["shared_fingerprints"] <= min(
+            inv[r["source_a"]], inv[r["source_b"]]
+        ), r
