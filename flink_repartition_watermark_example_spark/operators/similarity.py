@@ -1073,6 +1073,7 @@ def semantic_dedup_two_level(
     emb: DataFrame,
     threshold: float = 0.25,
     centroid_ids: list[int] | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """SemDeDup with TWO-LEVEL centroid routing — the assignment-cost
     fix for the fourth decade.  Flat assignment is O(n·k) cosine
@@ -1096,12 +1097,23 @@ def semantic_dedup_two_level(
     not a drop-in twin.
 
     Purge semantics after assignment are identical (shared
-    _purge_within_lists)."""
+    _purge_within_lists).
+
+    ``nprobe`` widens the super probe (the recall knob): each vector's
+    candidate centroids are the children of its top-nprobe supers
+    (ranked cos DESC, super_id ASC), at proportional assignment cost.
+    DEGENERACY CONTRACT, pinned by tests: with nprobe >= the super
+    count every centroid is a candidate for every vector, so the
+    routing collapses to exactly flat assignment and the result
+    equals semantic_dedup bit-for-bit — the property test that
+    validates the routing code against the flat reference."""
     import math
 
     import numpy as np
     import pandas as pd
 
+    if nprobe < 1:
+        raise ValueError("nprobe must be >= 1")
     if centroid_ids is not None and not centroid_ids:
         raise ValueError("centroid_ids must be non-empty (or None for defaults)")
     want = sorted(centroid_ids if centroid_ids is not None else CENTROID_IDS)
@@ -1133,19 +1145,31 @@ def semantic_dedup_two_level(
     parent[sup_idx] = np.arange(len(sup_idx))
     children = [np.flatnonzero(parent == p) for p in range(len(sup_idx))]
 
+    probe = min(nprobe, len(sup_idx))
+
     def assign_two_level(it):
         for pdf in it:
             if len(pdf) == 0:
                 continue
             V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
             nv = _fold_norm(V)
-            p_of = np.argmax(
-                _fold_dot_matrix(V, S) / (nv[:, None] * snorms[None, :]), axis=1
-            )
+            sup_cos = _fold_dot_matrix(V, S) / (nv[:, None] * snorms[None, :])
+            # top-`probe` supers per row via repeated first-win argmax
+            # (each round == next rank of (cos DESC, super_id ASC))
+            p_mat = np.empty((len(V), probe), dtype=np.int64)
+            for t in range(probe):
+                p_mat[:, t] = np.argmax(sup_cos, axis=1)
+                sup_cos[np.arange(len(V)), p_mat[:, t]] = -np.inf
             lists = np.empty(len(V), dtype=np.int64)
-            for p in np.unique(p_of):
-                rows = np.flatnonzero(p_of == p)
-                ch = children[p]  # ascending cidx == ascending centroid_id
+            # group rows by their (sorted) probed-super set — candidate
+            # centroids depend only on the set, and combinations are
+            # bounded by C(#supers, probe)
+            combos = np.sort(p_mat, axis=1)
+            for combo in np.unique(combos, axis=0):
+                rows = np.flatnonzero((combos == combo).all(axis=1))
+                ch = np.sort(
+                    np.concatenate([children[p] for p in np.unique(combo)])
+                )  # ascending cidx == ascending centroid_id tiebreak
                 cos = _fold_dot_matrix(V[rows], C[ch]) / (
                     nv[rows, None] * cnorms[ch][None, :]
                 )

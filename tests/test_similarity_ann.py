@@ -259,3 +259,45 @@ def test_scaled_centroid_ids_matches_oracle_construction(spark, sf_dir):
         assert got == want, (per_cluster, got[:5], want[:5])
         assert got == sorted(got)
         assert len(got) == k
+
+
+def test_two_level_routing_degenerates_to_flat_at_full_probe(spark, sf_dir):
+    """With nprobe >= the super count, every centroid is a candidate
+    for every vector, so two-level routing must collapse to EXACTLY
+    flat assignment — same fold kernels, same tiebreaks — and the
+    survivor sets must be identical.  This pins the routing code
+    against the flat reference without needing a third oracle."""
+    import math
+
+    from flink_repartition_watermark_example_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_two_level,
+    )
+    from flink_repartition_watermark_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cids = [
+        r["vec_id"]
+        for r in emb.where("vec_id >= 10")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(40)
+        .collect()
+    ]
+    n_supers = math.ceil(len(cids) / math.ceil(math.sqrt(len(cids))))
+    flat = {
+        (r["vec_id"], r["list_id"])
+        for r in semantic_dedup(emb, centroid_ids=cids).collect()
+    }
+    full_probe = {
+        (r["vec_id"], r["list_id"])
+        for r in semantic_dedup_two_level(
+            emb, centroid_ids=cids, nprobe=n_supers
+        ).collect()
+    }
+    assert full_probe == flat
+    # and a widened-but-partial probe purges at least as much as
+    # nprobe=1 (recall is monotone in probe width)
+    one = semantic_dedup_two_level(emb, centroid_ids=cids, nprobe=1).count()
+    two = semantic_dedup_two_level(emb, centroid_ids=cids, nprobe=2).count()
+    assert two <= one
