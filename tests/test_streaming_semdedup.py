@@ -273,3 +273,52 @@ def test_empty_micro_batch_is_a_safe_noop(spark, sf_dir, tmp_path):
     got = _survivor_set(read_semdedup_survivors(spark, surv))
     want = _survivor_set(semantic_dedup(emb))
     assert got == want
+
+
+def test_streamed_splits_equal_batch_at_scaled_centroids(
+    spark, sf_dir, tmp_path
+):
+    """The gate's PRODUCTION configuration (scaled_centroid_ids, the
+    semantic_dedup_scaled query) must also hold the stream==batch
+    contract: replaying id-ordered splits through the incremental
+    index with the corpus-scaled centroid set reproduces the batch
+    survivors exactly.  (The other tests prove the contract at the
+    fixed CENTROID_IDS config; after the round-9 gate rotation the
+    scaled set is the one the driver checks.)"""
+    from flink_repartition_watermark_example_spark.operators.similarity import scaled_centroid_ids
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    cids = scaled_centroid_ids(emb)
+    cents = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id").isin(cids)).collect()
+    )
+
+    src = str(tmp_path / "emb_stream")
+    cuts = [n // 3, 2 * n // 3]
+    for cond in [
+        F.col("vec_id") < cuts[0],
+        (F.col("vec_id") >= cuts[0]) & (F.col("vec_id") < cuts[1]),
+        F.col("vec_id") >= cuts[1],
+    ]:
+        emb.where(cond).coalesce(1).write.mode("append").parquet(src)
+
+    index = str(tmp_path / "index")
+    surv = str(tmp_path / "surv")
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.outputMode("append")
+        .foreachBatch(semdedup_index_writer(index, surv, cents))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = _survivor_set(read_semdedup_survivors(spark, surv))
+    want = _survivor_set(semantic_dedup(emb, centroid_ids=cids))
+    assert got == want
+    assert 0 < len(got) < n
