@@ -961,3 +961,77 @@ def q_shuffle_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("long").alias("max_key"),
         )
     )
+
+
+# Per-source token quota for mix materialization: the corpus grows,
+# the quota doesn't — selection must be a deterministic pure function
+# of doc identity so a re-run (or a second engine) picks the same
+# docs.  800 binds at every test SF (~1.3k tokens/source at sf0.01,
+# ~13k at sf0.1).
+QUOTA_TOKENS = 800
+
+
+@register_extra(
+    "token_quota_selection",
+    f"""
+    WITH d AS (
+      SELECT source, doc_id, len({_TOKS}) AS n,
+             {md5_long_sql("CAST(doc_id AS VARCHAR)", salt="quota")} AS pri
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n,
+             sum(n) OVER (PARTITION BY source ORDER BY pri, doc_id) - n
+               AS tokens_before
+      FROM d
+    )
+    SELECT source, count(*) AS n_selected,
+           CAST(sum(n) AS BIGINT) AS sel_tokens
+    FROM c WHERE tokens_before < {QUOTA_TOKENS}
+    GROUP BY source
+    """,
+    doc="Deterministic per-source token-quota selection (mix "
+    "materialization): docs gain a hash priority (md5(doc_id, "
+    "salt='quota')) and each source keeps its priority-ordered prefix "
+    "until the cumulative token count reaches QUOTA_TOKENS — "
+    "overflowing by at most one document, the same convention as "
+    "sequence packing.  Selection is a pure function of doc identity: "
+    "re-runs, engine swaps, and corpus APPENDS that don't displace "
+    "priorities reproduce the same sample, and growing the corpus "
+    "keeps the selected token mass ~constant (that is the point of a "
+    "quota).  Plan: one scan + a per-source cumsum window "
+    "(hash-partitioned WindowExec) + the final small agg.  At 100 TB "
+    "the window sorts each source's (pri, n) pairs — narrow rows, "
+    "never the text; a dominant source can be pre-pruned with an "
+    "approximate priority cutoff (rank ~3x budget/avg_tokens by pri) "
+    "before the exact window, trading one extra agg for the sort "
+    "volume, at the cost of a two-pass plan.",
+)
+def q_token_quota_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "doc_id",
+        F.size(TX.tokens("text")).alias("n"),
+        md5_long(F.col("doc_id").cast("string"), salt="quota").alias("pri"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.select(
+        "source",
+        "n",
+        (F.sum("n").over(w) - F.col("n")).alias("tokens_before"),
+    )
+    return (
+        c.where(F.col("tokens_before") < QUOTA_TOKENS)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("n").cast("long").alias("sel_tokens"),
+        )
+    )

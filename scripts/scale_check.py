@@ -148,6 +148,9 @@ DEFAULT_QUERIES = [
     # self-join, output bounded by duplicate mass x S^2)
     "vocab_growth_by_source",
     "source_overlap_matrix",
+    # round-9: per-source token-quota selection (hash-priority prefix
+    # under a fixed budget — per-source cumsum window on narrow rows)
+    "token_quota_selection",
 ]
 
 _NODE_RE = re.compile(r"^\* ([A-Za-z]+[A-Za-z0-9]*)", re.MULTILINE)

@@ -112,3 +112,30 @@ def test_source_overlap_is_symmetric_free_and_bounded(spark, sf_dir):
         assert r["shared_fingerprints"] <= min(
             inv[r["source_a"]], inv[r["source_b"]]
         ), r
+
+
+def test_token_quota_selection_respects_budget_and_determinism(
+    spark, sf_dir
+):
+    from flink_repartition_watermark_example_spark.queries_pipeline import QUOTA_TOKENS
+
+    rows = _rows(spark, sf_dir, "token_quota_selection")
+    docs = load_table(spark, sf_dir, "documents")
+    max_doc = docs.select(
+        F.max(F.size(TX.tokens("text"))).alias("m")
+    ).collect()[0]["m"]
+    n_sources = docs.select("source").distinct().count()
+    # every source with any docs selects something; overflow bounded by
+    # one document (the packing convention)
+    assert len(rows) == n_sources
+    for r in rows:
+        assert r["n_selected"] >= 1, r
+        assert r["sel_tokens"] < QUOTA_TOKENS + max_doc, r
+    # deterministic: a second evaluation selects the identical totals
+    again = {
+        (r["source"], r["n_selected"], r["sel_tokens"])
+        for r in _rows(spark, sf_dir, "token_quota_selection")
+    }
+    assert again == {
+        (r["source"], r["n_selected"], r["sel_tokens"]) for r in rows
+    }
