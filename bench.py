@@ -70,13 +70,15 @@ BENCH_EXTRAS = [
     # here keeps the historical series comparable; set grows 67 → 68
     "semantic_dedup_survivors",
     # round-9 additions: sharded sequence packing (never benched at
-    # sf0.1 before — sweeps only), the batching/shuffle pair, and the
-    # corpus-analysis pair; set grows 68 → 73
+    # sf0.1 before — sweeps only), the batching/shuffle pair, the
+    # corpus-analysis pair, and token-quota selection; set grows
+    # 68 → 74
     "pack_chunks_into_sequences",
     "length_bucket_padding_stats",
     "shuffle_shard_stats",
     "vocab_growth_by_source",
     "source_overlap_matrix",
+    "token_quota_selection",
 ]
 
 
