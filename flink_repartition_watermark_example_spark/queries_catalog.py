@@ -1527,3 +1527,134 @@ def q_unpivot_flag_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "value",
     )
+
+
+@register_extra(
+    "gapfill_hourly_counts",
+    """
+    WITH c AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    b AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM c GROUP BY event_type),
+    grid AS (
+      SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM b
+    )
+    SELECT g.event_type, g.h AS window_start,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+    FROM grid g LEFT JOIN c ON c.event_type = g.event_type AND c.h = g.h
+    """,
+    doc="Time-series gap filling: the full hourly grid per event_type "
+    "between each key's first and last hour, zero-filled where no "
+    "events landed — the reference's windowed counts only EMIT "
+    "non-empty windows (README.md:49-58 shows present hours only); "
+    "dashboards and downstream diffs need the dense series.  Scale "
+    "shape: counts aggregate FIRST (output O(types x hours), partial "
+    "aggs do the reduction), the generated grid is tiny, and the "
+    "left join runs on the two small aggregates — the raw corpus is "
+    "scanned exactly once and never joined.",
+)
+def q_gapfill_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    b = c.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = b.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    return grid.join(c, ["event_type", "h"], "left").select(
+        "event_type",
+        F.col("h").alias("window_start"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+@register_extra(
+    "locf_filled_values",
+    """
+    WITH m AS (
+      SELECT event_type, ts, event_id,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    f AS (
+      SELECT event_type,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+      FROM m
+    )
+    SELECT event_type,
+           count(*) AS n_rows,
+           count(fv) AS n_present,
+           CAST(sum(CAST(fv AS DECIMAL(18,2))) AS DOUBLE) AS sum_filled
+    FROM f GROUP BY event_type
+    """,
+    doc="Last-observation-carried-forward interpolation (every 5th "
+    "event's value deterministically masked to NULL, then filled from "
+    "the latest earlier value of the same event_type).  The ORACLE is "
+    "the textbook single window per key — which at 100 TB would "
+    "funnel each of the handful of event_types through one task (the "
+    "sequence-packing lesson).  The Spark plan is the DISTRIBUTED "
+    "form, segmented carry: (1) LOCF within (event_type, day) "
+    "partitions — thousands of parallel windows; (2) one tiny window "
+    "over each key's per-day last-known values (O(days) rows per "
+    "key) computes the carry-in each day inherits; (3) leading NULLs "
+    "of each day coalesce to the carry-in.  Exact value copies, no "
+    "arithmetic, so segmented == global bit-for-bit and the oracle "
+    "hash proves the sharding correct.  Output aggregated per key "
+    "with the exact-decimal sum convention.",
+)
+def q_locf_filled_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    m = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+        F.date_trunc("day", "ts").alias("day"),
+    )
+    # (1) within-day LOCF at (event_type, day) parallelism
+    w_day = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f = m.withColumn("fv_day", F.last("v", ignorenulls=True).over(w_day))
+    # (2) per-(key, day) last-known value, then the carry-in each day
+    # inherits from all earlier days — O(days) rows per key
+    daily = m.groupBy("event_type", "day").agg(
+        F.expr(
+            "max_by(v, struct(ts, event_id)) FILTER (WHERE v IS NOT NULL)"
+        ).alias("dlast")
+    )
+    w_carry = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = daily.withColumn(
+        "carry_in", F.last("dlast", ignorenulls=True).over(w_carry)
+    ).select("event_type", "day", "carry_in")
+    # (3) leading NULLs of a day take the carry-in
+    filled = (
+        f.join(carry, ["event_type", "day"])
+        .select(
+            "event_type",
+            F.coalesce("fv_day", "carry_in").alias("fv"),
+        )
+    )
+    return filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("fv").alias("n_present"),
+        F.sum(F.col("fv").cast("decimal(18,2)")).cast("double").alias("sum_filled"),
+    )

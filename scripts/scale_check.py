@@ -151,6 +151,12 @@ DEFAULT_QUERIES = [
     # round-9: per-source token-quota selection (hash-priority prefix
     # under a fixed budget — per-source cumsum window on narrow rows)
     "token_quota_selection",
+    # round-9 time-series pair: zero-filled hourly grid (agg-first,
+    # corpus scanned once) and segmented-carry LOCF (within-day
+    # windows + an O(days) carry window — the distributed form whose
+    # oracle is the single-window textbook LOCF)
+    "gapfill_hourly_counts",
+    "locf_filled_values",
 ]
 
 _NODE_RE = re.compile(r"^\* ([A-Za-z]+[A-Za-z0-9]*)", re.MULTILINE)
