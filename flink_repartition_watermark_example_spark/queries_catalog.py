@@ -1658,3 +1658,107 @@ def q_locf_filled_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("fv").alias("n_present"),
         F.sum(F.col("fv").cast("decimal(18,2)")).cast("double").alias("sum_filled"),
     )
+
+
+@register_extra(
+    "funnel_conversion_cohorts",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) AS first_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.first_signup
+      GROUP BY e.user_id
+    )
+    SELECT date_trunc('day', s.first_signup) AS cohort_day,
+           count(*) AS n_signups,
+           count(p.user_id) AS n_converted,
+           count(CASE WHEN p.first_purchase
+                        < s.first_signup + INTERVAL 3 DAY THEN 1 END)
+             AS n_converted_3d
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    GROUP BY date_trunc('day', s.first_signup)
+    """,
+    doc="Ordered-sequence funnel: per signup cohort day, how many "
+    "users later purchased (ever, and within 3 days of their FIRST "
+    "signup — the ordering constraint is what makes it a funnel, not "
+    "two independent counts).  Scale shape: two min-aggregations and "
+    "one join, all keyed user_id, so one hash partitioning serves "
+    "every stage; the purchase scan prunes to one event_type at the "
+    "parquet reader.  No window functions, no per-user state beyond "
+    "the partial-agg min.",
+)
+def q_funnel_conversion_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") >= F.col("first_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        s.join(p, "user_id", "left")
+        .groupBy(F.date_trunc("day", "first_signup").alias("cohort_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.count("first_purchase").alias("n_converted"),
+            F.count(
+                F.when(
+                    F.col("first_purchase")
+                    < F.col("first_signup") + F.expr("interval 3 days"),
+                    1,
+                )
+            ).alias("n_converted_3d"),
+        )
+    )
+
+
+@register_extra(
+    "weekly_retention_cohorts",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    f AS (SELECT user_id, min(wk) AS w0 FROM uw GROUP BY user_id)
+    SELECT f.w0 AS cohort_week,
+           CAST(date_diff('day', f.w0, uw.wk) // 7 AS BIGINT) AS week_offset,
+           count(*) AS n_active_users
+    FROM uw JOIN f ON uw.user_id = f.user_id
+    GROUP BY f.w0, CAST(date_diff('day', f.w0, uw.wk) // 7 AS BIGINT)
+    """,
+    doc="Cohort retention triangle: users bucketed by their first "
+    "active ISO week, counted in every later week they return — the "
+    "standard growth-analytics table.  Week offsets are computed as "
+    "day-difference // 7 over week-TRUNCATED stamps in both engines "
+    "(exact integers; engine-specific 'week diff' semantics never "
+    "enter).  Scale shape: distinct (user, week) first — partial aggs "
+    "collapse each user's events per week before any exchange — then "
+    "a min-agg and a join both keyed user_id, and a final small "
+    "rollup keyed (cohort, offset).",
+)
+def q_weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).dropDuplicates()
+    f = uw.groupBy("user_id").agg(F.min("wk").alias("w0"))
+    return (
+        uw.join(f, "user_id")
+        .select(
+            F.col("w0").alias("cohort_week"),
+            (F.datediff(F.col("wk"), F.col("w0")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )

@@ -157,6 +157,11 @@ DEFAULT_QUERIES = [
     # oracle is the single-window textbook LOCF)
     "gapfill_hourly_counts",
     "locf_filled_values",
+    # round-9 product-analytics pair: ordered-sequence funnel (all
+    # stages keyed user_id) and the cohort retention triangle
+    # (distinct-first, partial aggs collapse per-user weeks)
+    "funnel_conversion_cohorts",
+    "weekly_retention_cohorts",
 ]
 
 _NODE_RE = re.compile(r"^\* ([A-Za-z]+[A-Za-z0-9]*)", re.MULTILINE)
