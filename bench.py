@@ -79,6 +79,13 @@ BENCH_EXTRAS = [
     "vocab_growth_by_source",
     "source_overlap_matrix",
     "token_quota_selection",
+    # round-9 late additions: the time-series pair (dense grid,
+    # segmented-carry LOCF) and the product-analytics pair (funnel,
+    # retention); set grows 74 → 78
+    "gapfill_hourly_counts",
+    "locf_filled_values",
+    "funnel_conversion_cohorts",
+    "weekly_retention_cohorts",
 ]
 
 
