@@ -955,3 +955,61 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("source_a", "source_b").agg(
         F.count(F.lit(1)).alias("shared_fingerprints")
     )
+
+
+@register_extra(
+    "dup_cluster_size_histogram",
+    """
+    WITH c AS (
+      SELECT md5(text) AS fp, count(*) AS sz FROM documents GROUP BY md5(text)
+    )
+    SELECT sz AS cluster_size, count(*) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs
+    FROM c GROUP BY sz
+    """,
+    doc="Exact-duplicate cluster-size histogram: how many fingerprint "
+    "clusters have 1, 2, 3... members, and how many documents that "
+    "mass represents — the one-look summary of how duplicated a "
+    "corpus is (and the input for estimating dedup savings before "
+    "running the purge).  Two cascaded aggregations, each with "
+    "map-side partials: the first keys the near-unique fingerprint "
+    "(output O(distinct texts)), the second keys the tiny cluster "
+    "size domain.",
+)
+def q_dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        fan_out(docs.select("text"), "text")
+        .groupBy(F.md5("text").alias("fp"))
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return c.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("sz") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )
+
+
+@register_extra(
+    "token_frequency_spectrum",
+    f"""
+    WITH t AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    f AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok)
+    SELECT freq, count(*) AS n_types
+    FROM f GROUP BY freq
+    """,
+    doc="Token frequency-of-frequencies spectrum (count of counts): "
+    "how many token TYPES occur exactly f times — the N_f table "
+    "Good-Turing smoothing consumes, and the Zipf-curve fingerprint "
+    "that distinguishes natural text from templated or synthetic "
+    "corpora at a glance.  Same cascaded-aggregation shape as the "
+    "cluster histogram: explode once, aggregate the Zipfian token "
+    "domain (map-side partials combine heavily), then collapse to "
+    "the tiny frequency domain.",
+)
+def q_token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = fan_out(docs.select("text"), "text").select(
+        F.explode(TX.tokens("text")).alias("tok")
+    )
+    f = t.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    return f.groupBy("freq").agg(F.count(F.lit(1)).alias("n_types"))

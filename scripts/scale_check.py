@@ -162,6 +162,10 @@ DEFAULT_QUERIES = [
     # (distinct-first, partial aggs collapse per-user weeks)
     "funnel_conversion_cohorts",
     "weekly_retention_cohorts",
+    # round-9 corpus-statistics pair: cascaded count-of-counts aggs
+    # (dup-cluster histogram, Good-Turing frequency spectrum)
+    "dup_cluster_size_histogram",
+    "token_frequency_spectrum",
 ]
 
 _NODE_RE = re.compile(r"^\* ([A-Za-z]+[A-Za-z0-9]*)", re.MULTILINE)
