@@ -446,7 +446,7 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_SIZE = TX.CHUNK_SIZE
 
 
-def _span_segments(docs: DataFrame) -> DataFrame:
+def span_segments(docs: DataFrame) -> DataFrame:
     """(doc_id, source, chunk_id, chunk_text, seg_key) — each doc cut
     into disjoint SPAN_SIZE-token segments keyed by md5(text).  Pure
     scan-side projection (sequence + slice + posexplode): 100 TB
@@ -520,7 +520,7 @@ _SPAN_SEGS_SQL = f"""
 def q_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    segs = _span_segments(load_table(spark, sf_dir, "documents"))
+    segs = span_segments(load_table(spark, sf_dir, "documents"))
     w = Window.partitionBy("seg_key").orderBy("doc_id", "chunk_id")
     flagged = segs.select(
         "source",
@@ -561,7 +561,7 @@ def q_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    segs = _span_segments(load_table(spark, sf_dir, "documents"))
+    segs = span_segments(load_table(spark, sf_dir, "documents"))
     w = Window.partitionBy("seg_key").orderBy("doc_id", "chunk_id")
     kept = segs.withColumn("rn", F.row_number().over(w)).where(
         F.col("rn") == 1

@@ -369,11 +369,11 @@ def test_span_dedup_reassembles_unduplicated_docs_verbatim(spark, sf_dir):
         if text == docs[did].strip():
             verbatim += 1
     # every doc whose rewrite kept ALL its segments must be verbatim
-    from flink_repartition_watermark_example_spark.queries_pipeline import _span_segments
+    from flink_repartition_watermark_example_spark.queries_pipeline import span_segments
 
     seg_counts = {
         r["doc_id"]: r["n"]
-        for r in _span_segments(load_table(spark, sf_dir, "documents"))
+        for r in span_segments(load_table(spark, sf_dir, "documents"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
