@@ -86,6 +86,15 @@ BENCH_EXTRAS = [
     "locf_filled_values",
     "funnel_conversion_cohorts",
     "weekly_retention_cohorts",
+    # round-9 TPC-H completion: the six remaining shapes of the
+    # 22-query catalog (Q2/Q6/Q9/Q11/Q16/Q20, partsupp surfaces
+    # derived from lineitem); set grows 78 -> 84
+    "forecast_revenue_change",
+    "min_cost_regional_supplier",
+    "product_type_profit",
+    "important_part_values",
+    "supplier_part_relationship",
+    "potential_promotion_suppliers",
 ]
 
 

@@ -1762,3 +1762,88 @@ def q_weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+ANOM_WIN = 24  # trailing hours in the baseline window
+ANOM_MIN_N = 12  # require at least half a day of history
+ANOM_Z = 2.0  # |z| threshold
+_ZQ = 1000000.0  # z-score quantum: floor(z * 1e6)
+
+
+@register_extra(
+    "rolling_anomaly_hours",
+    f"""
+    WITH c AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    w AS (
+      SELECT event_type, h, n,
+             sum(n)   OVER tw AS s,
+             sum(n*n) OVER tw AS sq,
+             count(*) OVER tw AS m
+      FROM c
+      WINDOW tw AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN {ANOM_WIN} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, h AS window_start, CAST(n AS BIGINT) AS n_events,
+           CAST(floor({_ZQ} *
+             (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(m AS DOUBLE))
+             / sqrt(CAST(sq AS DOUBLE) / CAST(m AS DOUBLE)
+                    - (CAST(s AS DOUBLE) / CAST(m AS DOUBLE))
+                      * (CAST(s AS DOUBLE) / CAST(m AS DOUBLE)))
+           ) AS BIGINT) AS z_q
+    FROM w
+    WHERE m >= {ANOM_MIN_N}
+      AND CAST(sq AS DOUBLE) / CAST(m AS DOUBLE)
+          - (CAST(s AS DOUBLE) / CAST(m AS DOUBLE))
+            * (CAST(s AS DOUBLE) / CAST(m AS DOUBLE)) > 0
+      AND abs(CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(m AS DOUBLE))
+          > {ANOM_Z} * sqrt(CAST(sq AS DOUBLE) / CAST(m AS DOUBLE)
+                            - (CAST(s AS DOUBLE) / CAST(m AS DOUBLE))
+                              * (CAST(s AS DOUBLE) / CAST(m AS DOUBLE)))
+    """,
+    doc="Rolling z-score anomaly detection: hours whose event count "
+    "deviates more than 2 sigma from the trailing-24-hour baseline "
+    "of the same event_type — the monitoring query a pipeline runs "
+    "over its own ingest rates.  Float discipline: the window "
+    "carries EXACT integer sums (n, n^2, count), so the mean/"
+    "variance doubles derive from identical integers on both "
+    "engines through correctly-rounded ops only (+,-,*,/ and "
+    "IEEE-exact sqrt — never ln), and the emitted z-score is "
+    "floor-quantized.  Scale shape: the corpus collapses to "
+    "O(types x hours) rows in ONE map-side-combined agg before any "
+    "window; the trailing frame then runs partitioned by event_type "
+    "(plan-audit-visible hash partitioning) over the tiny series.",
+)
+def q_rolling_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-ANOM_WIN, -1)
+    )
+    w = c.select(
+        "event_type",
+        "h",
+        "n",
+        F.sum("n").over(tw).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(tw).alias("sq"),
+        F.count(F.lit(1)).over(tw).alias("m"),
+    ).where(F.col("m") >= ANOM_MIN_N)
+    mean = F.col("s").cast("double") / F.col("m").cast("double")
+    var = F.col("sq").cast("double") / F.col("m").cast("double") - mean * mean
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return (
+        w.where(var > 0)
+        .where(F.abs(F.col("n").cast("double") - mean) > F.lit(ANOM_Z) * F.sqrt(var))
+        .select(
+            "event_type",
+            F.col("h").alias("window_start"),
+            F.col("n").cast("long").alias("n_events"),
+            F.floor(F.lit(_ZQ) * z).cast("long").alias("z_q"),
+        )
+    )

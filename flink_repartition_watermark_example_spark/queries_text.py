@@ -1013,3 +1013,181 @@ def q_token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     f = t.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     return f.groupBy("freq").agg(F.count(F.lit(1)).alias("n_types"))
+
+
+# --- TF-IDF keyword extraction --------------------------------------------
+
+TFIDF_TOPK = 3
+_TFIDF_Q = 1000000000.0  # same quantum discipline as BM25
+
+
+@register_extra(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tf AS (SELECT doc_id, g AS term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(t) AS g FROM toks)
+           GROUP BY doc_id, g),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(floor({_TFIDF_Q} * (CAST(tf.tf AS DOUBLE)
+               * (((CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE)) + 0.5)
+                  / (CAST(df.df AS DOUBLE) + 0.5)))) AS BIGINT) AS score_q
+      FROM tf JOIN df ON df.term = tf.term CROSS JOIN stats s)
+    SELECT doc_id, term, score_q,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT doc_id, term, score_q,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score_q DESC, term ASC) AS rk
+          FROM scored)
+    WHERE rk <= {TFIDF_TOPK}
+    """,
+    doc="TF-IDF keyword extraction: the top-3 most characteristic "
+    "terms per document — the per-doc feature a curation pipeline "
+    "uses for topic bucketing and cluster labeling.  Rational idf "
+    "((N - df + 0.5)/(df + 0.5), the BM25 constant block above): no "
+    "ln(), so term scores are IEEE-exact on both engines, and each "
+    "score is floor-quantized to an integer before ranking.  Scale "
+    "shape: one (doc_id, term) hash-agg for tf (map-side combined), "
+    "an O(vocab) df agg joined back ON TERM (the join carries "
+    "O(corpus tokens) narrow rows and the df side is vocabulary-"
+    "sized — never broadcast a 100 TB corpus, always the vocab), a "
+    "scalar n_docs broadcast, and a doc_id-partitioned top-k window "
+    "— every exchange is a plain hash shuffle on a near-unique key.",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from flink_repartition_watermark_example_spark.scale import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs, "doc_id").select(
+        "doc_id", TX.tokens("text").alias("t")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    idf = (
+        (F.col("n_docs").cast("double") - F.col("df").cast("double"))
+        + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.floor(F.lit(_TFIDF_Q) * (F.col("tf").cast("double") * idf))
+            .cast("long")
+            .alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_q").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= TFIDF_TOPK)
+        .select("doc_id", "term", "score_q", "rk")
+    )
+
+
+# --- collocation mining: bigram lift --------------------------------------
+
+LIFT_MIN_SUPPORT = 5
+LIFT_TOPN = 50
+_LIFT_Q = 1000000.0
+
+
+@register_extra(
+    "bigram_lift",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS pair
+      FROM toks WHERE len(t) >= 2),
+    cab AS (SELECT pair, count(*) AS cab FROM bg GROUP BY pair),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    cu AS (SELECT w, count(*) AS cu FROM uni GROUP BY w),
+    stats AS (SELECT (SELECT count(*) FROM uni) AS n_uni,
+                     (SELECT count(*) FROM bg) AS n_bg),
+    scored AS (
+      SELECT string_split(cab.pair, ' ')[1] AS w1,
+             string_split(cab.pair, ' ')[2] AS w2,
+             cab.cab AS pair_count,
+             CAST(floor({_LIFT_Q} *
+               ((CAST(cab.cab AS DOUBLE) / CAST(s.n_bg AS DOUBLE))
+                / ((CAST(a.cu AS DOUBLE) / CAST(s.n_uni AS DOUBLE))
+                   * (CAST(b.cu AS DOUBLE) / CAST(s.n_uni AS DOUBLE))))
+             ) AS BIGINT) AS lift_q
+      FROM cab
+      JOIN cu a ON a.w = string_split(cab.pair, ' ')[1]
+      JOIN cu b ON b.w = string_split(cab.pair, ' ')[2]
+      CROSS JOIN stats s
+      WHERE cab.cab >= {LIFT_MIN_SUPPORT})
+    SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count, lift_q
+    FROM scored
+    ORDER BY lift_q DESC, w1 ASC, w2 ASC
+    LIMIT {LIFT_TOPN}
+    """,
+    doc="Collocation mining: the top bigrams by LIFT — observed "
+    "bigram probability over the independence expectation "
+    "p(ab)/(p(a)p(b)) — the statistic (a rational PMI, no ln, same "
+    "parity discipline as the BM25 block) that surfaces multi-word "
+    "expressions worth protecting from tokenizer splits.  Scale "
+    "shape: the corpus collapses to bigram and unigram count tables "
+    "first (two map-side-combined hash aggs, output O(vocab^2-"
+    "observed) and O(vocab)), the two marginal joins run count-"
+    "table-vs-count-table (never against the corpus), the totals "
+    "are an O(1) broadcast, and the top-n is a single TakeOrdered.",
+)
+def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_repartition_watermark_example_spark.scale import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs, "doc_id").select(TX.tokens("text").alias("t"))
+    bg = toks.where(F.size("t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    cab = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    uni = toks.select(F.explode("t").alias("w"))
+    cu = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    stats = uni.agg(F.count(F.lit(1)).alias("n_uni")).crossJoin(
+        bg.agg(F.count(F.lit(1)).alias("n_bg"))
+    )
+    a = cu.select(F.col("w").alias("w1"), F.col("cu").alias("cu_a"))
+    b = cu.select(F.col("w").alias("w2"), F.col("cu").alias("cu_b"))
+    lift = (
+        F.col("pair_count").cast("double") / F.col("n_bg").cast("double")
+    ) / (
+        (F.col("cu_a").cast("double") / F.col("n_uni").cast("double"))
+        * (F.col("cu_b").cast("double") / F.col("n_uni").cast("double"))
+    )
+    return (
+        cab.where(F.col("pair_count") >= LIFT_MIN_SUPPORT)
+        .join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "w1",
+            "w2",
+            F.col("pair_count").cast("long").alias("pair_count"),
+            F.floor(F.lit(_LIFT_Q) * lift).cast("long").alias("lift_q"),
+        )
+        .orderBy(
+            F.col("lift_q").desc(), F.col("w1").asc(), F.col("w2").asc()
+        )
+        .limit(LIFT_TOPN)
+    )

@@ -188,11 +188,23 @@ def main() -> None:
             "sf1",
         ),
     )
+    ap.add_argument(
+        "--tables",
+        default=",".join(TABLES),
+        help="comma-separated subset of tables to generate (default "
+        "all) — a sweep touching only `documents` doesn't need the "
+        "11 GB-at-mult-1000 lineitem fan-out or its disk",
+    )
     args = ap.parse_args()
+
+    wanted = [t for t in args.tables.split(",") if t]
+    unknown = set(wanted) - set(TABLES)
+    if unknown:
+        raise SystemExit(f"unknown tables: {sorted(unknown)}")
 
     spark = get_spark(app_name="gen-scale")
     os.makedirs(args.out, exist_ok=True)
-    for name in TABLES:
+    for name in wanted:
         n = scale_table(spark, args.src, args.out, name, args.mult)
         print(f"{name}: {n} rows -> {args.out}", flush=True)
 

@@ -50,6 +50,16 @@ NESTED_LOOP_ALLOWED = {
     # broadcast of the single-row (n_pos, tot_pos) balance aggregate
     # onto customer (queries_subqueries.py)
     "rich_inactive_customers",
+    # broadcast of the single-row n_docs corpus-stats aggregate onto
+    # the (doc, term) tf relation (queries_text.py, the bm25 shape)
+    "tfidf_top_terms",
+    # broadcast of the single-row (n_uni, n_bg) totals aggregate onto
+    # the bigram count table (queries_text.py)
+    "bigram_lift",
+    # broadcast of the single-row (total, n_parts) aggregate onto the
+    # per-part value relation — the Q11 HAVING-scalar decorrelation
+    # (queries_subqueries.py)
+    "important_part_values",
 }
 
 
