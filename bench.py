@@ -95,6 +95,13 @@ BENCH_EXTRAS = [
     "important_part_values",
     "supplier_part_relationship",
     "potential_promotion_suppliers",
+    # plus the TF-IDF/collocation/anomaly analytics, the embedding
+    # drift stats, and the bucketed Q9 twin; set grows 84 -> 89
+    "tfidf_top_terms",
+    "bigram_lift",
+    "rolling_anomaly_hours",
+    "embedding_dim_stats",
+    "product_type_profit_bucketed",
 ]
 
 

@@ -791,3 +791,70 @@ def q_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semantic_dedup_two_level(
         emb, centroid_ids=SIM.scaled_centroid_ids(emb)
     )
+
+
+# --- embedding distribution monitoring ------------------------------------
+
+# Component quantum for the drift stats: floor(x * 1e4) — components
+# are O(1) floats, so the quantized value is ~1e4 and its square ~1e8;
+# even 1e9 rows per (label, dim) group keeps the exact integer
+# second-moment sum inside int64 (1e17 < 9.2e18).
+_DIM_Q = 10000.0
+
+
+@register_extra(
+    "embedding_dim_stats",
+    f"""
+    WITH comp AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_DIM_Q})
+                  AS BIGINT) AS xq
+      FROM embeddings)
+    SELECT label, dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(xq) AS BIGINT) AS sum_q,
+           CAST(sum(xq * xq) AS BIGINT) AS sumsq_q,
+           CAST(floor(CAST(sum(xq) AS DOUBLE) * 100.0 / count(*))
+                AS BIGINT) AS mean_q6
+    FROM comp GROUP BY label, dim
+    """,
+    doc="Embedding distribution monitoring: exact per-(label, "
+    "dimension) first and second moments of the vector components — "
+    "the drift-detection table an embedding pipeline compares "
+    "across ingest batches (a shifted mean_q6 on any dimension "
+    "flags encoder or corpus drift).  Float discipline: each "
+    "component is floor-quantized to an integer BEFORE the sums, so "
+    "the moments are exact integers on both engines (a raw double "
+    "sum would be partitioning-order-dependent).  Scale shape: the "
+    "64x row fan-out happens in the projection ON the scan and "
+    "collapses immediately into a map-side-combined (label, dim) "
+    "hash agg — output O(labels x dims) regardless of corpus size; "
+    "no join, no window, one narrow exchange.",
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flink_repartition_watermark_example_spark.scale import fan_out
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    comp = emb.select(
+        "label",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("x").cast("double") * F.lit(_DIM_Q))
+        .cast("long")
+        .alias("xq"),
+    )
+    return comp.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("sum_q"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sumsq_q"),
+        F.floor(
+            F.sum("xq").cast("double") * F.lit(100.0) / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("mean_q6"),
+    )

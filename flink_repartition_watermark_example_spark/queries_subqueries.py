@@ -972,9 +972,7 @@ def q_min_cost_regional_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
-    "product_type_profit",
-    """
+_Q9_ORACLE = """
     SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
            CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
                       * CAST(1 - l.l_discount AS DECIMAL(18,2))
@@ -988,7 +986,12 @@ def q_min_cost_regional_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE p.p_name LIKE '%red%'
     GROUP BY n.n_name, year(o.o_orderdate)
-    """,
+    """
+
+
+@register_extra(
+    "product_type_profit",
+    _Q9_ORACLE,
     doc="TPC-H Q9 shape (profit = revenue minus retail-price cost "
     "proxy — no ps_supplycost in this schema): per supplier-nation "
     "per order-year profit on red parts.  Scale shape: part filter "
@@ -999,6 +1002,36 @@ def q_min_cost_regional_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decimal arithmetic throughout, one double cast at the end.",
 )
 def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _product_type_profit_plan(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        spark, sf_dir,
+    )
+
+
+@register_extra(
+    "product_type_profit_bucketed",
+    _Q9_ORACLE,
+    doc="The Q9 join tree on BUCKETED fact tables: lineitem and "
+    "orders materialized once bucketBy(orderkey) with a shared "
+    "bucket count, so the one fact-fact exchange of the plain twin "
+    "(lineitem-orders on orderkey) disappears — the broadcast "
+    "part/supplier arms preserve the probe side's bucketing and the "
+    "orderkey join runs exchange-free on both sides.  Same logical "
+    "plan, same oracle hash as product_type_profit; the storage "
+    "layout is the only difference (the nation_market_share_bucketed "
+    "discipline).",
+)
+def q_product_type_profit_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_repartition_watermark_example_spark.storage import bucketed_table, suggest_buckets
+
+    nb = suggest_buckets(sf_dir, "lineitem")
+    l = spark.table(bucketed_table(spark, sf_dir, "lineitem", ["l_orderkey"], nb))
+    o = spark.table(bucketed_table(spark, sf_dir, "orders", ["o_orderkey"], nb))
+    return _product_type_profit_plan(l, o, spark, sf_dir)
+
+
+def _product_type_profit_plan(l, o, spark, sf_dir) -> DataFrame:
     p = (
         _t(spark, sf_dir, "part")
         .where(F.col("p_name").like("%red%"))
@@ -1009,7 +1042,7 @@ def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
         "s_suppkey", "n_name"
     )
-    l = _t(spark, sf_dir, "lineitem").select(
+    l = l.select(
         "l_orderkey",
         "l_partkey",
         "l_suppkey",
@@ -1017,7 +1050,7 @@ def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         "l_discount",
     )
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    o = o.select("o_orderkey", "o_orderdate")
     profit = (
         F.col("l_extendedprice").cast(_DEC)
         * (F.lit(1) - F.col("l_discount")).cast(_DEC)
@@ -1026,7 +1059,7 @@ def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(F.broadcast(sn), l.l_suppkey == sn.s_suppkey)
-        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
         .groupBy(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),

@@ -258,3 +258,21 @@ def test_fact_fact_joins_are_hash_not_sort(spark, sf_dir):
             assert "Exchange hashpartitioning(l_orderkey" not in plan, (name, plan)
             assert "Exchange hashpartitioning(o_orderkey" not in plan, (name, plan)
             assert "Bucketed: true" in plan, (name, plan)
+
+
+def test_bucketed_q9_tree_no_orderkey_exchange(spark, sf_dir):
+    """The bucketed Q9 twin must value-match the plain tree and run
+    its lineitem-orders orderkey join with no exchange above either
+    bucketed fact scan — the broadcast part/supplier arms must not
+    break the probe side's bucketing."""
+    from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES
+
+    bucketed = EXTRA_QUERIES["product_type_profit_bucketed"].spark(spark, sf_dir)
+    plain = EXTRA_QUERIES["product_type_profit"].spark(spark, sf_dir)
+    got = sorted(map(tuple, bucketed.collect()))
+    assert got == sorted(map(tuple, plain.collect())) and got
+
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+    assert "Bucketed: true" in plan, plan
