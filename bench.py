@@ -102,6 +102,10 @@ BENCH_EXTRAS = [
     "rolling_anomaly_hours",
     "embedding_dim_stats",
     "product_type_profit_bucketed",
+    # graph/sequence analytics: triangle counting on the near-dup
+    # graph and event-path trigram mining; set grows 89 -> 91
+    "neardup_triangles",
+    "top_event_paths",
 ]
 
 

@@ -1847,3 +1847,54 @@ def q_rolling_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.lit(_ZQ) * z).cast("long").alias("z_q"),
         )
     )
+
+
+PATH_TOPN = 20
+
+
+@register_extra(
+    "top_event_paths",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type AS e1, e2, e3, CAST(count(*) AS BIGINT) AS n_paths
+    FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY event_type, e2, e3
+    ORDER BY n_paths DESC, e1 ASC, e2 ASC, e3 ASC
+    LIMIT {PATH_TOPN}
+    """,
+    doc="Sequential-pattern mining: the top event-type trigrams over "
+    "per-user ordered event streams — the path-analysis query behind "
+    "funnels and next-action models.  Scale shape: ONE user_id hash "
+    "exchange feeds a partitioned window whose two lead() offsets "
+    "come from the same sort (no second exchange, no self-join — "
+    "the naive 3-way self-join on (user, ts) would shuffle the "
+    "corpus three times), then the trigram counts collapse map-side "
+    "to O(|types|^3) rows and a single TakeOrdered picks the top "
+    "20.  Deterministic tie-break on the full path.",
+)
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+        .orderBy(
+            F.col("n_paths").desc(),
+            F.col("e1").asc(),
+            F.col("e2").asc(),
+            F.col("e3").asc(),
+        )
+        .limit(PATH_TOPN)
+    )

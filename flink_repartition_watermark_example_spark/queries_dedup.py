@@ -16,7 +16,7 @@ from flink_repartition_watermark_example_spark.functions.hashing import (
 )
 from flink_repartition_watermark_example_spark.operators import dedup as DD
 from flink_repartition_watermark_example_spark.operators.graph import connected_components
-from flink_repartition_watermark_example_spark.queries import register, register_extra
+from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES, register, register_extra
 from flink_repartition_watermark_example_spark.sources.tables import load_table
 
 # Shared CTE prefix: tokens → distinct shingles → one 30-bit md5 per
@@ -412,3 +412,63 @@ def q_winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_winnow_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.winnow_containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# --- duplicate-cluster density: triangle counting --------------------------
+
+
+@register_extra(
+    "neardup_triangles",
+    f"""
+    WITH pairs AS ({EXTRA_QUERIES["simhash_neardup_pairs"].oracle}),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    member AS (
+      SELECT a AS doc_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM member GROUP BY doc_id
+    """,
+    doc="Triangle counting over the simhash near-dup graph: per-"
+    "document triadic-closure participation — the cluster-density "
+    "diagnostic that separates clique-like duplicate families "
+    "(templated boilerplate: every pair near-identical) from chain-"
+    "like ones (drifting revisions: a-b and b-c match but a-c does "
+    "not), which need different purge policies.  The canonical "
+    "distributed triangle enumeration: edges normalized a<b, one "
+    "join extending each edge at its high endpoint, one closing "
+    "join — every triangle found exactly once, both joins plain "
+    "hash equi-joins on doc ids.  At 100 TB the standard "
+    "degree-ordering refinement (orient edges low-degree to "
+    "high-degree) bounds the extension fan-out; the near-dup graph "
+    "is cap-bounded upstream (MAX_BUCKET_DOCS), so skew is already "
+    "capped here.",
+)
+def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_simhash_neardup_pairs(spark, sf_dir)
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e1 = e
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+            "left_semi",
+        )
+        .select("a", "b", "c")
+    )
+    member = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return member.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
