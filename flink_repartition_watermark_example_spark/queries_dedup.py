@@ -450,7 +450,13 @@ def q_winnow_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "capped here.",
 )
 def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q_simhash_neardup_pairs(spark, sf_dir)
+    # The edge list feeds three join legs.  Measured at sf0.1 the
+    # plan already shares the pair pipeline across legs (ReusedExchange;
+    # 5.4 s with or without the pin — the wall cost IS the one pair
+    # computation, the triangle joins add <1 s on 46k wedges).  The
+    # persist() pins that sharing so a future AQE re-plan or leg edit
+    # can never silently triple the simhash->band->join stage.
+    pairs = q_simhash_neardup_pairs(spark, sf_dir).persist()
     e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e1 = e
     e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
