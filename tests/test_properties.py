@@ -388,3 +388,66 @@ def test_span_dedup_reassembles_unduplicated_docs_verbatim(spark, sf_dir):
     stats = EXTRA_QUERIES["span_dedup_stats"].spark(spark, sf_dir).collect()
     assert sum(r["n_kept"] for r in stats) == sum(k for _, k in out.values())
     assert sum(r["n_segs"] for r in stats) == sum(seg_counts.values())
+
+
+def test_triangle_memberships_divisible_by_three_and_edge_consistent(
+    spark, sf_dir
+):
+    """Every triangle contributes exactly 3 per-doc memberships, so
+    the membership total must be divisible by 3; and every doc in a
+    triangle must appear in at least 2 edges of the pair graph."""
+    from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES
+
+    tri = {
+        r["doc_id"]: r["n_triangles"]
+        for r in EXTRA_QUERIES["neardup_triangles"].spark(spark, sf_dir).collect()
+    }
+    assert tri, "expected at least one triangle in the near-dup graph"
+    assert sum(tri.values()) % 3 == 0
+    deg: dict[int, int] = {}
+    for r in EXTRA_QUERIES["simhash_neardup_pairs"].spark(spark, sf_dir).collect():
+        deg[r["doc_a"]] = deg.get(r["doc_a"], 0) + 1
+        deg[r["doc_b"]] = deg.get(r["doc_b"], 0) + 1
+    for did in tri:
+        assert deg.get(did, 0) >= 2, f"doc {did} in a triangle with degree <2"
+
+
+def test_tfidf_topk_is_bounded_and_sorted_per_doc(spark, sf_dir):
+    """Each doc emits at most TFIDF_TOPK rows, ranks are 1..k dense,
+    and scores are non-increasing along the rank."""
+    from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES
+    from flink_repartition_watermark_example_spark.queries_text import TFIDF_TOPK
+
+    rows = EXTRA_QUERIES["tfidf_top_terms"].spark(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["rk"], r["score_q"]))
+    assert by_doc
+    for did, rs in by_doc.items():
+        rs.sort()
+        assert 1 <= len(rs) <= TFIDF_TOPK
+        assert [rk for rk, _ in rs] == list(range(1, len(rs) + 1)), did
+        scores = [s for _, s in rs]
+        assert scores == sorted(scores, reverse=True), did
+
+
+def test_rolling_anomaly_rows_really_deviate(spark, sf_dir):
+    """Every flagged hour's quantized |z| must exceed the threshold
+    quantum (ANOM_Z * 1e6, give or take the floor), and flagged hours
+    must be a strict subset of all hours."""
+    from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES
+    from flink_repartition_watermark_example_spark.queries_catalog import ANOM_Z, _ZQ
+    from flink_repartition_watermark_example_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n_hours = (
+        ev.select(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .distinct()
+        .count()
+    )
+    rows = EXTRA_QUERIES["rolling_anomaly_hours"].spark(spark, sf_dir).collect()
+    assert 0 < len(rows) < n_hours
+    for r in rows:
+        # floor-quantized z: |z| > 2 implies z_q >= 2e6 (positive) or
+        # z_q <= -(2e6 + 1) (negative side of floor)
+        assert abs(r["z_q"]) >= ANOM_Z * _ZQ - 1, r
