@@ -1821,12 +1821,21 @@ def q_rolling_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.count(F.lit(1)).alias("n"))
+    return rolling_zscore_anomalies(c)
+
+
+def rolling_zscore_anomalies(counts: DataFrame) -> DataFrame:
+    """Trailing-window z-score detector over an (event_type, h, n)
+    hourly-count relation — shared verbatim by the batch query above
+    and the streaming index (streaming/anomaly.py), so the
+    stream==batch contract is the counts' additivity plus this one
+    function, never two detector implementations drifting apart."""
     tw = (
         Window.partitionBy("event_type")
         .orderBy("h")
         .rowsBetween(-ANOM_WIN, -1)
     )
-    w = c.select(
+    w = counts.select(
         "event_type",
         "h",
         "n",
