@@ -106,6 +106,9 @@ BENCH_EXTRAS = [
     # graph and event-path trigram mining; set grows 89 -> 91
     "neardup_triangles",
     "top_event_paths",
+    # the streaming anomaly index replay, oracle-checked against the
+    # batch detector (order-free additive counts); set grows 91 -> 92
+    "streaming_anomaly_hours",
 ]
 
 

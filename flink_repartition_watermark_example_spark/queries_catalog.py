@@ -1907,3 +1907,41 @@ def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(PATH_TOPN)
     )
+
+
+from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES as _XQ  # noqa: E402
+
+
+@register_extra(
+    "streaming_anomaly_hours",
+    _XQ["rolling_anomaly_hours"].oracle,
+    doc="The incremental anomaly index (streaming/anomaly.py) run "
+    "THROUGH Structured Streaming and value-checked against the "
+    "batch oracle: events replay as three event_id-keyed file-"
+    "batches (deliberately NOT time-ordered), each contributing an "
+    "exact (event_type, hour, n) count delta via foreachBatch; the "
+    "versions are compacted (counter sums are lossless) and the "
+    "SHARED rolling_zscore_anomalies detector runs over the merged "
+    "counts.  Counts are algebraic, so sum-of-deltas == one batch "
+    "aggregation in ANY arrival order and the exact batch oracle "
+    "applies — the strongest stream==batch contract in the "
+    "package.",
+)
+def q_streaming_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_repartition_watermark_example_spark.queries_sketches import _replay_through_sketch
+    from flink_repartition_watermark_example_spark.streaming.anomaly import (
+        compact_counts,
+        hourly_count_writer,
+        read_hourly_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    counts = _replay_through_sketch(
+        spark,
+        ev,
+        lambda d: hourly_count_writer(d),
+        lambda d: compact_counts(spark, d),
+        lambda d: read_hourly_counts(spark, d),
+        "event_type string, h timestamp, n bigint",
+    )
+    return rolling_zscore_anomalies(counts)
