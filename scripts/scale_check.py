@@ -165,6 +165,26 @@ DEFAULT_QUERIES = [
     # round-9 corpus-statistics pair: cascaded count-of-counts aggs
     # (dup-cluster histogram, Good-Turing frequency spectrum)
     "dup_cluster_size_histogram",
+    # round-9 second session: the TPC-H completion set (the four
+    # partsupp-derived decorrelations plus the Q9 profit tree and its
+    # bucketed twin), span-dedup rewrite pass, and the analytics
+    # family (rational TF-IDF/lift, integer-moment anomaly, embedding
+    # drift, triangle counting, path trigrams) — all already
+    # three-decade-swept this round; keeping them in the default list
+    # makes future rounds re-check them automatically
+    "span_dedup_docs",
+    "min_cost_regional_supplier",
+    "product_type_profit",
+    "product_type_profit_bucketed",
+    "important_part_values",
+    "supplier_part_relationship",
+    "potential_promotion_suppliers",
+    "tfidf_top_terms",
+    "bigram_lift",
+    "rolling_anomaly_hours",
+    "embedding_dim_stats",
+    "neardup_triangles",
+    "top_event_paths",
     "token_frequency_spectrum",
 ]
 

@@ -188,3 +188,23 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
         .collect()
     )
     assert pruned == plain
+
+
+def test_q6_predicates_and_projection_reach_the_scan(spark, sf_dir):
+    """forecast_revenue_change's whole value at 100 TB is that all
+    three predicates land in PushedFilters (row-group pruning) and
+    the scan reads 4 of lineitem's 11 columns — pin both."""
+    df = ALL["forecast_revenue_change"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("FileScan"):]
+    pushed = scan[scan.index("PushedFilters"):].split("]", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    read_schema = scan[scan.index("ReadSchema"):].split(">", 1)[0]
+    want = {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+    got = {c for c in want if c in read_schema}
+    assert got == want, read_schema
+    # and nothing else: 4 columns exactly (count field colons inside
+    # the struct, not the "ReadSchema:" label's own colon)
+    struct_body = read_schema.split("struct<", 1)[1]
+    assert struct_body.count(":") == len(want), read_schema
