@@ -109,6 +109,8 @@ BENCH_EXTRAS = [
     # the streaming anomaly index replay, oracle-checked against the
     # batch detector (order-free additive counts); set grows 91 -> 92
     "streaming_anomaly_hours",
+    # filtered-ANN recall (the starvation regression check); 92 -> 93
+    "ann_recall_filtered",
 ]
 
 

@@ -858,3 +858,49 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_q6"),
     )
+
+
+# --- filtered-ANN recall (VERDICT r8 #5) ----------------------------------
+
+_FILTERED_EXACT_ORACLE = f"""
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM (
+        SELECT q.query_id, c.vec_id, {cosine_sql('q.qv', 'c.v')} AS cos_sim
+        FROM (SELECT vec_id, embedding AS v FROM embeddings
+              WHERE vec_id >= 10 AND label IN (0, 2, 4, 6, 8)) c
+        CROSS JOIN (SELECT vec_id AS query_id, embedding AS qv
+                    FROM embeddings WHERE vec_id < 10) q
+      )
+    ) WHERE rank <= 5
+    """
+
+
+@register_extra(
+    "ann_recall_filtered",
+    _recall_sql(
+        EXTRA_QUERIES["ivf_ann_filtered_topk"].oracle,
+        _FILTERED_EXACT_ORACLE,
+        "ivf_filtered",
+    ),
+    doc="recall@5 of the FILTERED IVF path (ivf_ann_filtered_topk) "
+    "against the exact cosine top-5 over the same filtered corpus — "
+    "integer intersection counts per query.  This is the number that "
+    "catches the classic filtered-search failure: a selective "
+    "metadata predicate can empty the nprobe-probed lists while the "
+    "true filtered neighbors sit in unprobed ones, silently "
+    "degrading recall even though the unfiltered recall stays high.  "
+    "The exact side reuses cosine_topk with the corpus pre-filtered "
+    "(query vectors preserved), so both sides see the identical "
+    "candidate universe.",
+)
+def q_ann_recall_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("label").isin(0, 2, 4, 6, 8)
+    approx = SIM.ivf_topk(emb, corpus_pred=pred)
+    exact = SIM.cosine_topk(emb.where((F.col("vec_id") < 10) | pred))
+    return _recall_df(approx, exact, "ivf_filtered")

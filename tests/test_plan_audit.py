@@ -47,6 +47,8 @@ NESTED_LOOP_ALLOWED = {
     "ann_recall_lsh",
     "ann_recall_ivf",
     "ann_recall_pq",
+    # embeds the filtered-corpus cosine_topk as its exact side
+    "ann_recall_filtered",
     # broadcast of the single-row (n_pos, tot_pos) balance aggregate
     # onto customer (queries_subqueries.py)
     "rich_inactive_customers",
