@@ -111,6 +111,8 @@ BENCH_EXTRAS = [
     "streaming_anomaly_hours",
     # filtered-ANN recall (the starvation regression check); 92 -> 93
     "ann_recall_filtered",
+    # the per-source data-card rollup (release-artifact summary); 93 -> 94
+    "corpus_datacard",
 ]
 
 

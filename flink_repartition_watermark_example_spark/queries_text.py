@@ -1191,3 +1191,104 @@ def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(LIFT_TOPN)
     )
+
+
+# --- per-source data card -------------------------------------------------
+
+_DC_Q = 1000000.0  # fraction quantum
+
+
+@register_extra(
+    "corpus_datacard",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, lang, {_TOKS} AS t FROM documents),
+    base AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(len(t)) AS BIGINT) AS total_tokens,
+             count(DISTINCT {TX.fingerprint_sql('t')}) AS distinct_fp
+      FROM toks GROUP BY source),
+    langs AS (
+      SELECT source, lang, count(*) AS n,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY count(*) DESC, lang ASC) AS rn
+      FROM toks GROUP BY source, lang)
+    SELECT b.source,
+           CAST(b.n_docs AS BIGINT) AS n_docs,
+           b.total_tokens,
+           CAST(b.distinct_fp AS BIGINT) AS distinct_fp,
+           CAST(floor({_DC_Q} * (CAST(b.n_docs - b.distinct_fp AS DOUBLE)
+                                 / CAST(b.n_docs AS DOUBLE)))
+                AS BIGINT) AS dup_frac_q,
+           CAST(floor(CAST(b.total_tokens AS DOUBLE)
+                      / CAST(b.n_docs AS DOUBLE)) AS BIGINT) AS avg_tokens,
+           l.lang AS majority_lang,
+           CAST(floor({_DC_Q} * (CAST(l.n AS DOUBLE)
+                                 / CAST(b.n_docs AS DOUBLE)))
+                AS BIGINT) AS majority_lang_frac_q
+    FROM base b JOIN langs l ON l.source = b.source AND l.rn = 1
+    """,
+    doc="Per-source data card: the one-row-per-source summary a "
+    "training pipeline publishes with a dataset release — document "
+    "and token counts, normalized-dedup mass (1 - distinct "
+    "fingerprints / docs), average document length, and the "
+    "majority language with its share.  All fractions derive from "
+    "exact integer counts through correctly-rounded double ops and "
+    "floor-quantization (module parity discipline).  Scale shape: "
+    "ONE corpus scan feeds two aggregations — per-source counts "
+    "with an embedded distinct on the near-unique fingerprint key "
+    "(partial aggs do the reduction) and the tiny (source, lang) "
+    "roll-up — then an O(sources) join.  Nothing downstream of the "
+    "first agg touches corpus-sized data.",
+)
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from flink_repartition_watermark_example_spark.scale import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "source", "lang", TX.tokens("text").alias("t")
+    )
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("t")).cast("long").alias("total_tokens"),
+        F.countDistinct(TX.fingerprint(F.col("t")))
+        .cast("long")
+        .alias("distinct_fp"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n").desc(), F.col("lang").asc()
+    )
+    langs = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    dup_frac = (
+        F.col("n_docs").cast("double") - F.col("distinct_fp").cast("double")
+    ) / F.col("n_docs").cast("double")
+    return (
+        base.join(langs, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "distinct_fp",
+            F.floor(F.lit(_DC_Q) * dup_frac).cast("long").alias("dup_frac_q"),
+            F.floor(
+                F.col("total_tokens").cast("double")
+                / F.col("n_docs").cast("double")
+            )
+            .cast("long")
+            .alias("avg_tokens"),
+            F.col("lang").alias("majority_lang"),
+            F.floor(
+                F.lit(_DC_Q)
+                * (F.col("n").cast("double") / F.col("n_docs").cast("double"))
+            )
+            .cast("long")
+            .alias("majority_lang_frac_q"),
+        )
+    )
