@@ -113,6 +113,8 @@ BENCH_EXTRAS = [
     "ann_recall_filtered",
     # the per-source data-card rollup (release-artifact summary); 93 -> 94
     "corpus_datacard",
+    # contrastive pair mining (sharded deterministic negatives); 94 -> 95
+    "contrastive_pairs",
 ]
 
 

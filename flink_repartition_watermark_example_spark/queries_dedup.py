@@ -478,3 +478,73 @@ def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return member.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+# --- contrastive training-pair mining --------------------------------------
+
+
+@register_extra(
+    "contrastive_pairs",
+    f"""
+    WITH pos AS (
+      SELECT doc_a, doc_b, CAST(1 AS BIGINT) AS label
+      FROM ({EXTRA_QUERIES["simhash_neardup_pairs"].oracle})
+    ),
+    ordered AS (
+      SELECT doc_id,
+             lead(doc_id) OVER (
+               PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS nxt
+      FROM documents
+    ),
+    neg AS (
+      SELECT LEAST(doc_id, nxt) AS doc_a, GREATEST(doc_id, nxt) AS doc_b,
+             CAST(0 AS BIGINT) AS label
+      FROM ordered WHERE nxt IS NOT NULL
+    ),
+    neg_clean AS (
+      SELECT n.doc_a, n.doc_b, n.label
+      FROM neg n LEFT JOIN pos p
+        ON p.doc_a = n.doc_a AND p.doc_b = n.doc_b
+      WHERE p.doc_a IS NULL
+    )
+    SELECT doc_a, doc_b, label FROM pos
+    UNION ALL
+    SELECT doc_a, doc_b, label FROM neg_clean
+    """,
+    doc="Contrastive training-pair mining: positives are the simhash "
+    "near-duplicate pairs (label 1), negatives pair each document "
+    "with its successor in a DETERMINISTIC pseudo-random ordering — "
+    "lead() over md5(doc_id) (the md5 hash family both engines "
+    "share), so the 'random' negatives are reproducible across "
+    "engines and runs — minus any accidental true near-dups "
+    "(anti-join against the positives).  This is the data-prep "
+    "shape behind embedding-model fine-tuning: mined positives, "
+    "in-corpus randomized negatives, exactly-reproducible splits.  "
+    "Scale shape: the positive side is the capped banded equi-join; "
+    "the negative side pairs WITHIN 256 md5-prefix shards "
+    "(PARTITION BY substr(md5, 1, 2)) so the pairing window is "
+    "hash-partitioned — never a single-task global sort — at the "
+    "cost of one unpaired doc per shard; plus a narrow anti-join.  "
+    "No corpus-sized product anywhere.",
+)
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    pos = q_simhash_neardup_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).cast("long").alias("label")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy(F.substring(h, 1, 2)).orderBy(h, "doc_id")
+    ordered = docs.select(
+        "doc_id", F.lead("doc_id").over(w).alias("nxt")
+    ).where(F.col("nxt").isNotNull())
+    neg = ordered.select(
+        F.least("doc_id", "nxt").alias("doc_a"),
+        F.greatest("doc_id", "nxt").alias("doc_b"),
+        F.lit(0).cast("long").alias("label"),
+    ).join(
+        pos.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+    )
+    return pos.unionAll(neg)
