@@ -1845,7 +1845,11 @@ def rolling_zscore_anomalies(counts: DataFrame) -> DataFrame:
     ).where(F.col("m") >= ANOM_MIN_N)
     mean = F.col("s").cast("double") / F.col("m").cast("double")
     var = F.col("sq").cast("double") / F.col("m").cast("double") - mean * mean
-    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    # Operation order matches the oracle SQL exactly: the SQL's
+    # `{_ZQ} * dev / sqrt(var)` parses left-associative as
+    # `(_ZQ * dev) / sqrt(var)` — multiply FIRST, then divide — so the
+    # quantized z lands on the same side of every integer boundary.
+    zq = (F.lit(_ZQ) * (F.col("n").cast("double") - mean)) / F.sqrt(var)
     return (
         w.where(var > 0)
         .where(F.abs(F.col("n").cast("double") - mean) > F.lit(ANOM_Z) * F.sqrt(var))
@@ -1853,7 +1857,7 @@ def rolling_zscore_anomalies(counts: DataFrame) -> DataFrame:
             "event_type",
             F.col("h").alias("window_start"),
             F.col("n").cast("long").alias("n_events"),
-            F.floor(F.lit(_ZQ) * z).cast("long").alias("z_q"),
+            F.floor(zq).cast("long").alias("z_q"),
         )
     )
 

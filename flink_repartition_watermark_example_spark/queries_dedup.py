@@ -440,40 +440,84 @@ def q_winnow_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(templated boilerplate: every pair near-identical) from chain-"
     "like ones (drifting revisions: a-b and b-c match but a-c does "
     "not), which need different purge policies.  The canonical "
-    "distributed triangle enumeration: edges normalized a<b, one "
-    "join extending each edge at its high endpoint, one closing "
-    "join — every triangle found exactly once, both joins plain "
-    "hash equi-joins on doc ids.  At 100 TB the standard "
-    "degree-ordering refinement (orient edges low-degree to "
-    "high-degree) bounds the extension fan-out; the near-dup graph "
-    "is cap-bounded upstream (MAX_BUCKET_DOCS), so skew is already "
-    "capped here.",
+    "distributed triangle enumeration with the DEGREE-ORDERING "
+    "refinement: every edge is oriented from its lower-degree "
+    "endpoint to its higher-degree endpoint (ties by id), wedges "
+    "pair the out-neighbors of each source, and one semi-join "
+    "closes them — every triangle found exactly once, and the "
+    "wedge fan-out per node is bounded by the graph's arboricity "
+    "(a hub of degree d contributes ZERO wedges at itself: all its "
+    "edges point in), not by the raw maximum degree the upstream "
+    "MAX_BUCKET_DOCS cap allows.  All joins plain hash equi-joins "
+    "on doc ids.",
 )
 def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The edge list feeds three join legs.  Measured at sf0.1 the
-    # plan already shares the pair pipeline across legs (ReusedExchange;
-    # 5.4 s with or without the pin — the wall cost IS the one pair
-    # computation, the triangle joins add <1 s on 46k wedges).  The
-    # persist() pins that sharing so a future AQE re-plan or leg edit
-    # can never silently triple the simhash->band->join stage.
+    # The pair pipeline (simhash -> band -> join) is the wall cost and
+    # feeds the degree aggregation plus three oriented-edge legs; the
+    # persist pins one computation.  The result is tiny (one row per
+    # triangle-participating doc), so it is materialized eagerly via
+    # localCheckpoint and the cache released BEFORE returning — a
+    # long-lived session (bench loop, sweep) keeps no blocks behind.
     pairs = q_simhash_neardup_pairs(spark, sf_dir).persist()
-    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    e1 = e
-    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
-    tri = (
-        e1.join(e2, "b")
-        .join(
-            e3,
-            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
-            "left_semi",
-        )
-        .select("a", "b", "c")
+    try:
+        edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        result = triangle_membership_counts(edges)
+        return result.localCheckpoint(eager=True)
+    finally:
+        pairs.unpersist()
+
+
+def orient_edges_by_degree(edges: DataFrame) -> DataFrame:
+    """Orient an undirected edge list (columns a, b; each edge once)
+    from the lower-(degree, id) endpoint to the higher: the classic
+    degree-ordering that turns any graph into a DAG whose maximum
+    out-degree is O(arboricity) — a hub's edges all point INTO it, so
+    the wedge fan-out at the hub is zero.  Returns (src, dst, ddst)
+    with ddst = dst's degree (the rank key wedge pairing needs)."""
+    e = edges.select("a", "b")
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
     )
+    eab = e.join(
+        deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return eab.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+    )
+
+
+def triangle_membership_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an undirected edge
+    list (a, b).  Degree-ordered enumeration: for the strict total
+    order u < v < w by (degree, id), each triangle {u, v, w} carries
+    oriented edges u->v, u->w, v->w, is generated as exactly one
+    wedge (v, w out of u, ranked v before w) and closed by exactly
+    one semi-join probe on the v->w edge."""
+    oe = orient_edges_by_degree(edges)
+    w1 = oe.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.col("ddst").alias("dv")
+    )
+    w2 = oe.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"), F.col("ddst").alias("dw")
+    )
+    wedges = w1.join(w2, "u").where(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = oe.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"], "left_semi").select("u", "v", "w")
     member = (
-        tri.select(F.col("a").alias("doc_id"))
-        .unionAll(tri.select(F.col("b").alias("doc_id")))
-        .unionAll(tri.select(F.col("c").alias("doc_id")))
+        tri.select(F.col("u").alias("doc_id"))
+        .unionAll(tri.select(F.col("v").alias("doc_id")))
+        .unionAll(tri.select(F.col("w").alias("doc_id")))
     )
     return member.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")

@@ -60,15 +60,22 @@ def hourly_count_writer(index_path: str, *, ts_col: str = "ts",
         recover_compaction(index_path)
         if replay_hits_compacted(index_path, batch_id):
             return  # delta already folded into the compacted snapshot
-        if batch_df.isEmpty():
-            return  # idle tick: contributes no counts, publish nothing
+        # Aggregate FIRST, probe the delta (O(types x hours) rows, and
+        # the emptiness probe's shuffle map stage is reused by the
+        # write) — probing batch_df.isEmpty() before the groupBy would
+        # scan the batch input twice on every non-empty micro-batch.
         delta = batch_df.groupBy(
             F.col(key_col).alias("event_type"),
             F.date_trunc("hour", ts_col).alias("h"),
-        ).agg(F.count(F.lit(1)).alias("n"))
-        delta.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(index_path, f"v{int(batch_id)}")
-        )
+        ).agg(F.count(F.lit(1)).alias("n")).persist()
+        try:
+            if delta.isEmpty():
+                return  # idle tick: no counts, publish nothing
+            delta.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(index_path, f"v{int(batch_id)}")
+            )
+        finally:
+            delta.unpersist()
 
     return write
 

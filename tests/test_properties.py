@@ -451,3 +451,68 @@ def test_rolling_anomaly_rows_really_deviate(spark, sf_dir):
         # floor-quantized z: |z| > 2 implies z_q >= 2e6 (positive) or
         # z_q <= -(2e6 + 1) (negative side of floor)
         assert abs(r["z_q"]) >= ANOM_Z * _ZQ - 1, r
+
+
+def test_degree_ordering_bounds_hub_wedge_fanout(spark):
+    """A hub doc in many pairs (one star center) must contribute ZERO
+    wedges at itself under degree ordering: all its edges orient
+    leaf->hub, so the oriented out-degree of every node in a star is
+    <= 1 and no wedge (hence no spurious fan-out) exists — the skew
+    bound the id-ordered enumeration lacks (hub id 0 would fan out
+    n*(n-1)/2 wedges)."""
+    from flink_repartition_watermark_example_spark.queries_dedup import (
+        orient_edges_by_degree,
+        triangle_membership_counts,
+    )
+
+    n = 200
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, n + 1)], "a long, b long"
+    )
+    oe = orient_edges_by_degree(star)
+    out_deg = {
+        r["src"]: r["od"]
+        for r in oe.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("od"))
+        .collect()
+    }
+    assert 0 not in out_deg, "hub must have zero oriented out-edges"
+    assert max(out_deg.values()) == 1
+    assert triangle_membership_counts(star).count() == 0
+
+
+def test_triangle_counts_match_naive_enumeration(spark):
+    """Degree-ordered enumeration equals the brute-force per-node
+    triangle count on a seeded random graph (including a hub with
+    ties in degree and a few closed triangles)."""
+    import itertools
+    import random
+
+    from flink_repartition_watermark_example_spark.queries_dedup import (
+        triangle_membership_counts,
+    )
+
+    rng = random.Random(42)
+    nodes = list(range(40))
+    edges = set()
+    for a, b in itertools.combinations(nodes, 2):
+        if rng.random() < 0.12:
+            edges.add((a, b))
+    for i in range(1, 15):  # hub: node 0 tied into many edges
+        edges.add((0, i))
+    adj = {v: set() for v in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected: dict[int, int] = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for v in (a, b, c):
+                expected[v] = expected.get(v, 0) + 1
+    got = {
+        r["doc_id"]: r["n_triangles"]
+        for r in triangle_membership_counts(
+            spark.createDataFrame(sorted(edges), "a long, b long")
+        ).collect()
+    }
+    assert got == expected
