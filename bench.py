@@ -58,10 +58,10 @@ BENCH_EXTRAS = [
     "windowed_daily_user_activity",
     "lsh_ann_topk",
     "multimodal_fake_decode",
-    # round-8 additions: sub-document span dedup (stats + rewrite
-    # passes) and filtered ANN (metadata predicate pushed below the
-    # IVF assignment) — the set grows 64 → 67
-    "span_dedup_stats",
+    # round-8 additions: sub-document span dedup (the rewrite pass;
+    # the stats pass rotated into the primary gate in round 10) and
+    # filtered ANN (metadata predicate pushed below the IVF
+    # assignment)
     "span_dedup_docs",
     "ivf_ann_filtered_topk",
     # round-9 gate rotation: the fixed-k semantic_dedup_survivors
@@ -106,9 +106,12 @@ BENCH_EXTRAS = [
     # graph and event-path trigram mining; set grows 89 -> 91
     "neardup_triangles",
     "top_event_paths",
-    # the streaming anomaly index replay, oracle-checked against the
-    # batch detector (order-free additive counts); set grows 91 -> 92
-    "streaming_anomaly_hours",
+    # round-10 gate rotation: span_dedup_stats and
+    # streaming_anomaly_hours moved into the primary 50 (benched as
+    # primaries now); minhash_signatures and simhash_docs moved out
+    # to extras — keeping them here keeps the benched set identical.
+    "minhash_signatures",
+    "simhash_docs",
     # filtered-ANN recall (the starvation regression check); 92 -> 93
     "ann_recall_filtered",
     # the per-source data-card rollup (release-artifact summary); 93 -> 94

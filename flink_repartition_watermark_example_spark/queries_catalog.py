@@ -1916,7 +1916,7 @@ def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES as _XQ  # noqa: E402
 
 
-@register_extra(
+@register(
     "streaming_anomaly_hours",
     _XQ["rolling_anomaly_hours"].oracle,
     doc="The incremental anomaly index (streaming/anomaly.py) run "

@@ -87,7 +87,7 @@ def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup(docs.select("doc_id", fp.alias("fingerprint")), ["fingerprint"], "doc_id")
 
 
-@register(
+@register_extra(
     "minhash_signatures",
     f"WITH {_SIG_CTES} SELECT doc_id, perm, minhash FROM sig",
     doc="Minhash signatures (16 perms over distinct 3-gram shingles), "
@@ -134,7 +134,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
-@register(
+@register_extra(
     "simhash_docs",
     f"""
     WITH toks AS (SELECT doc_id, list_distinct({TX.tokens_sql('text')}) AS t

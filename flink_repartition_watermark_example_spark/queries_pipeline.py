@@ -491,7 +491,7 @@ _SPAN_SEGS_SQL = f"""
 """
 
 
-@register_extra(
+@register(
     "span_dedup_stats",
     f"""
     WITH {_SPAN_SEGS_SQL}

@@ -385,7 +385,9 @@ def test_span_dedup_reassembles_unduplicated_docs_verbatim(spark, sf_dir):
     assert untouched > 0 and verbatim >= untouched
 
     # stats pass agrees with the rewrite pass segment-for-segment
-    stats = EXTRA_QUERIES["span_dedup_stats"].spark(spark, sf_dir).collect()
+    from flink_repartition_watermark_example_spark.queries import QUERIES
+
+    stats = QUERIES["span_dedup_stats"].spark(spark, sf_dir).collect()
     assert sum(r["n_kept"] for r in stats) == sum(k for _, k in out.values())
     assert sum(r["n_segs"] for r in stats) == sum(seg_counts.values())
 

@@ -11,7 +11,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES
+from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES, QUERIES
 from flink_repartition_watermark_example_spark.sources.tables import load_table
 from flink_repartition_watermark_example_spark.streaming.spandedup import (
     compact_index,
@@ -74,7 +74,7 @@ def test_streamed_ordered_splits_equal_batch_rewrite(spark, sf_dir, tmp_path):
     total_kept = sum(k for _, _, k in got)
     total_segs = sum(
         r["n_segs"]
-        for r in EXTRA_QUERIES["span_dedup_stats"].spark(spark, sf_dir).collect()
+        for r in QUERIES["span_dedup_stats"].spark(spark, sf_dir).collect()
     )
     assert 0 < total_kept < total_segs
 
