@@ -460,6 +460,7 @@ def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # long-lived session (bench loop, sweep) keeps no blocks behind.
     pairs = q_simhash_neardup_pairs(spark, sf_dir).persist()
     try:
+        pairs.count()  # materialize ONCE; branches below read the cache
         edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         result = triangle_membership_counts(edges)
         return result.localCheckpoint(eager=True)
@@ -500,8 +501,13 @@ def triangle_membership_counts(edges: DataFrame) -> DataFrame:
     order u < v < w by (degree, id), each triangle {u, v, w} carries
     oriented edges u->v, u->w, v->w, is generated as exactly one
     wedge (v, w out of u, ranked v before w) and closed by exactly
-    one semi-join probe on the v->w edge."""
-    oe = orient_edges_by_degree(edges)
+    one semi-join probe on the v->w edge.
+
+    The oriented edge list feeds THREE legs (both wedge arms + the
+    closing probe); it is pinned via an eager localCheckpoint so the
+    degree aggregation and its two joins run once, not once per leg —
+    O(edges) executor storage, released with the RDD."""
+    oe = orient_edges_by_degree(edges).localCheckpoint(eager=True)
     w1 = oe.select(
         F.col("src").alias("u"), F.col("dst").alias("v"), F.col("ddst").alias("dv")
     )

@@ -111,7 +111,14 @@ DEFAULT_QUERIES = [
     "nation_market_share",
     "volume_shipping",
     "small_qty_revenue_share",
-    "semantic_dedup_survivors",
+    # semantic_dedup_survivors (fixed k=16) was swept here through
+    # round 9; FENCED OUT in round 10 (VERDICT r9 #4): quadratic
+    # within clusters by construction, its 90× sf1→sf10 row made the
+    # artifact max_ratio read a plan nobody would run at scale.  It
+    # stays registered + oracled + benched at sf0.1 as the documented
+    # dead-end; the production config semantic_dedup_scaled below is
+    # the swept one.  Historical rows preserved under "fenced_out" in
+    # the artifacts.
     # Q10's pre-aggregated customer join and Q12's fact-fact
     # conditional counts
     "returned_item_revenue",
