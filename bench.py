@@ -118,6 +118,9 @@ BENCH_EXTRAS = [
     "corpus_datacard",
     # contrastive pair mining (sharded deterministic negatives); 94 -> 95
     "contrastive_pairs",
+    # round-10: the broadcast-relation SemDeDup assignment tier,
+    # hash-checked against the same oracle as the gate query; 95 -> 96
+    "semantic_dedup_joined",
 ]
 
 

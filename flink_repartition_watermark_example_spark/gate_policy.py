@@ -119,7 +119,12 @@ FAMILIES: dict[str, set[str]] = {
     },
     "simhash": {"neardup_purged_docs", "simhash_docs", "simhash_neardup_pairs"},
     "span_dedup": {"span_dedup_stats", "span_dedup_docs"},
-    "semantic_dedup": {"semantic_dedup_scaled", "semantic_dedup_survivors"},
+    "semantic_dedup": {
+        "semantic_dedup_scaled",
+        "semantic_dedup_survivors",
+        "semantic_dedup_joined",
+        "semantic_dedup_hier",
+    },
     # similarity search
     "exact_knn": {"cosine_topk", "embedding_neardup_pairs"},
     "ivf_ann": {"ivf_ann_topk", "ivf_ann_filtered_topk"},

@@ -648,9 +648,11 @@ def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semantic_dedup(load_table(spark, sf_dir, "embeddings"))
 
 
-@register(
-    "semantic_dedup_scaled",
-    f"""
+# The production-config SemDeDup oracle — shared VERBATIM by the gate
+# query (closure assignment at the k<=4096 tier) and the joined twin
+# below (broadcast-relation assignment, the 4th-decade tier): both
+# paths must hash-match the SAME SQL, which is the equality proof.
+_SEMDEDUP_SCALED_SQL = f"""
     WITH params AS (
       SELECT GREATEST(16, CAST(count(*) // {SIM.SEMDEDUP_PER_CLUSTER} AS BIGINT)) AS k
       FROM embeddings
@@ -679,7 +681,12 @@ def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l.vec_id, l.list_id FROM lists l
     WHERE l.vec_id NOT IN (SELECT vec_id FROM purged)
-    """,
+    """
+
+
+@register(
+    "semantic_dedup_scaled",
+    _SEMDEDUP_SCALED_SQL,
     doc="SemDeDup at the PRODUCTION configuration: the same "
     "semantic_dedup operator as semantic_dedup_survivors, but the "
     "centroid count scales with the corpus — k = max(16, n // "
@@ -696,8 +703,56 @@ def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "1188 s vs ~25 h extrapolated at fixed k=16).",
 )
 def q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _scaled_semantic_dedup(spark, sf_dir)
+
+
+def _scaled_semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    per_cluster: int = SIM.SEMDEDUP_PER_CLUSTER,
+    closure_k_max: int = SIM.SEMDEDUP_CLOSURE_K_MAX,
+) -> DataFrame:
+    """Tiered dispatch for the production SemDeDup config: at
+    k <= closure_k_max the centroid matrix is small enough to ship in
+    the task closure (one O(k) driver collect, the historical path —
+    every gate/sweep scale so far); above it, the centroids stay a
+    RELATION end-to-end (scaled_centroids_df + broadcast-join
+    assignment, zero O(k) driver traffic).  Both tiers hash-match the
+    same oracle SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.semantic_dedup(emb, centroid_ids=SIM.scaled_centroid_ids(emb))
+    n = emb.count()
+    k = max(16, n // per_cluster)
+    if k <= closure_k_max:
+        return SIM.semantic_dedup(
+            emb, centroid_ids=SIM.scaled_centroid_ids(emb, per_cluster)
+        )
+    return SIM.semantic_dedup_joined(
+        emb, SIM.scaled_centroids_df(emb, per_cluster), expected_k=k
+    )
+
+
+@register_extra(
+    "semantic_dedup_joined",
+    _SEMDEDUP_SCALED_SQL,
+    doc="The production SemDeDup config through the JOIN-BASED "
+    "assignment tier unconditionally (the k > 4096 path of "
+    "semantic_dedup_scaled, exercised here at every SF so the driver "
+    "hash-checks it): the centroid set is derived as a RELATION "
+    "(scaled_centroids_df — one count plus an exact distributed rank "
+    "cut, O(buckets) driver traffic, NO O(k) id collect) and ships to "
+    "tasks as a broadcast exchange feeding a fold-exact per-"
+    "(vector, centroid)-row kernel, argmax by hash aggregate.  Same "
+    "oracle SQL as the gate query — bit-identical doubles, identical "
+    "survivors — and the plan shows BroadcastExchange + the "
+    "documented O(k)-row cross join instead of a closure matrix "
+    "(VERDICT r9 #2; reference S14's broadcast discipline, "
+    "README.md:28-45).  Beyond SEMDEDUP_BROADCAST_BYTES of centroids "
+    "the operator refuses flat assignment outright — the two-level "
+    "router is the next tier.",
+)
+def q_semantic_dedup_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup_joined(emb, SIM.scaled_centroids_df(emb))
 
 
 @register_extra(

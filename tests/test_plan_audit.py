@@ -62,6 +62,12 @@ NESTED_LOOP_ALLOWED = {
     # per-part value relation — the Q11 HAVING-scalar decorrelation
     # (queries_subqueries.py)
     "important_part_values",
+    # broadcast of the O(k)-row centroid RELATION onto the vector
+    # corpus — the deliberate join-based SemDeDup assignment tier
+    # (operators/similarity.py assign_by_join): k is bounded by
+    # SEMDEDUP_BROADCAST_BYTES (the operator refuses flat assignment
+    # past it), so the broadcast side is never data-scale
+    "semantic_dedup_joined",
 }
 
 

@@ -1,0 +1,115 @@
+"""Join-based SemDeDup assignment tier (VERDICT r9 #2): the centroid
+set stays a RELATION end-to-end — broadcast exchange into a fold-exact
+per-candidate-row kernel — with NO O(k) driver collect, and produces
+bit-identical survivors to the closure path."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_repartition_watermark_example_spark.operators import similarity as SIM
+from flink_repartition_watermark_example_spark.sources.tables import load_table
+
+
+def _survivors(df):
+    return sorted((r["vec_id"], r["list_id"]) for r in df.collect())
+
+
+def test_joined_tier_is_bit_identical_to_closure_tier(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    closure = _survivors(
+        SIM.semantic_dedup(emb, centroid_ids=SIM.scaled_centroid_ids(emb))
+    )
+    joined = _survivors(
+        SIM.semantic_dedup_joined(emb, SIM.scaled_centroids_df(emb))
+    )
+    assert closure == joined
+    assert closure, "expected survivors"
+
+
+def test_joined_assignment_plan_broadcasts_the_centroid_relation(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = SIM.fan_out(emb, "vec_id").select(
+        "vec_id", SIM.as_double("embedding").alias("v")
+    )
+    plan = (
+        SIM.assign_by_join(vectors, SIM.scaled_centroids_df(emb))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan, plan[:1500]
+    # the argmax is an aggregate with a map-side partial (struct max
+    # compiles to SortAggregate — partial_max runs BEFORE the vec_id
+    # exchange, so only n rows shuffle), never a window sort that
+    # would shuffle all n*k candidate rows
+    assert "partial_max" in plan, plan[:1500]
+    assert "WindowExec" not in plan, plan[:1500]
+
+
+def test_above_threshold_tier_never_collects_centroid_ids(
+    spark, sf_dir, monkeypatch
+):
+    """Force the k > closure_k_max branch and prove it works with the
+    O(k) id collect PHYSICALLY unavailable: scaled_centroid_ids is
+    monkeypatched to raise.  per_cluster=20 puts sf0.001's 500 vectors
+    at k=25 > closure_k_max=16, and the result must still match the
+    closure tier run with the same explicit centroid set."""
+    from flink_repartition_watermark_example_spark import queries_similarity as QS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    per_cluster = max(1, n // 25)
+    k = max(16, n // per_cluster)
+    assert k > 16
+
+    want_ids = [
+        r["vec_id"]
+        for r in emb.where(F.col("vec_id") >= 10)
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    ]
+    expected = _survivors(SIM.semantic_dedup(emb, centroid_ids=want_ids))
+
+    def boom(*a, **kw):
+        raise AssertionError("O(k) driver collect above the closure tier")
+
+    monkeypatch.setattr(SIM, "scaled_centroid_ids", boom)
+    got = _survivors(
+        QS._scaled_semantic_dedup(
+            spark, sf_dir, per_cluster=per_cluster, closure_k_max=16
+        )
+    )
+    assert got == expected
+
+
+def test_joined_tier_refuses_beyond_broadcast_ceiling(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    too_big = SIM.SEMDEDUP_BROADCAST_BYTES // (SIM.EMBED_DIM * 8) + 1
+    with pytest.raises(ValueError, match="two_level"):
+        SIM.semantic_dedup_joined(
+            emb, SIM.scaled_centroids_df(emb), expected_k=too_big
+        )
+
+
+def test_exact_kth_smallest_matches_sorted_rank(spark):
+    rng = random.Random(7)
+    # sparse, strided, shuffled ids — the gen_scale id shape that
+    # banned rank-by-arithmetic
+    vals = rng.sample(range(0, 10_000_000), 3000)
+    df = spark.createDataFrame([(v,) for v in vals], "vec_id long")
+    ordered = sorted(vals)
+    for k in (1, 2, 17, 500, 1500, 3000):
+        got = SIM.exact_kth_smallest(
+            df, "vec_id", k, buckets=16, direct_limit=64
+        )
+        assert got == ordered[k - 1], k
+    with pytest.raises(ValueError):
+        SIM.exact_kth_smallest(df, "vec_id", 0)
+    with pytest.raises(ValueError):
+        SIM.exact_kth_smallest(df, "vec_id", 3001)
