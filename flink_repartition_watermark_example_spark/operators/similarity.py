@@ -1225,6 +1225,168 @@ def semantic_dedup_joined(
     return _purge_within_lists(assigned, threshold)
 
 
+def _argmax_by_cos(scored: DataFrame, id_col: str) -> DataFrame:
+    """(vec_id, nv, <id_col>, cos) → per-vec_id argmax with the
+    (cos DESC, id ASC) tie-break as a map-side-combinable struct max —
+    only one row per vec_id crosses the exchange."""
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos"),
+                    (-F.col(id_col)).alias("neg_id"),
+                    F.col("nv"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            F.col("b.nv").alias("nv"),
+            (-F.col("b.neg_id")).alias(id_col),
+        )
+    )
+
+
+def semantic_dedup_two_level_joined(
+    emb: DataFrame,
+    cent_df: DataFrame,
+    threshold: float = 0.25,
+    nprobe: int = 2,
+) -> DataFrame:
+    """:func:`semantic_dedup_two_level` with every stage RELATIONAL —
+    the k > SEMDEDUP_CLOSURE_K_MAX tier of the router (and the only
+    form that works at k ~ 1e5+, where the closure path's O(k) driver
+    collect and per-task centroid matrix are exactly the bottlenecks
+    VERDICT r9 #2 banned).  Bit-identical to the closure path
+    (tests/test_semdedup_joined.py): same Lloyd-mean supers in the
+    same fold order, same tie-breaks realized as struct-max
+    aggregates and (cos DESC, id ASC) windows.
+
+    Stage shapes, for k centroids / m = ceil(sqrt(k)) supers:
+    - centroid ranking: a global row_number over the k-row id column
+      (narrow: ids only, one bounded task — k ~ n/500), joined back;
+    - init membership + final routing: k×m candidate rows through the
+      fold kernel, argmax aggregate (only k rows cross the exchange);
+    - Lloyd means: applyInPandas over m groups of the k-row relation;
+    - vector probing: n×m narrow score rows, top-nprobe window
+      partitioned by vec_id;
+    - candidates: equi-join on sidx (children) + vec_id (vectors) —
+      n·nprobe·(k/m) rows, the O(n·sqrt(k)) term.
+    The m-row mean-super relation broadcasts; the k-row child relation
+    moves by shuffle — nothing scales with n on the build side."""
+    import numpy as np
+    import pandas as pd
+
+    if nprobe < 1:
+        raise ValueError("nprobe must be >= 1")
+    k = cent_df.count()
+    if k < 1:
+        raise ValueError("centroid relation is empty")
+    import math
+
+    m = int(math.ceil(math.sqrt(k)))  # float sqrt: lockstep everywhere
+
+    ranked = cent_df.select("centroid_id").withColumn(
+        "cidx", F.row_number().over(Window.orderBy("centroid_id")) - 1
+    )
+    cent = cent_df.join(ranked, "centroid_id")  # (centroid_id, cv, cidx)
+
+    init = cent.where(F.col("cidx") % m == 0).select(
+        (F.col("cidx") / m).cast("long").alias("sidx"),
+        F.col("centroid_id").alias("init_id"),
+        F.col("cv").alias("iv"),
+    )
+
+    # init membership: non-init centroids score every init (k×m rows),
+    # argmax (cos DESC, sidx ASC); inits self-parent
+    noninit_scored = _score_candidates(
+        cent.where(F.col("cidx") % m != 0)
+        .select(F.col("centroid_id").alias("vec_id"), F.col("cv").alias("v"))
+        .crossJoin(
+            F.broadcast(
+                init.select(F.col("sidx").alias("centroid_id"), F.col("iv").alias("cv"))
+            )
+        )
+    ).withColumnRenamed("centroid_id", "sidx")
+    memb = (
+        _argmax_by_cos(noninit_scored, "sidx")
+        .select(F.col("vec_id").alias("centroid_id"), "sidx")
+        .unionByName(init.select(F.col("init_id").alias("centroid_id"), "sidx"))
+        .join(cent.select("centroid_id", "cv"), "centroid_id")
+    )
+
+    def mean_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("centroid_id")
+        M_ = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+        acc = np.zeros(M_.shape[1])
+        for i in range(M_.shape[0]):  # ascending centroid_id fold
+            acc = acc + M_[i]
+        return pd.DataFrame(
+            {"sidx": [int(pdf["sidx"].iloc[0])], "sv": [list(acc / M_.shape[0])]}
+        )
+
+    sup = memb.groupBy("sidx").applyInPandas(
+        mean_kernel, schema="sidx long, sv array<double>"
+    )
+
+    # final routing: EVERY centroid to its nearest mean
+    childs = (
+        _argmax_by_cos(
+            _score_candidates(
+                cent.select(
+                    F.col("centroid_id").alias("vec_id"), F.col("cv").alias("v")
+                ).crossJoin(
+                    F.broadcast(
+                        sup.select(
+                            F.col("sidx").alias("centroid_id"),
+                            F.col("sv").alias("cv"),
+                        )
+                    )
+                )
+            ).withColumnRenamed("centroid_id", "sidx"),
+            "sidx",
+        )
+        .select(F.col("vec_id").alias("centroid_id"), "sidx")
+        .join(cent.select("centroid_id", "cv"), "centroid_id")
+    )
+
+    asup = sup.join(childs.select("sidx").distinct(), "sidx")
+
+    vectors = fan_out(emb, "vec_id").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    vprobe_scored = _score_candidates(
+        vectors.crossJoin(
+            F.broadcast(
+                asup.select(F.col("sidx").alias("centroid_id"), F.col("sv").alias("cv"))
+            )
+        )
+    ).withColumnRenamed("centroid_id", "sidx")
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("sidx").asc()
+    )
+    probed = (
+        vprobe_scored.withColumn("rs", F.row_number().over(w))
+        .where(F.col("rs") <= nprobe)
+        .select("vec_id", "sidx")
+    )
+
+    cand = probed.join(vectors, "vec_id").join(
+        childs.select("sidx", "centroid_id", F.col("cv")), "sidx"
+    )
+    best = _argmax_by_cos(
+        _score_candidates(cand.select("vec_id", "v", "centroid_id", "cv")),
+        "centroid_id",
+    )
+    assigned = vectors.join(
+        best.select("vec_id", "nv", F.col("centroid_id").alias("list_id")),
+        "vec_id",
+    ).persist()
+    assigned.count()
+    return _purge_within_lists(assigned, threshold)
+
+
 def _purge_within_lists(assigned: DataFrame, threshold: float) -> DataFrame:
     """SemDeDup's purge stage over an assigned (vec_id, v, nv, list_id)
     relation (caller persists + count-pins it — it feeds both sides of
@@ -1255,46 +1417,80 @@ def _purge_within_lists(assigned: DataFrame, threshold: float) -> DataFrame:
     return assigned.join(purged, "vec_id", "left_anti").select("vec_id", "list_id")
 
 
+def _lloyd_round_supers(C, cnorms):
+    """One fold-exact Lloyd round over the centroid matrix: init
+    supers are every m-th centroid (m = ceil(sqrt(k)) over the
+    ascending-id list), each centroid routes to its nearest init
+    (self-forced for the inits — an FP self-cosine is 1±ulp and could
+    lose a tie, emptying a member set), and each super becomes the
+    per-dim MEAN of its members in ascending-centroid-index fold
+    order (acc seeded 0.0, one division by the member count) — the
+    identical operation sequence the DuckDB oracle's
+    list_reduce/count(*) expression runs, so the means are
+    bit-reproducible.  Returns (S_means, member_parent0) — the means
+    and the init membership.  Means track the local data mass, so
+    child-set sizes stay far more even than raw every-m-th-id supers
+    (the measured skew that made nprobe=1 routing lose below the
+    crossover — VERDICT r9 #3)."""
+    import math
+
+    import numpy as np
+
+    k = C.shape[0]
+    m = int(math.ceil(math.sqrt(k)))  # float sqrt: lockstep with the oracle
+    sup_idx = np.arange(0, k, m)
+    S0, s0norms = C[sup_idx], cnorms[sup_idx]
+    parent0 = np.argmax(
+        _fold_dot_matrix(C, S0) / (cnorms[:, None] * s0norms[None, :]), axis=1
+    )
+    parent0[sup_idx] = np.arange(len(sup_idx))
+    S = np.zeros((len(sup_idx), C.shape[1]))
+    for p in range(len(sup_idx)):
+        members = np.flatnonzero(parent0 == p)  # ascending centroid index
+        acc = np.zeros(C.shape[1])
+        for i in members:
+            acc = acc + C[i]
+        S[p] = acc / len(members)
+    return S, parent0
+
+
 def semantic_dedup_two_level(
     emb: DataFrame,
     threshold: float = 0.25,
     centroid_ids: list[int] | None = None,
-    nprobe: int = 1,
+    nprobe: int = 2,
 ) -> DataFrame:
     """SemDeDup with TWO-LEVEL centroid routing — the assignment-cost
     fix for the fourth decade.  Flat assignment is O(n·k) cosine
     folds; with the corpus-scaled k ~ n/500 that term grows ~n²/500
     and eventually dominates (the SemDeDup paper pays it on GPUs).
-    Here every m-th centroid (m = ceil(sqrt(k)), over the ascending-id
-    centroid list) doubles as a SUPER-centroid: each centroid routes
-    to its nearest super (driver-side, O(k·sqrt(k)) on ~sqrt(k)
-    supers), and each vector routes to its nearest super then to the
-    nearest centroid among that super's children — O(n·(sqrt(k) +
-    k/sqrt(k))) = O(n·sqrt(k)) folds, a sqrt(k)/2 reduction that keeps
-    assignment subdominant at any corpus the pair term can handle.
+    Supers come from ONE fold-exact Lloyd round (init = every m-th
+    centroid, m = ceil(sqrt(k)); supers = member MEANS — see
+    _lloyd_round_supers: means track data mass, so child sets stay
+    even), every centroid routes to its nearest mean, and each vector
+    probes its top-``nprobe`` supers (default 2) then picks the
+    nearest centroid among their children — O(n·(sqrt(k) +
+    nprobe·k/sqrt(k))) = O(n·sqrt(k)) folds.
 
     The routing is a deterministic pure function (all tiebreaks
-    cos DESC, id ASC; same fold kernels as ivf_topk), so the DuckDB
-    oracle reproduces the identical two-level assignment from fixed
-    SQL — hash-exact, not approximately-equal.  Routing may differ
-    from flat assignment for vectors near cluster boundaries (the
-    standard IVF coarse-quantizer trade; recall governed by the same
-    geometry as nprobe=1), so this is a sibling of semantic_dedup,
+    cos DESC, index ASC; same fold kernels as ivf_topk; the Lloyd
+    means in a fixed fold order), so the DuckDB oracle reproduces the
+    identical two-level assignment from fixed SQL — hash-exact, not
+    approximately-equal.  Routing may differ from flat assignment for
+    vectors near cluster boundaries (the standard IVF
+    coarse-quantizer trade), so this is a sibling of semantic_dedup,
     not a drop-in twin.
 
     Purge semantics after assignment are identical (shared
     _purge_within_lists).
 
-    ``nprobe`` widens the super probe (the recall knob): each vector's
-    candidate centroids are the children of its top-nprobe supers
-    (ranked cos DESC, super_id ASC), at proportional assignment cost.
-    DEGENERACY CONTRACT, pinned by tests: with nprobe >= the super
-    count every centroid is a candidate for every vector, so the
-    routing collapses to exactly flat assignment and the result
-    equals semantic_dedup bit-for-bit — the property test that
-    validates the routing code against the flat reference."""
-    import math
-
+    Vectors rank only supers that HAVE children after the final
+    routing (a mean can end up childless; probing it would strand the
+    vector) — the oracle applies the same restriction.
+    DEGENERACY CONTRACT, pinned by tests: with nprobe >= the
+    (non-empty) super count every centroid is a candidate for every
+    vector, so the routing collapses to exactly flat assignment and
+    the result equals semantic_dedup bit-for-bit."""
     import numpy as np
     import pandas as pd
 
@@ -1311,27 +1507,24 @@ def semantic_dedup_two_level(
             "semantic_dedup_two_level requires every centroid row to be "
             "present; pass centroid_ids= with ids that exist in this relation"
         )
-    k = len(cents)
-    m = int(math.ceil(math.sqrt(k)))  # float sqrt: lockstep with the oracle
     cids = np.array([cid for cid, _ in cents], dtype=np.int64)
     C = np.array([cv for _, cv in cents], dtype=np.float64)
     cnorms = _fold_norm(C)
-    sup_idx = np.arange(0, k, m)  # every m-th centroid, ascending id
-    S, snorms = C[sup_idx], cnorms[sup_idx]
-    # centroid → parent super, driver-side: argmax first-win over
-    # ascending-super-id columns == (cos DESC, super_id ASC).  A super
-    # parents ITSELF by definition (not by argmax: its FP self-cosine
-    # is 1±ulp and could lose a tie to a near-collinear sibling, which
-    # would leave that super's child set empty — a crash here and a
-    # silent row drop in the oracle's join) — so every routable super
-    # has at least one child.
+    S, _ = _lloyd_round_supers(C, cnorms)
+    snorms = _fold_norm(S)
+    # final routing: EVERY centroid (inits included) to its nearest
+    # mean — argmax first-win over ascending super index == (cos DESC,
+    # super_idx ASC)
     parent = np.argmax(
         _fold_dot_matrix(C, S) / (cnorms[:, None] * snorms[None, :]), axis=1
     )
-    parent[sup_idx] = np.arange(len(sup_idx))
-    children = [np.flatnonzero(parent == p) for p in range(len(sup_idx))]
+    children = [np.flatnonzero(parent == p) for p in range(S.shape[0])]
+    nonempty = np.array(
+        [p for p in range(S.shape[0]) if children[p].size], dtype=np.int64
+    )
+    S_act, s_act_norms = S[nonempty], snorms[nonempty]
 
-    probe = min(nprobe, len(sup_idx))
+    probe = min(nprobe, len(nonempty))
 
     def assign_two_level(it):
         for pdf in it:
@@ -1339,22 +1532,26 @@ def semantic_dedup_two_level(
                 continue
             V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
             nv = _fold_norm(V)
-            sup_cos = _fold_dot_matrix(V, S) / (nv[:, None] * snorms[None, :])
+            sup_cos = _fold_dot_matrix(V, S_act) / (
+                nv[:, None] * s_act_norms[None, :]
+            )
             # top-`probe` supers per row via repeated first-win argmax
-            # (each round == next rank of (cos DESC, super_id ASC))
+            # (each round == next rank of (cos DESC, super_idx ASC),
+            # restricted to non-empty supers like the oracle)
             p_mat = np.empty((len(V), probe), dtype=np.int64)
             for t in range(probe):
                 p_mat[:, t] = np.argmax(sup_cos, axis=1)
                 sup_cos[np.arange(len(V)), p_mat[:, t]] = -np.inf
             lists = np.empty(len(V), dtype=np.int64)
             # group rows by their (sorted) probed-super set — candidate
-            # centroids depend only on the set, and combinations are
-            # bounded by C(#supers, probe)
+            # centroids depend only on the set
             combos = np.sort(p_mat, axis=1)
             for combo in np.unique(combos, axis=0):
                 rows = np.flatnonzero((combos == combo).all(axis=1))
                 ch = np.sort(
-                    np.concatenate([children[p] for p in np.unique(combo)])
+                    np.concatenate(
+                        [children[nonempty[p]] for p in np.unique(combo)]
+                    )
                 )  # ascending cidx == ascending centroid_id tiebreak
                 cos = _fold_dot_matrix(V[rows], C[ch]) / (
                     nv[rows, None] * cnorms[ch][None, :]

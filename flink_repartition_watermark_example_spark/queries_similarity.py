@@ -755,9 +755,12 @@ def q_semantic_dedup_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semantic_dedup_joined(emb, SIM.scaled_centroids_df(emb))
 
 
-@register_extra(
-    "semantic_dedup_hier",
-    f"""
+# Super-probe width for the two-level router (the recall knob): 2
+# nearest supers per vector — the standard IVF nprobe compromise,
+# measured to recover the boundary losses nprobe=1 paid.
+HIER_NPROBE = 2
+
+_SEMDEDUP_HIER_SQL = f"""
     WITH params AS (
       SELECT GREATEST(16, CAST(count(*) // {SIM.SEMDEDUP_PER_CLUSTER} AS BIGINT)) AS k
       FROM embeddings
@@ -771,38 +774,59 @@ def q_semantic_dedup_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ceil(sqrt(p.k)) AS BIGINT) AS m
       FROM elig e, params p WHERE e.rn <= p.k
     ),
-    super AS (
-      SELECT centroid_id AS super_id, cv AS sv FROM cent WHERE cidx % m = 0
+    init AS (
+      SELECT cidx // m AS sidx, centroid_id, cv FROM cent WHERE cidx % m = 0
     ),
-    cpar AS (
-      SELECT centroid_id, cv, centroid_id AS super_id
-      FROM cent WHERE cidx % m = 0
+    memb AS (
+      SELECT sidx, centroid_id, cv FROM init
       UNION ALL
-      SELECT centroid_id, cv, super_id FROM (
-        SELECT c.centroid_id, c.cv, s.super_id,
+      SELECT sidx, centroid_id, cv FROM (
+        SELECT c.centroid_id, c.cv, i.sidx,
+               row_number() OVER (PARTITION BY c.centroid_id
+                                  ORDER BY {cosine_sql('c.cv', 'i.cv')} DESC,
+                                           i.sidx ASC) AS rs
+        FROM (SELECT * FROM cent WHERE cidx % m <> 0) c CROSS JOIN init i
+      ) WHERE rs = 1
+    ),
+    sup AS (
+      SELECT sidx,
+             list_transform(range(1, {SIM.EMBED_DIM} + 1), j ->
+               list_reduce(
+                 list_transform(list(cv ORDER BY centroid_id),
+                                w -> w[j]::DOUBLE),
+                 (a, b) -> a + b) / count(*)) AS sv
+      FROM memb GROUP BY sidx
+    ),
+    childs AS (
+      SELECT sidx, centroid_id, cv FROM (
+        SELECT c.centroid_id, c.cv, s.sidx,
                row_number() OVER (PARTITION BY c.centroid_id
                                   ORDER BY {cosine_sql('c.cv', 's.sv')} DESC,
-                                           s.super_id ASC) AS rs
-        FROM (SELECT * FROM cent WHERE cidx % m <> 0) c CROSS JOIN super s
+                                           s.sidx ASC) AS rs
+        FROM cent c CROSS JOIN sup s
       ) WHERE rs = 1
+    ),
+    asup AS (
+      SELECT s.sidx, s.sv FROM sup s
+      WHERE s.sidx IN (SELECT DISTINCT sidx FROM childs)
     ),
     v AS (SELECT vec_id, embedding AS x FROM embeddings),
     vsup AS (
-      SELECT vec_id, x, super_id FROM (
-        SELECT v.vec_id, v.x, s.super_id,
+      SELECT vec_id, x, sidx FROM (
+        SELECT v.vec_id, v.x, a.sidx,
                row_number() OVER (PARTITION BY v.vec_id
-                                  ORDER BY {cosine_sql('v.x', 's.sv')} DESC,
-                                           s.super_id ASC) AS rs
-        FROM v CROSS JOIN super s
-      ) WHERE rs = 1
+                                  ORDER BY {cosine_sql('v.x', 'a.sv')} DESC,
+                                           a.sidx ASC) AS rs
+        FROM v CROSS JOIN asup a
+      ) WHERE rs <= {HIER_NPROBE}
     ),
     lists AS (
       SELECT vec_id, x, centroid_id AS list_id FROM (
-        SELECT vs.vec_id, vs.x, cp.centroid_id,
+        SELECT vs.vec_id, vs.x, ch.centroid_id,
                row_number() OVER (PARTITION BY vs.vec_id
-                                  ORDER BY {cosine_sql('vs.x', 'cp.cv')} DESC,
-                                           cp.centroid_id ASC) AS rc
-        FROM vsup vs JOIN cpar cp ON cp.super_id = vs.super_id
+                                  ORDER BY {cosine_sql('vs.x', 'ch.cv')} DESC,
+                                           ch.centroid_id ASC) AS rc
+        FROM vsup vs JOIN childs ch ON ch.sidx = vs.sidx
       ) WHERE rc = 1
     ),
     purged AS (
@@ -813,38 +837,37 @@ def q_semantic_dedup_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l.vec_id, l.list_id FROM lists l
     WHERE l.vec_id NOT IN (SELECT vec_id FROM purged)
-    """,
+    """
+
+
+@register_extra(
+    "semantic_dedup_hier",
+    _SEMDEDUP_HIER_SQL,
     doc="SemDeDup with TWO-LEVEL centroid routing at the corpus-scaled "
-    "k — the assignment-cost fix for the fourth decade.  Every m-th "
-    "centroid (m = ceil(sqrt(k))) is a super-centroid that parents "
-    "itself; other centroids route to their nearest super, and each "
-    "vector routes super-first then within the chosen super's "
-    "children: O(n*sqrt(k)) assignment folds instead of flat O(n*k).  "
-    "All routing is deterministic (cos DESC, id ASC tiebreaks, "
-    "fold-exact kernels), so the oracle reproduces the identical "
-    "two-level assignment from fixed SQL — hash-exact, not "
-    "approximately-equal.  Purge semantics unchanged (min-id survivor "
-    "per >=0.25-cosine epsilon-ball within a cluster).  Routing can "
-    "differ from flat assignment near cluster boundaries (the "
-    "standard IVF coarse-quantizer trade), so this is a sibling of "
-    "semantic_dedup_scaled, not a value-equal twin — measured at "
-    "sf0.01/k=40: flat purges 306 of 500, two-level purges 248 "
-    "(~81% dedup recall at nprobe=1; raising super-probe width is "
-    "the recall knob, at proportional assignment cost).  MEASURED "
-    "HONESTLY against the flat router: SLOWER at sf1 (14.3 s vs "
-    "5.9 s) and sf10 (88.8 s vs 39.5 s) — every-m-th-id supers skew "
-    "the cluster sizes and the quadratic pair term inflates faster "
-    "than the O(n*sqrt(k)) assignment saves, because at <=2M vectors "
-    "assignment is not yet the dominant term.  This is the "
-    "fourth-decade path (flat n*k passes 2e13 folds at n=1e8, "
-    "k=n/500; two-level passes 9e10), kept registered with its "
-    "constants on record — pick it when assignment dominates, never "
-    "below that crossover.",
+    "k — the assignment-cost fix for the fourth decade: O(n*sqrt(k)) "
+    "assignment folds instead of flat O(n*k) (flat passes 2e13 folds "
+    "at n=1e8, k=n/500; two-level passes ~1e11).  Round-10 router "
+    "(VERDICT r9 #3): supers come from ONE fold-exact Lloyd round "
+    "(init = every m-th centroid, m = ceil(sqrt(k)); supers = member "
+    "MEANS in a fixed fold order, so child sets track data mass "
+    "instead of inheriting every-m-th-id skew), every centroid "
+    "routes to its nearest mean, and each vector probes its top-2 "
+    "supers (HIER_NPROBE — the recall knob that recovers nprobe=1's "
+    "boundary losses).  All routing is deterministic (cos DESC, "
+    "index ASC tiebreaks, fold-exact kernels, list_reduce means), so "
+    "the oracle reproduces the identical two-level assignment from "
+    "fixed SQL — hash-exact, not approximately-equal.  Purge "
+    "semantics unchanged (min-id survivor per >=0.25-cosine "
+    "epsilon-ball within a cluster).  Routing can still differ from "
+    "flat near boundaries (the IVF coarse-quantizer trade), so this "
+    "is a sibling of semantic_dedup_scaled, not a value-equal twin — "
+    "recall/wall vs flat re-measured per round in the sweep "
+    "artifacts and tests/test_semdedup_hier.py.",
 )
 def q_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.semantic_dedup_two_level(
-        emb, centroid_ids=SIM.scaled_centroid_ids(emb)
+        emb, centroid_ids=SIM.scaled_centroid_ids(emb), nprobe=HIER_NPROBE
     )
 
 

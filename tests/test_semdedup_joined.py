@@ -30,6 +30,25 @@ def test_joined_tier_is_bit_identical_to_closure_tier(spark, sf_dir):
     assert closure, "expected survivors"
 
 
+def test_two_level_joined_is_bit_identical_to_closure_two_level(spark, sf_dir):
+    """The fully-relational router (broadcast Lloyd-mean supers,
+    shuffled child equi-join, struct-max argmaxes) reproduces the
+    closure-path two-level assignment bit-for-bit — the k>=1e5
+    recorder (scripts/record_semdedup_hier_k.py) runs THIS form."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids = SIM.scaled_centroid_ids(emb)
+    closure = _survivors(
+        SIM.semantic_dedup_two_level(emb, centroid_ids=ids, nprobe=2)
+    )
+    joined = _survivors(
+        SIM.semantic_dedup_two_level_joined(
+            emb, SIM.scaled_centroids_df(emb), nprobe=2
+        )
+    )
+    assert closure == joined
+    assert closure
+
+
 def test_joined_assignment_plan_broadcasts_the_centroid_relation(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     vectors = SIM.fan_out(emb, "vec_id").select(
