@@ -301,3 +301,17 @@ def test_two_level_routing_degenerates_to_flat_at_full_probe(spark, sf_dir):
     one = semantic_dedup_two_level(emb, centroid_ids=cids, nprobe=1).count()
     two = semantic_dedup_two_level(emb, centroid_ids=cids, nprobe=2).count()
     assert two <= one
+
+
+def test_adaptive_nprobe_recovers_filtered_recall(spark, sf_dir):
+    """The filtered path's recall must not fall below the unfiltered
+    path's (round-9 starvation: fixed nprobe measured 0.8/5 vs 1.0/5
+    at sf0.01; adaptive widening measured 1.5/5).  Mean hits@5 over
+    the 10 query rows, integer-exact both sides."""
+    from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES
+
+    def mean_hits(name):
+        rows = EXTRA_QUERIES[name].spark(spark, sf_dir).collect()
+        return sum(r["hits"] for r in rows) / len(rows)
+
+    assert mean_hits("ann_recall_filtered") >= mean_hits("ann_recall_ivf")
