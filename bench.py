@@ -121,6 +121,11 @@ BENCH_EXTRAS = [
     # round-10: the broadcast-relation SemDeDup assignment tier,
     # hash-checked against the same oracle as the gate query; 95 -> 96
     "semantic_dedup_joined",
+    # round-10 additions: retrieval hard negatives, the SemDeDup
+    # cluster-size histogram, and the int8 quantization audit; 96 -> 99
+    "hard_negative_mining",
+    "semantic_cluster_sizes",
+    "embedding_int8_quant_stats",
 ]
 
 

@@ -1092,6 +1092,30 @@ def semantic_dedup(
 
     if centroid_ids is not None and not centroid_ids:
         raise ValueError("centroid_ids must be non-empty (or None for defaults)")
+    assigned = (
+        closure_assignment(emb, centroid_ids)
+        # persist + pin: the relation feeds both sides of the pair
+        # self-join AND the final anti-join — uncached, the Arrow
+        # assignment kernel would run 3x per action (the documented
+        # round-5 concurrent-fan-in trap)
+        .persist()
+    )
+    assigned.count()
+    return _purge_within_lists(assigned, threshold)
+
+
+def closure_assignment(
+    emb: DataFrame, centroid_ids: list[int] | None = None
+) -> DataFrame:
+    """The nearest-centroid assignment stage of :func:`semantic_dedup`
+    on its own — (vec_id, v, nv, list_id) via the closure-matrix
+    fold-exact kernel (centroids collected once, shipped per task) —
+    exposed for monitoring queries that need the assignment without
+    the purge.  The k <= SEMDEDUP_CLOSURE_K_MAX tier; use
+    :func:`assign_by_join` above it."""
+    import numpy as np
+    import pandas as pd
+
     want = sorted(centroid_ids if centroid_ids is not None else CENTROID_IDS)
     cents = _centroids(emb, want)
     if [cid for cid, _ in cents] != want:
@@ -1123,20 +1147,13 @@ def semantic_dedup(
                 }
             )
 
-    assigned = (
+    return (
         fan_out(emb, "vec_id")
         .select("vec_id", as_double("embedding").alias("v"))
         .mapInPandas(
             assign_top1, schema="vec_id long, v array<double>, nv double, list_id long"
         )
-        # persist + pin: the relation feeds both sides of the pair
-        # self-join AND the final anti-join — uncached, the Arrow
-        # assignment kernel would run 3x per action (the documented
-        # round-5 concurrent-fan-in trap)
-        .persist()
     )
-    assigned.count()
-    return _purge_within_lists(assigned, threshold)
 
 
 def _score_candidates(cand: DataFrame) -> DataFrame:

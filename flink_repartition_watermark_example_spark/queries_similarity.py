@@ -661,12 +661,13 @@ def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semantic_dedup(load_table(spark, sf_dir, "embeddings"))
 
 
-# The production-config SemDeDup oracle — shared VERBATIM by the gate
-# query (closure assignment at the k<=4096 tier) and the joined twin
-# below (broadcast-relation assignment, the 4th-decade tier): both
-# paths must hash-match the SAME SQL, which is the equality proof.
-_SEMDEDUP_SCALED_SQL = f"""
-    WITH params AS (
+# The production-config SemDeDup assignment CTEs — shared VERBATIM by
+# the gate query (closure assignment at the k<=4096 tier), the joined
+# twin (broadcast-relation assignment, the 4th-decade tier), and the
+# cluster-size monitoring query: every consumer must hash-match the
+# SAME assignment SQL, which is the equality proof.
+_SEMDEDUP_ASSIGN_CTES = f"""
+    params AS (
       SELECT GREATEST(16, CAST(count(*) // {SIM.SEMDEDUP_PER_CLUSTER} AS BIGINT)) AS k
       FROM embeddings
     ),
@@ -685,7 +686,10 @@ _SEMDEDUP_SCALED_SQL = f"""
                                          centroid_id ASC) AS rn
       FROM v CROSS JOIN cent
     ),
-    lists AS (SELECT vec_id, x, centroid_id AS list_id FROM assign WHERE rn = 1),
+    lists AS (SELECT vec_id, x, centroid_id AS list_id FROM assign WHERE rn = 1)"""
+
+_SEMDEDUP_SCALED_SQL = f"""
+    WITH {_SEMDEDUP_ASSIGN_CTES},
     purged AS (
       SELECT DISTINCT b.vec_id
       FROM lists a JOIN lists b
@@ -995,3 +999,215 @@ def q_ann_recall_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = SIM.ivf_topk(emb, corpus_pred=pred)
     exact = SIM.cosine_topk(emb.where((F.col("vec_id") < 10) | pred))
     return _recall_df(approx, exact, "ivf_filtered")
+
+
+# --- retrieval-training data prep ------------------------------------------
+
+_HARDNEG_LO, _HARDNEG_HI = 6, 15
+
+
+@register_extra(
+    "hard_negative_mining",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 10),
+    c AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id >= 10),
+    exact AS (
+      SELECT query_id, vec_id, cos_sim FROM (
+        SELECT query_id, vec_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        FROM (SELECT query_id, c.vec_id, {cosine_sql('qv', 'v')} AS cos_sim
+              FROM c CROSS JOIN q)
+      ) WHERE rank <= 5
+    ),
+    cent AS (
+      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+      WHERE vec_id IN ({", ".join(str(c) for c in SIM.CENTROID_IDS)})
+    ),
+    assign AS (
+      SELECT vec_id, v, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {cosine_sql('v', 'cv')} DESC,
+                                         centroid_id ASC) AS rn
+      FROM c CROSS JOIN cent
+    ),
+    ivlists AS (SELECT vec_id, v, centroid_id AS list_id FROM assign WHERE rn = 1),
+    qp AS (
+      SELECT query_id, qv, centroid_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {cosine_sql('qv', 'cv')} DESC,
+                                         centroid_id ASC) AS rn
+      FROM q CROSS JOIN cent
+    ),
+    probes AS (SELECT query_id, qv, centroid_id AS list_id FROM qp
+               WHERE rn <= {SIM.NPROBE}),
+    approx AS (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM (SELECT p.query_id, l.vec_id, {cosine_sql('p.qv', 'l.v')} AS cos_sim
+            FROM probes p JOIN ivlists l ON l.list_id = p.list_id)
+    ),
+    neg AS (
+      SELECT a.query_id, a.vec_id, a.cos_sim
+      FROM approx a
+      LEFT JOIN exact e ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+      WHERE a.rank BETWEEN {_HARDNEG_LO} AND {_HARDNEG_HI} AND e.vec_id IS NULL
+    )
+    SELECT query_id, vec_id, cos_sim, CAST(1 AS BIGINT) AS label FROM exact
+    UNION ALL
+    SELECT query_id, vec_id, cos_sim, CAST(0 AS BIGINT) AS label FROM neg
+    """,
+    doc="Hard-negative mining for retrieval/embedding training: per "
+    "query, positives are the EXACT cosine top-5 (label 1) and hard "
+    "negatives are the IVF-probed candidates ranked just below the "
+    f"top-k ({_HARDNEG_LO}..{_HARDNEG_HI}, label 0), anti-joined "
+    "against the positives — close-but-not-nearest neighbors, the "
+    "negatives that actually move a contrastive loss (random "
+    "negatives are too easy; see contrastive_pairs for that shape).  "
+    "Scale shape: the exact side is the broadcast brute-force "
+    "baseline over 10 queries; the negative side reuses the IVF "
+    "machinery — candidate generation stays a broadcast hash join on "
+    "list_id, never all-pairs; both sides' cosines share the "
+    "fold-exact kernels so the union hash-matches the oracle.",
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = SIM.cosine_topk(emb).select(
+        "query_id", "vec_id", "cos_sim", F.lit(1).cast("long").alias("label")
+    )
+    neg = (
+        SIM.ivf_topk(emb, k=_HARDNEG_HI)
+        .where(F.col("rank") >= _HARDNEG_LO)
+        .join(pos.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti")
+        .select(
+            "query_id", "vec_id", "cos_sim", F.lit(0).cast("long").alias("label")
+        )
+    )
+    return pos.unionByName(neg)
+
+
+@register_extra(
+    "semantic_cluster_sizes",
+    f"""
+    WITH {_SEMDEDUP_ASSIGN_CTES},
+    sizes AS (
+      SELECT list_id, count(*) AS n FROM lists GROUP BY list_id
+    )
+    SELECT CAST(n AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(n * count(*) AS BIGINT) AS n_vectors
+    FROM sizes GROUP BY n
+    """,
+    doc="Cluster-size histogram of the production SemDeDup assignment "
+    "(the SAME assignment CTEs as the gate query, verbatim): how many "
+    "lists hold exactly s vectors, and the vector mass they carry — "
+    "the monitoring readout for the k ~ n/500 lever, because the "
+    "purge stage's cost is sum(s^2) over this table and a skewed "
+    "tail is the first symptom of a broken centroid set (the "
+    "round-10 router work was motivated by exactly this "
+    "distribution).  Spark side dispatches by the same tier rule as "
+    "the gate query — closure-matrix kernel at k <= 4096, broadcast-"
+    "relation assign_by_join above (no O(k) driver collect) — then "
+    "two tiny cascaded aggregations: O(k) rows after the first, "
+    "O(distinct sizes) after the second.",
+)
+def q_semantic_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = max(16, n // SIM.SEMDEDUP_PER_CLUSTER)
+    if k <= SIM.SEMDEDUP_CLOSURE_K_MAX:
+        assigned = SIM.closure_assignment(emb, SIM.scaled_centroid_ids(emb))
+    else:
+        vectors = SIM.fan_out(emb, "vec_id").select(
+            "vec_id", SIM.as_double("embedding").alias("v")
+        )
+        assigned = SIM.assign_by_join(vectors, SIM.scaled_centroids_df(emb))
+    sizes = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        sizes.groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            F.col("n").cast("long").alias("cluster_size"),
+            "n_clusters",
+            (F.col("n") * F.col("n_clusters")).cast("long").alias("n_vectors"),
+        )
+    )
+
+
+# --- embedding compression monitoring --------------------------------------
+
+_INT8_ERR_Q = 1_000_000  # err quantum: floor(1e6 * |x - deq|), exact int sums
+
+
+@register_extra(
+    "embedding_int8_quant_stats",
+    f"""
+    WITH comp AS (
+      SELECT label, j, embedding[j]::DOUBLE AS x
+      FROM embeddings, range(1, {SIM.EMBED_DIM} + 1) r(j)
+    ),
+    scale AS (
+      SELECT j, max(abs(x)) / 127.0 AS s FROM comp GROUP BY j
+    ),
+    qerr AS (
+      SELECT c.label,
+             CAST(floor(c.x / s.s) AS BIGINT) AS code,
+             CAST(floor({_INT8_ERR_Q} *
+               abs(c.x - floor(c.x / s.s) * s.s)) AS BIGINT) AS e_q
+      FROM comp c JOIN scale s ON s.j = c.j AND s.s > 0
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_components,
+           CAST(sum(e_q) AS BIGINT) AS sum_err_q,
+           CAST(max(e_q) AS BIGINT) AS max_err_q,
+           CAST(min(code) AS BIGINT) AS min_code,
+           CAST(max(code) AS BIGINT) AS max_code
+    FROM qerr GROUP BY label
+    """,
+    doc="Int8 embedding-quantization error audit: symmetric per-"
+    "dimension scales s_j = max|x_j| / 127, floor-quantized codes "
+    "(floor, not round — deterministic across engines), and per-"
+    "label reconstruction-error stats with the exact-integer float "
+    "discipline (|x - code*s| is floor-quantized to 1e-6 units "
+    "BEFORE summing, so both engines add identical integers).  This "
+    "is the go/no-go readout before shipping a quantized ANN index "
+    "or training on compressed embeddings.  Scale shape: one "
+    "posexplode pass per stage — a 64-row per-dim max aggregate "
+    "(map-side combined) broadcast-joined back onto the exploded "
+    "components, then a per-label aggregate; nothing wider than "
+    "n x 64 rows, no shuffle of the vectors themselves.",
+)
+def q_embedding_int8_quant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode(SIM.as_double("embedding")).alias("j0", "x")
+    ).select("label", (F.col("j0") + 1).alias("j"), "x")
+    scale = (
+        comp.groupBy("j")
+        .agg((F.max(F.abs(F.col("x"))) / F.lit(127.0)).alias("s"))
+        .where(F.col("s") > 0)
+    )
+    code = F.floor(F.col("x") / F.col("s"))
+    e_q = F.floor(
+        F.lit(_INT8_ERR_Q) * F.abs(F.col("x") - code * F.col("s"))
+    ).cast("long")
+    return (
+        comp.join(F.broadcast(scale), "j")
+        .select("label", code.cast("long").alias("code"), e_q.alias("e_q"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.sum("e_q").cast("long").alias("sum_err_q"),
+            F.max("e_q").cast("long").alias("max_err_q"),
+            F.min("code").cast("long").alias("min_code"),
+            F.max("code").cast("long").alias("max_code"),
+        )
+    )

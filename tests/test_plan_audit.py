@@ -68,6 +68,11 @@ NESTED_LOOP_ALLOWED = {
     # SEMDEDUP_BROADCAST_BYTES (the operator refuses flat assignment
     # past it), so the broadcast side is never data-scale
     "semantic_dedup_joined",
+    # same assign_by_join tier feeding the cluster-size histogram
+    "semantic_cluster_sizes",
+    # embeds cosine_topk (the 10-query broadcast brute-force baseline)
+    # as its positives side
+    "hard_negative_mining",
 }
 
 
