@@ -124,10 +124,11 @@ FAMILIES: dict[str, set[str]] = {
         "semantic_dedup_survivors",
         "semantic_dedup_joined",
         "semantic_dedup_hier",
+        "semantic_cluster_sizes",
     },
     # similarity search
     "exact_knn": {"cosine_topk", "embedding_neardup_pairs"},
-    "ivf_ann": {"ivf_ann_topk", "ivf_ann_filtered_topk"},
+    "ivf_ann": {"ivf_ann_topk", "ivf_ann_filtered_topk", "hard_negative_mining"},
     # sketches
     "sketch_aggregates": {"approx_distinct_users_sketch"},
     # multimodal plumbing
