@@ -126,6 +126,8 @@ BENCH_EXTRAS = [
     "hard_negative_mining",
     "semantic_cluster_sizes",
     "embedding_int8_quant_stats",
+    # QA audit sampling over the near-dup pair graph; 99 -> 100
+    "dedup_audit_sample",
 ]
 
 

@@ -117,7 +117,12 @@ FAMILIES: dict[str, set[str]] = {
         "minhash_signatures",
         "neardup_verified_pairs",
     },
-    "simhash": {"neardup_purged_docs", "simhash_docs", "simhash_neardup_pairs"},
+    "simhash": {
+        "neardup_purged_docs",
+        "simhash_docs",
+        "simhash_neardup_pairs",
+        "dedup_audit_sample",
+    },
     "span_dedup": {"span_dedup_stats", "span_dedup_docs"},
     "semantic_dedup": {
         "semantic_dedup_scaled",

@@ -598,3 +598,57 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
     )
     return pos.unionAll(neg)
+
+
+# --- human-QA audit sampling ------------------------------------------------
+
+AUDIT_PER_STRATUM = 20
+
+
+@register_extra(
+    "dedup_audit_sample",
+    f"""
+    WITH pairs AS ({EXTRA_QUERIES["simhash_neardup_pairs"].oracle}),
+    keyed AS (
+      SELECT doc_a, doc_b, hamming,
+             md5(CAST(doc_a AS VARCHAR) || ':' || CAST(doc_b AS VARCHAR)) AS h
+      FROM pairs
+    ),
+    ranked AS (
+      SELECT doc_a, doc_b, hamming,
+             row_number() OVER (PARTITION BY hamming
+                                ORDER BY h, doc_a, doc_b) AS rn
+      FROM keyed
+    )
+    SELECT doc_a, doc_b, hamming, CAST(rn AS BIGINT) AS sample_rank
+    FROM ranked WHERE rn <= {AUDIT_PER_STRATUM}
+    """,
+    doc="Deterministic audit sampling of the near-dup pair graph for "
+    f"human QA: up to {AUDIT_PER_STRATUM} pairs per Hamming-distance "
+    "stratum, ordered by the md5 of the pair key — a reproducible "
+    "pseudo-random draw (the md5 hash family both engines share), so "
+    "reviewers at different sites label the SAME pairs and "
+    "precision-at-threshold estimates are comparable across runs.  "
+    "Every dedup rollout needs this readout: the purge threshold is "
+    "a precision/recall dial and only labeled samples calibrate it.  "
+    "Scale shape: the pair graph is already cap-bounded (banded "
+    "equi-joins upstream); the stratified draw is one window over "
+    "O(strata) partitions — hamming <= 3 means at most 4 partitions, "
+    "each TakeOrdered-bounded by the per-stratum cap after the "
+    "window, O(strata x cap) output rows.",
+)
+def q_dedup_audit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    pairs = q_simhash_neardup_pairs(spark, sf_dir)
+    h = F.md5(
+        F.concat(
+            F.col("doc_a").cast("string"), F.lit(":"), F.col("doc_b").cast("string")
+        )
+    )
+    w = Window.partitionBy("hamming").orderBy(h, "doc_a", "doc_b")
+    return (
+        pairs.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= AUDIT_PER_STRATUM)
+        .select("doc_a", "doc_b", "hamming", "sample_rank")
+    )

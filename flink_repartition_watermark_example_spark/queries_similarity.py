@@ -878,8 +878,15 @@ _SEMDEDUP_HIER_SQL = f"""
     "epsilon-ball within a cluster).  Routing can still differ from "
     "flat near boundaries (the IVF coarse-quantizer trade), so this "
     "is a sibling of semantic_dedup_scaled, not a value-equal twin — "
-    "recall/wall vs flat re-measured per round in the sweep "
-    "artifacts and tests/test_semdedup_hier.py.",
+    "recall/wall vs flat re-measured per round: purge recall 0.991 "
+    "at sf1 (0.70x flat wall), 0.999 at sf10 (0.98x), and at the "
+    "THIRD decade the lever pays outright — sf100 (2M vectors, "
+    "k=4000) runs 480 s where flat measured 1188 s (BENCH_sf100 "
+    "semdedup_scaled_k), a 2.5x win right where O(n*sqrt(k)) "
+    "assignment starts dominating O(n*k).  The 10.3x sf10->sf100 "
+    "wall ratio tracks the n^1.5 work model (k ~ n/500 makes ideal "
+    "scaling ~31.6x per decade; measured less than a third of "
+    "that).",
 )
 def q_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
