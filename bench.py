@@ -128,6 +128,8 @@ BENCH_EXTRAS = [
     "embedding_int8_quant_stats",
     # QA audit sampling over the near-dup pair graph; 99 -> 100
     "dedup_audit_sample",
+    # the idempotent max-merge scale index replay; 100 -> 101
+    "streaming_int8_scales",
 ]
 
 

@@ -62,6 +62,7 @@ FAMILIES: dict[str, set[str]] = {
         "streaming_hll_distinct_users",
         "streaming_quantile_value",
         "streaming_bitmap_active_users",
+        "streaming_int8_scales",
     },
     # scans / filters / projections / pushdown
     "scan_filter_project": {"scan_filter_project"},

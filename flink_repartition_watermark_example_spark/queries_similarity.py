@@ -1218,3 +1218,43 @@ def q_embedding_int8_quant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("code").cast("long").alias("max_code"),
         )
     )
+
+
+@register_extra(
+    "streaming_int8_scales",
+    f"""
+    SELECT j, max(abs(embedding[j]::DOUBLE)) / 127.0 AS s
+    FROM embeddings, range(1, {SIM.EMBED_DIM} + 1) r(j)
+    GROUP BY j
+    """,
+    doc="The incremental per-dim |x|-max index (streaming/int8scale.py)"
+    " run THROUGH Structured Streaming and value-checked against the "
+    "batch scale computation: embeddings replay as three vec_id-keyed "
+    "file-batches, each contributing a 64-row (j, max|x_j|) delta via "
+    "foreachBatch; versions compact losslessly and the merged scales "
+    "are max-of-deltas / 127.  Max-merge is the streaming package's "
+    "third algebraic class — commutative/associative like the "
+    "counters AND idempotent, so the result survives not just any "
+    "arrival order but duplicated replays (pinned in "
+    "tests/test_streaming_int8scale.py).  These are the live scale "
+    "factors a quantized ANN index or int8 training pipeline would "
+    "refresh continuously.",
+)
+def q_streaming_int8_scales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_repartition_watermark_example_spark.queries_sketches import _replay_through_sketch
+    from flink_repartition_watermark_example_spark.streaming.int8scale import (
+        compact_scales,
+        dim_max_writer,
+        read_dim_scales,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _replay_through_sketch(
+        spark,
+        emb,
+        lambda d: dim_max_writer(d),
+        lambda d: compact_scales(spark, d),
+        lambda d: read_dim_scales(spark, d),
+        "j bigint, s double",
+        key_col="vec_id",
+    )

@@ -83,13 +83,15 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.orderBy(F.col("est").desc(), "user_id").limit(20)
 
 
-def _replay_through_sketch(spark, df, writer, compact, reader, out_schema):
+def _replay_through_sketch(spark, df, writer, compact, reader, out_schema,
+                           key_col="event_id"):
     """Shared streaming replay harness for the sketch queries: split
-    ``df`` into three event_id-keyed arrival files, stream them
+    ``df`` into three ``key_col``-keyed arrival files, stream them
     through ``writer`` (foreachBatch, availableNow), ``compact`` the
     versioned store, and pull the bounded sketch snapshot local via
     ``reader`` (the O(1)-index-collect discipline — the returned plan
-    must not dangle on the temp dir)."""
+    must not dangle on the temp dir).  Modulo splits are sparse-id
+    safe (range splits are not — the gen_scale stride lesson)."""
     import os
     import shutil
     import tempfile
@@ -98,9 +100,9 @@ def _replay_through_sketch(spark, df, writer, compact, reader, out_schema):
     try:
         src = os.path.join(root, "replay")
         for cond in (
-            F.col("event_id") % 3 == 0,
-            F.col("event_id") % 3 == 1,
-            F.col("event_id") % 3 == 2,
+            F.col(key_col) % 3 == 0,
+            F.col(key_col) % 3 == 1,
+            F.col(key_col) % 3 == 2,
         ):
             df.where(cond).coalesce(1).write.mode("append").parquet(src)
 
