@@ -139,3 +139,86 @@ def test_token_quota_selection_respects_budget_and_determinism(
     assert again == {
         (r["source"], r["n_selected"], r["sel_tokens"]) for r in rows
     }
+
+
+def test_hard_negatives_disjoint_from_positives_and_bounded(spark, sf_dir):
+    """Labels partition the pairs: no (query, vec) appears with both
+    labels; positives are exactly 5 per query; negatives at most
+    HI - LO + 1 per query and every negative's cosine <= the query's
+    5th-best positive cosine (they rank BELOW the exact top-5)."""
+    from flink_repartition_watermark_example_spark.queries_similarity import (
+        _HARDNEG_HI,
+        _HARDNEG_LO,
+    )
+
+    rows = _rows(spark, sf_dir, "hard_negative_mining")
+    pos, neg = {}, {}
+    for r in rows:
+        d = pos if r["label"] == 1 else neg
+        d.setdefault(r["query_id"], []).append((r["vec_id"], r["cos_sim"]))
+    assert set(pos) == set(range(10))
+    for q, ps in pos.items():
+        assert len(ps) == 5, q
+        overlap = {v for v, _ in ps} & {v for v, _ in neg.get(q, [])}
+        assert not overlap, (q, overlap)
+        floor5 = min(c for _, c in ps)
+        assert len(neg.get(q, [])) <= _HARDNEG_HI - _HARDNEG_LO + 1
+        for v, c in neg.get(q, []):
+            assert c <= floor5, (q, v, c, floor5)
+
+
+def test_semantic_cluster_sizes_conserve_the_corpus(spark, sf_dir):
+    """The histogram is a partition of the vector corpus: total
+    n_vectors equals the table's row count, and n_vectors is
+    internally consistent (cluster_size * n_clusters)."""
+    rows = _rows(spark, sf_dir, "semantic_cluster_sizes")
+    emb_n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_vectors"] for r in rows) == emb_n
+    for r in rows:
+        assert r["n_vectors"] == r["cluster_size"] * r["n_clusters"], r
+
+
+def test_int8_quant_error_bounded_by_the_scale_quantum(spark, sf_dir):
+    """Floor quantization guarantees |x - code*s| < s for every
+    component, so each label's max_err_q must stay under
+    1e6 * max_j(s_j); codes stay in the signed-int8 range."""
+    from flink_repartition_watermark_example_spark.functions.vectors import as_double
+
+    rows = _rows(spark, sf_dir, "embedding_int8_quant_stats")
+    assert rows
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        F.posexplode(as_double("embedding")).alias("j0", "x")
+    ).select((F.col("j0") + 1).alias("j"), "x")
+    max_s = (
+        comp.groupBy("j")
+        .agg((F.max(F.abs("x")) / F.lit(127.0)).alias("s"))
+        .agg(F.max("s").alias("m"))
+        .collect()[0]["m"]
+    )
+    total = emb.count() * 64
+    assert sum(r["n_components"] for r in rows) == total
+    for r in rows:
+        assert r["max_err_q"] < 1_000_000 * max_s, r
+        assert -128 <= r["min_code"] <= r["max_code"] <= 127, r
+
+
+def test_audit_sample_is_a_bounded_stratified_draw(spark, sf_dir):
+    """Per Hamming stratum: at most AUDIT_PER_STRATUM pairs, dense
+    sample_rank 1..n, and every sampled pair exists in the full pair
+    graph with the same hamming."""
+    from flink_repartition_watermark_example_spark.queries_dedup import AUDIT_PER_STRATUM
+
+    rows = _rows(spark, sf_dir, "dedup_audit_sample")
+    assert rows
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in _rows(spark, sf_dir, "simhash_neardup_pairs")
+    }
+    by_stratum: dict[int, list[int]] = {}
+    for r in rows:
+        assert pairs.get((r["doc_a"], r["doc_b"])) == r["hamming"], r
+        by_stratum.setdefault(r["hamming"], []).append(r["sample_rank"])
+    for h, ranks in by_stratum.items():
+        assert len(ranks) <= AUDIT_PER_STRATUM
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), h
