@@ -130,6 +130,8 @@ BENCH_EXTRAS = [
     "dedup_audit_sample",
     # the idempotent max-merge scale index replay; 100 -> 101
     "streaming_int8_scales",
+    # dedup-aware split-contamination audit; 101 -> 102
+    "split_leakage_audit",
 ]
 
 

@@ -123,6 +123,7 @@ FAMILIES: dict[str, set[str]] = {
         "simhash_docs",
         "simhash_neardup_pairs",
         "dedup_audit_sample",
+        "split_leakage_audit",
     },
     "span_dedup": {"span_dedup_stats", "span_dedup_docs"},
     "semantic_dedup": {

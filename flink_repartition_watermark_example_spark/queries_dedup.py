@@ -652,3 +652,69 @@ def q_dedup_audit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sample_rank") <= AUDIT_PER_STRATUM)
         .select("doc_a", "doc_b", "hamming", "sample_rank")
     )
+
+
+# --- dedup-aware split leakage audit ----------------------------------------
+
+
+@register_extra(
+    "split_leakage_audit",
+    f"""
+    WITH pairs AS ({EXTRA_QUERIES["simhash_neardup_pairs"].oracle}),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN {md5_long_sql('CAST(doc_id AS VARCHAR)', salt='split')} % 100 < 90
+                  THEN 'train'
+                  WHEN {md5_long_sql('CAST(doc_id AS VARCHAR)', salt='split')} % 100 < 95
+                  THEN 'val' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT LEAST(sa.split, sb.split) AS split_a,
+           GREATEST(sa.split, sb.split) AS split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(p.hamming) AS BIGINT) AS min_hamming
+    FROM pairs p
+    JOIN s sa ON sa.doc_id = p.doc_a
+    JOIN s sb ON sb.doc_id = p.doc_b
+    GROUP BY 1, 2
+    """,
+    doc="Dedup-aware split-contamination audit: near-duplicate pairs "
+    "bucketed by the (train/val/test) splits of their two endpoints — "
+    "the SAME md5 hash-bucket split rule as hash_split_counts.  Rows "
+    "with split_a <> split_b are LEAKAGE: a near-copy of a training "
+    "document sitting in the eval set inflates every benchmark score "
+    "(the decontamination failure mode hash-based splitting alone "
+    "cannot prevent, because near-dups hash independently).  The "
+    "production remedy is to split by dedup-CLUSTER instead of by "
+    "document; this query is the auditor that says whether you must.  "
+    "Scale shape: the pair graph is cap-bounded upstream; two hash "
+    "equi-joins attach endpoint splits; the rollup is O(9) rows.",
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_repartition_watermark_example_spark.functions.hashing import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("doc_id").cast("string"), salt="split") % 100
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    s = docs.select("doc_id", split.alias("split"))
+    pairs = q_simhash_neardup_pairs(spark, sf_dir)
+    joined = (
+        pairs.join(s.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")), "doc_a")
+        .join(s.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")), "doc_b")
+    )
+    return (
+        joined.select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            "hamming",
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min("hamming").cast("long").alias("min_hamming"),
+        )
+    )
