@@ -134,6 +134,23 @@ BENCH_EXTRAS = [
     "split_leakage_audit",
 ]
 
+# Cross-round regressions that are ACCEPTED costs of a correctness or
+# recall fix (VERDICT r10 #7): recorded here so future rounds don't
+# re-litigate the delta, written into the artifact, and exempt from
+# regression flags by any cross-round comparison that reads it.
+ACCEPTED_REGRESSIONS = {
+    "ivf_ann_filtered_topk": {
+        "round": 10,
+        "from_sec": 0.78,
+        "to_sec": 1.02,
+        "reason": "adaptive-nprobe recall fix: probe width scales with "
+        "inverse filter selectivity (operators/similarity.py) so "
+        "filtered recall >= unfiltered recall; the +31% wall is the "
+        "price of probing ceil(nprobe*total/kept) cells — "
+        "regression-test-pinned in tests/test_similarity_ann.py",
+    },
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -161,11 +178,13 @@ def main() -> None:
     # single loaded rep can blow a query's max-min spread past its
     # median and poison the artifact's noise flag.  When the initial
     # reps' spread exceeds 50% of their median, run up to
-    # SPARK_GRAFT_BENCH_MAX_EXTRA more reps, then report the median
-    # over ALL runs and the spread over the reps-sized core closest to
-    # that median — the loaded outliers triggered the re-runs and are
-    # excluded from the spread stat as external-load artifacts (they
-    # are still counted in `reruns` so the exclusion is visible).
+    # SPARK_GRAFT_BENCH_MAX_EXTRA more reps, then pick the reps-sized
+    # core of runs closest to the all-runs median and report BOTH the
+    # timing and the spread over that core — the loaded outliers
+    # triggered the re-runs and are excluded as external-load
+    # artifacts (still counted in `reruns` so the exclusion is
+    # visible).  The recorded timing is median(core), not median(all):
+    # the two can differ when extra reps shift the core selection.
     max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "2"))
     reruns: dict[str, int] = {}
 
@@ -207,7 +226,7 @@ def main() -> None:
     # clobbered by four subsequent bench runs in round 9) — carry over
     # every top-level key this harness doesn't own.
     OWN_KEYS = {"metric", "value", "unit", "queries", "spread", "reps",
-                "reruns", "sf"}
+                "reruns", "sf", "accepted_regressions"}
     preserved: dict = {}
     if os.path.exists(out_path):
         try:
@@ -226,23 +245,39 @@ def main() -> None:
             "spread": spreads,
             "reps": reps,
             "reruns": reruns,
+            "accepted_regressions": ACCEPTED_REGRESSIONS,
             "sf": sf,
         }
     )
-    # The driver tail-captures a bounded stdout window and truncated
-    # the full line from the front in BENCH_r05 AND r06 (parsed:
-    # null) — the spread dict pushed it past the window.  So: the full
-    # artifact goes to a file the snapshot commits, and stdout gets a
-    # COMPACT line (medians only, 2-decimal, separators tightened)
-    # that fits the observed window with 2x headroom.
+    # The driver tail-captures a bounded (~2000-char) stdout window:
+    # the full 102-query map truncated from the front in r05/r06 AND
+    # again in r09/r10 (parsed: null) even at 2-decimal compaction.
+    # So (VERDICT r10 #3): the full artifact goes to a file the
+    # snapshot commits, and stdout gets a SUMMARY line — total,
+    # query count, the 5 slowest, and a hash of the full per-query
+    # map so the stdout record is verifiable against BENCH_local.json
+    # — sized ~350 chars, far inside the window.
     with open(out_path, "w") as f:
         f.write(full + "\n")
+    import hashlib
+
+    worst5 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
+    qsha = hashlib.sha256(
+        json.dumps(
+            {k: timings[k] for k in sorted(timings)}, separators=(",", ":")
+        ).encode()
+    ).hexdigest()
     compact = json.dumps(
         {
             "metric": "engine_bench_total",
             "value": round(sum(timings.values()), 2),
             "unit": "sec",
-            "queries": {k: round(v, 2) for k, v in timings.items()},
+            "queries": {k: round(v, 2) for k, v in worst5.items()},
+            "n_queries": len(timings),
+            "queries_sha256": qsha[:16],
+            "full_artifact": "BENCH_local.json",
             "sf": sf,
         },
         separators=(",", ":"),

@@ -295,6 +295,19 @@ def scaled_centroids_df(emb: DataFrame, per_cluster: int = SEMDEDUP_PER_CLUSTER)
     n = emb.count()
     k = max(16, n // per_cluster)
     elig = emb.where(F.col("vec_id") >= 10)
+    # Clamp k to the eligible row count (ADVICE r10): the id-list twin
+    # silently truncates via limit(k), so on degenerate inputs (tiny
+    # corpora, per_cluster=1) an unclamped rank cut would raise where
+    # the twin runs with fewer centroids — both tiers must derive the
+    # IDENTICAL set on all inputs.  Sparse ids mean n-10 is not the
+    # eligible count; count it.
+    ecount = elig.count()
+    k = min(k, ecount)
+    if k < 1:
+        return elig.select(
+            F.col("vec_id").alias("centroid_id"),
+            as_double("embedding").alias("cv"),
+        )
     cutoff = exact_kth_smallest(elig.select("vec_id"), "vec_id", k)
     return elig.where(F.col("vec_id") <= F.lit(cutoff)).select(
         F.col("vec_id").alias("centroid_id"),

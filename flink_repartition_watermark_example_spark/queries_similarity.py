@@ -769,7 +769,14 @@ def _scaled_semantic_dedup(
 )
 def q_semantic_dedup_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.semantic_dedup_joined(emb, SIM.scaled_centroids_df(emb))
+    # expected_k from the same count that sizes the centroid set, so
+    # the SEMDEDUP_BROADCAST_BYTES ceiling guard fires on this
+    # registered path too (ADVICE r10: without it a large-enough SF
+    # would silently plan the oversized broadcast the guard rejects).
+    k = max(16, emb.count() // SIM.SEMDEDUP_PER_CLUSTER)
+    return SIM.semantic_dedup_joined(
+        emb, SIM.scaled_centroids_df(emb), expected_k=k
+    )
 
 
 # Super-probe width for the two-level router (the recall knob): 2

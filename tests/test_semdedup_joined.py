@@ -132,3 +132,29 @@ def test_exact_kth_smallest_matches_sorted_rank(spark):
         SIM.exact_kth_smallest(df, "vec_id", 0)
     with pytest.raises(ValueError):
         SIM.exact_kth_smallest(df, "vec_id", 3001)
+
+
+def test_scaled_centroids_df_clamps_k_to_eligible_count(spark):
+    """ADVICE r10: on degenerate inputs (per_cluster small enough that
+    max(16, n // per_cluster) exceeds the eligible count) the id-list
+    twin truncates via limit(k) while the relational tier used to
+    crash in the rank cut — both must derive the IDENTICAL set."""
+    rows = [(i, [float(i % 7), 1.0]) for i in range(5, 25)]  # 20 rows, ids 5..24
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # eligible = ids >= 10 → 15 rows; per_cluster=1 → k = max(16, 20) = 20 > 15
+    ids = SIM.scaled_centroid_ids(emb, per_cluster=1)
+    got = sorted(
+        r["centroid_id"]
+        for r in SIM.scaled_centroids_df(emb, per_cluster=1).collect()
+    )
+    assert got == sorted(ids)
+    assert len(got) == 15
+
+
+def test_scaled_centroids_df_empty_eligible_set(spark):
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    assert SIM.scaled_centroids_df(emb).count() == 0
+    assert SIM.scaled_centroid_ids(emb) == []
