@@ -118,9 +118,12 @@ BENCH_EXTRAS = [
     "corpus_datacard",
     # contrastive pair mining (sharded deterministic negatives); 94 -> 95
     "contrastive_pairs",
-    # round-10: the broadcast-relation SemDeDup assignment tier,
-    # hash-checked against the same oracle as the gate query; 95 -> 96
-    "semantic_dedup_joined",
+    # round-11 gate rotation: semantic_dedup_joined (the broadcast-
+    # relation assignment tier, a new physical shape in round 10)
+    # moved into the primary 50 per gate-policy rule 4;
+    # semantic_dedup_scaled moved out to extras — swapping them here
+    # keeps the benched set identical (both were already benched).
+    "semantic_dedup_scaled",
     # round-10 additions: retrieval hard negatives, the SemDeDup
     # cluster-size histogram, and the int8 quantization audit; 96 -> 99
     "hard_negative_mining",
@@ -132,6 +135,10 @@ BENCH_EXTRAS = [
     "streaming_int8_scales",
     # dedup-aware split-contamination audit; 101 -> 102
     "split_leakage_audit",
+    # round-11: the remedy the audit prescribes — cluster-based split
+    # assignment and its zero-leakage after-audit; 102 -> 104
+    "split_by_cluster",
+    "split_leakage_audit_clustered",
 ]
 
 # Cross-round regressions that are ACCEPTED costs of a correctness or

@@ -124,6 +124,8 @@ FAMILIES: dict[str, set[str]] = {
         "simhash_neardup_pairs",
         "dedup_audit_sample",
         "split_leakage_audit",
+        "split_by_cluster",
+        "split_leakage_audit_clustered",
     },
     "span_dedup": {"span_dedup_stats", "span_dedup_docs"},
     "semantic_dedup": {
@@ -142,7 +144,11 @@ FAMILIES: dict[str, set[str]] = {
     "multimodal": {"multimodal_features", "image_decode_stats"},
     # training-data prep
     "chunking_packing": {"doc_chunks", "pack_chunks_into_sequences"},
-    "deterministic_splits": {"hash_split_counts", "stratified_sample_docs"},
+    "deterministic_splits": {
+        "hash_split_counts",
+        "stratified_sample_docs",
+        "split_by_cluster",
+    },
 }
 
 # Every family above must hold >= 1 gate slot (rule 1).
@@ -192,5 +198,17 @@ ROTATION_LOG: list[dict] = [
         " minhash signatures are recomputed inside lsh_candidate_pairs"
         " and the simhash kernel inside neardup_purged_docs, so both"
         " families keep gate members",
+    },
+    {
+        "round": 11,
+        "added": ["semantic_dedup_joined"],
+        "removed": ["semantic_dedup_scaled"],
+        "reason": "gate the broadcast-relation SemDeDup assignment tier"
+        " (BroadcastExchange + struct-max argmax + anti-join purge — a"
+        " genuinely new physical shape in round 10, rule 4; VERDICT r10"
+        " #4).  Same family and the IDENTICAL oracle SQL, so the"
+        " semantic_dedup floor keeps a member; the closure tier stays"
+        " bit-identical-pinned to the joined tier in"
+        " tests/test_semdedup_joined.py",
     },
 ]

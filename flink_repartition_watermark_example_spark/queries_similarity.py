@@ -701,7 +701,7 @@ _SEMDEDUP_SCALED_SQL = f"""
     """
 
 
-@register(
+@register_extra(
     "semantic_dedup_scaled",
     _SEMDEDUP_SCALED_SQL,
     doc="SemDeDup at the PRODUCTION configuration: the same "
@@ -748,7 +748,7 @@ def _scaled_semantic_dedup(
     )
 
 
-@register_extra(
+@register(
     "semantic_dedup_joined",
     _SEMDEDUP_SCALED_SQL,
     doc="The production SemDeDup config through the JOIN-BASED "

@@ -582,6 +582,9 @@ def main() -> None:
         }
     else:
         extra_top = {}
+    # fencing is an explicit decision: the key is always present (empty
+    # when nothing is fenced) so guard tests can require it
+    extra_top.setdefault("fenced_out", {})
     artifact = {
         **extra_top,
         "mult": args.mult,

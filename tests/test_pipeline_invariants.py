@@ -222,3 +222,41 @@ def test_audit_sample_is_a_bounded_stratified_draw(spark, sf_dir):
     for h, ranks in by_stratum.items():
         assert len(ranks) <= AUDIT_PER_STRATUM
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), h
+
+
+def test_cluster_split_eliminates_cross_split_leakage(spark, sf_dir):
+    """The before/after leakage pair (VERDICT r10 #1): the document-
+    hash split audit may show cross-split near-dup pairs; the cluster-
+    based split must show NONE (a near-dup pair is an edge of the
+    graph whose components define the splits), and the assignment must
+    be a total function of the corpus with each cluster in one split."""
+    after = EXTRA_QUERIES["split_leakage_audit_clustered"].spark(spark, sf_dir)
+    for r in after.collect():
+        assert r["split_a"] == r["split_b"], (
+            f"cross-split near-dup pair survived cluster splitting: {r}"
+        )
+    assign = EXTRA_QUERIES["split_by_cluster"].spark(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    assert assign.count() == docs.count()  # total: one row per doc
+    # each cluster maps to exactly one split
+    multi = (
+        assign.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+    )
+    assert multi.count() == 0
+    # singletons keep the document-level hash split (cluster_id == doc_id
+    # feeds the same md5 bucket rule)
+    from flink_repartition_watermark_example_spark.functions.hashing import md5_long
+
+    bucket = md5_long(F.col("doc_id").cast("string"), salt="split") % 100
+    doc_split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    singletons = (
+        assign.where(F.col("cluster_id") == F.col("doc_id"))
+        .withColumn("doc_split", doc_split)
+    )
+    assert singletons.where(F.col("split") != F.col("doc_split")).count() == 0

@@ -18,7 +18,9 @@ WITH_ORACLE = [n for n, q in ALL_QUERIES.items() if q.oracle is not None]
 # driver-loop operators — carry the slow marker so the quick tier
 # (pytest -m "not slow") still runs the other ~85 oracle checks.
 _SLOW_ORACLE = {"neardup_clusters", "kmeans_centroids", "bpe_merges",
-                "pagerank_suppliers", "ivf_trained_topk"}
+                "pagerank_suppliers", "ivf_trained_topk",
+                # iterative CC + recursive-CTE oracle, like neardup_clusters
+                "split_by_cluster", "split_leakage_audit_clustered"}
 
 
 def _param(name: str):
