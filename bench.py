@@ -139,6 +139,9 @@ BENCH_EXTRAS = [
     # assignment and its zero-leakage after-audit; 102 -> 104
     "split_by_cluster",
     "split_leakage_audit_clustered",
+    # the production-nprobe recall pin (the 0.9 crossing of the
+    # recorded nprobe curve); 104 -> 105
+    "ann_recall_ivf_production",
 ]
 
 # Cross-round regressions that are ACCEPTED costs of a correctness or

@@ -137,7 +137,12 @@ FAMILIES: dict[str, set[str]] = {
     },
     # similarity search
     "exact_knn": {"cosine_topk", "embedding_neardup_pairs"},
-    "ivf_ann": {"ivf_ann_topk", "ivf_ann_filtered_topk", "hard_negative_mining"},
+    "ivf_ann": {
+        "ivf_ann_topk",
+        "ivf_ann_filtered_topk",
+        "hard_negative_mining",
+        "ann_recall_ivf_production",
+    },
     # sketches
     "sketch_aggregates": {"approx_distinct_users_sketch"},
     # multimodal plumbing

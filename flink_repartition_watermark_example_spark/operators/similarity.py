@@ -185,6 +185,21 @@ def neardup_pairs_lsh(
 # oracle derive the identical index) and a 2-list probe.
 CENTROID_IDS = [10 + 13 * j for j in range(16)]
 NPROBE = 2
+# The PRODUCTION probe width (VERDICT r10 #5): NPROBE=2 is the cheap
+# gate/bench configuration (its absolute recall@5 vs exact cosine is
+# ~0.2-0.3 — fine for a hash-checked plan, wrong for a user sizing an
+# index); the recall-vs-nprobe curve recorded by
+# scripts/record_nprobe_recall.py (BENCH_local.json "nprobe_recall")
+# shows where mean recall@5 crosses 0.9, and this constant is that
+# measured crossing: 15/16 at sf0.01 (0.92), 12/16 at sf0.1 (0.94) —
+# near-exhaustive because the synthetic embeddings are ISOTROPIC, so
+# recall grows ~linearly with the probed fraction (the textbook IVF
+# floor when the coarse quantizer finds no cluster structure).  On
+# real clustered embeddings the crossing sits far lower; the curve
+# artifact, not this constant, is what a user sizing an index reads.
+# ann_recall_ivf_production + tests/test_similarity_ann.py pin >= 0.9
+# at this width.
+IVF_PRODUCTION_NPROBE = 15
 
 # SemDeDup's corpus-size lever (Abbas et al. 2023, §SemDeDup): cluster
 # count grows with the corpus so the quadratic-within-cluster pairing

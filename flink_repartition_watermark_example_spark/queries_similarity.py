@@ -135,9 +135,11 @@ def _centroid_id_list() -> str:
     return ", ".join(str(c) for c in SIM.CENTROID_IDS)
 
 
-@register(
-    "ivf_ann_topk",
-    f"""
+def _ivf_topk_oracle(nprobe: int) -> str:
+    """The IVF-flat search as SQL, parameterized by probe width —
+    shared by the gate registration (SIM.NPROBE) and the production-
+    recall pin (SIM.IVF_PRODUCTION_NPROBE)."""
+    return f"""
     WITH cent AS (
       SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
       WHERE vec_id IN ({", ".join(str(c) for c in SIM.CENTROID_IDS)})
@@ -161,7 +163,7 @@ def _centroid_id_list() -> str:
       FROM q CROSS JOIN cent
     ),
     probes AS (SELECT query_id, qv, centroid_id AS list_id FROM qp
-               WHERE rn <= {SIM.NPROBE}),
+               WHERE rn <= {nprobe}),
     scored AS (
       SELECT p.query_id, l.vec_id, {cosine_sql('p.qv', 'l.v')} AS cos_sim
       FROM probes p JOIN lists l ON l.list_id = p.list_id
@@ -172,7 +174,12 @@ def _centroid_id_list() -> str:
       FROM scored
     )
     SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
-    """,
+    """
+
+
+@register(
+    "ivf_ann_topk",
+    _ivf_topk_oracle(SIM.NPROBE),
     doc="Approximate top-5 via an IVF-flat coarse index (16 sampled "
     "centroids, 2-list probe): index build collects the centroids once "
     "and ships them as literals, corpus assignment is a shuffle-free "
@@ -485,6 +492,36 @@ def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return _recall_df(SIM.ivf_topk(emb), SIM.cosine_topk(emb), "ivf")
+
+
+@register_extra(
+    "ann_recall_ivf_production",
+    _recall_sql(
+        _ivf_topk_oracle(SIM.IVF_PRODUCTION_NPROBE),
+        _EXACT_ORACLE,
+        "ivf_production",
+    ),
+    doc="recall@5 of the IVF path at the PRODUCTION probe width "
+    f"(nprobe={SIM.IVF_PRODUCTION_NPROBE} of {len(SIM.CENTROID_IDS)} "
+    "lists) — the point where the measured recall-vs-nprobe curve "
+    "(scripts/record_nprobe_recall.py; BENCH_local.json "
+    "'nprobe_recall') crosses 0.9 mean recall, regression-pinned in "
+    "tests/test_similarity_ann.py.  On THIS corpus the crossing is "
+    "near-exhaustive because the synthetic embeddings are isotropic "
+    "(recall grows ~linearly with the probed fraction — the textbook "
+    "IVF behavior when the coarse quantizer finds no cluster "
+    "structure); on real clustered embeddings the same curve crosses "
+    "far lower, and the curve artifact — not any fixed width — is "
+    "what a user sizing an index reads.  The cheap nprobe=2 "
+    "configuration stays the gate/bench default (ivf_ann_topk).",
+)
+def q_ann_recall_ivf_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _recall_df(
+        SIM.ivf_topk(emb, nprobe=SIM.IVF_PRODUCTION_NPROBE),
+        SIM.cosine_topk(emb),
+        "ivf_production",
+    )
 
 
 # --- trained k-means IVF (integer-exact Lloyd's) -------------------------

@@ -315,3 +315,18 @@ def test_adaptive_nprobe_recovers_filtered_recall(spark, sf_dir):
         return sum(r["hits"] for r in rows) / len(rows)
 
     assert mean_hits("ann_recall_filtered") >= mean_hits("ann_recall_ivf")
+
+
+def test_production_nprobe_holds_point_nine_recall(spark, sf_dir):
+    """The production probe width (VERDICT r10 #5): the registered
+    IVF_PRODUCTION_NPROBE is the measured 0.9-recall crossing of the
+    nprobe curve (scripts/record_nprobe_recall.py), and this pin
+    replaces the old single-point 1.5/5 readout — mean recall@5 at
+    that width must stay >= 0.9 on every test corpus."""
+    from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES
+
+    rows = EXTRA_QUERIES["ann_recall_ivf_production"].spark(
+        spark, sf_dir
+    ).collect()
+    mean_recall = sum(r["hits"] for r in rows) / (5 * len(rows))
+    assert mean_recall >= 0.9, mean_recall
