@@ -193,6 +193,21 @@ DEFAULT_QUERIES = [
     "neardup_triangles",
     "top_event_paths",
     "token_frequency_spectrum",
+    # round-10 additions (merge-swept at sf1/sf10 in round 10, at
+    # sf100 in round 11) — in the default list so future full sweeps
+    # re-check them automatically
+    "semantic_dedup_joined",
+    "hard_negative_mining",
+    "semantic_cluster_sizes",
+    "embedding_int8_quant_stats",
+    "dedup_audit_sample",
+    "streaming_int8_scales",
+    "split_leakage_audit",
+    # round-11 additions: cluster-based splits + the production-nprobe
+    # recall point
+    "split_by_cluster",
+    "split_leakage_audit_clustered",
+    "ann_recall_ivf_production",
 ]
 
 _NODE_RE = re.compile(r"^\* ([A-Za-z]+[A-Za-z0-9]*)", re.MULTILINE)
