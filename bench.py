@@ -142,6 +142,8 @@ BENCH_EXTRAS = [
     # the production-nprobe recall pin (the 0.9 crossing of the
     # recorded nprobe curve); 104 -> 105
     "ann_recall_ivf_production",
+    # quota-balanced cluster split (two-level prefix sum); 105 -> 106
+    "split_by_cluster_balanced",
 ]
 
 # Cross-round regressions that are ACCEPTED costs of a correctness or

@@ -153,6 +153,7 @@ FAMILIES: dict[str, set[str]] = {
         "hash_split_counts",
         "stratified_sample_docs",
         "split_by_cluster",
+        "split_by_cluster_balanced",
     },
 }
 

@@ -859,3 +859,106 @@ def q_split_leakage_audit_clustered(spark: SparkSession, sf_dir: str) -> DataFra
         return result.localCheckpoint(eager=True)
     finally:
         pairs.unpersist()
+
+
+# Balanced variant: the plain cluster split inherits hash proportions
+# at CLUSTER granularity, so a giant component (43% of the corpus at
+# sf0.001 — templated near-empty docs) drags its whole mass into
+# whichever band its label hashes to.  The production fix is quota
+# assignment: order clusters by a deterministic hash, run a prefix sum
+# of cluster SIZES over that order, and cut the running total at 90% /
+# 95% of the corpus — every band lands within max_cluster_size of its
+# target mass (test-pinned), leakage stays zero (assignment is still a
+# function of cluster_id alone).  Scale shape: the prefix sum is the
+# textbook TWO-LEVEL distributed form — cluster sizes shard by the TOP
+# 8 bits of the 60-bit order hash (256 contiguous hash ranges), each
+# shard cumsums locally under a hash-partitioned window, and the 256
+# shard totals get their offsets in a bounded global window (O(256)
+# rows at ANY corpus size — allowlisted in test_plan_audit) that
+# broadcast-joins back.  No global sort of the cluster relation ever
+# happens.
+_BALANCED_SPLIT_CASE = """CASE
+      WHEN cum_before < (total * 90) // 100 THEN 'train'
+      WHEN cum_before < (total * 95) // 100 THEN 'val'
+      ELSE 'test' END"""
+
+
+@register_extra(
+    "split_by_cluster_balanced",
+    f"""
+    WITH RECURSIVE {_CLUSTER_SPLIT_CTES},
+    sz AS (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY cluster_id),
+    o AS (SELECT cluster_id, sz,
+                 {md5_long_sql("CAST(cluster_id AS VARCHAR)", salt='splitorder')} AS h
+          FROM sz),
+    c AS (SELECT cluster_id, sz, h,
+                 sum(sz) OVER (ORDER BY h, cluster_id) - sz AS cum_before,
+                 sum(sz) OVER () AS total
+          FROM o),
+    a AS (SELECT cluster_id, {_BALANCED_SPLIT_CASE} AS split FROM c)
+    SELECT cl.doc_id, cl.cluster_id, a.split
+    FROM cl JOIN a ON a.cluster_id = cl.cluster_id
+    """,
+    doc="Quota-BALANCED cluster split: clusters in deterministic "
+    "md5(cluster_id, salt='splitorder') order, prefix-summed sizes "
+    "cut at 90%/95% of the corpus — still zero cross-split leakage "
+    "(assignment is a function of cluster_id), but every band is "
+    "within one cluster of its target mass, fixing the proportion "
+    "skew a giant duplicate family causes under the hash rule.  The "
+    "oracle's single global window equals the engine's two-level "
+    "sharded prefix sum exactly (same (h, cluster_id) total order).",
+)
+def q_split_by_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from flink_repartition_watermark_example_spark.functions.hashing import md5_long
+
+    pairs = q_simhash_neardup_pairs(spark, sf_dir)
+    # cl feeds the size aggregate AND the final doc join; the expensive
+    # pair pipeline is consumed ONCE inside connected_components (whose
+    # edge relation is eagerly localCheckpointed), so the second
+    # reference recomputes only a join off the checkpointed edges — no
+    # persist of the per-doc relation needed.
+    cl = _doc_clusters(spark, sf_dir, pairs)
+    sz = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    szh = sz.select(
+        "cluster_id",
+        "sz",
+        md5_long(F.col("cluster_id").cast("string"), salt="splitorder").alias("h"),
+    ).withColumn("shard", F.shiftright("h", 52))
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("h", "cluster_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = szh.withColumn("before_in", F.sum("sz").over(w_in) - F.col("sz"))
+    st = szh.groupBy("shard").agg(F.sum("sz").alias("t"))
+    w_off = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = st.select(
+        "shard",
+        (F.sum("t").over(w_off) - F.col("t")).alias("off"),
+        F.sum("t").over(w_tot).alias("total"),
+    )
+    assigned = within.join(F.broadcast(offs), "shard").select(
+        "cluster_id",
+        (F.col("off") + F.col("before_in")).alias("cum_before"),
+        "total",
+    )
+    split = (
+        F.when(
+            F.col("cum_before") < F.expr("(total * 90) div 100"),
+            F.lit("train"),
+        )
+        .when(
+            F.col("cum_before") < F.expr("(total * 95) div 100"),
+            F.lit("val"),
+        )
+        .otherwise(F.lit("test"))
+    )
+    a = assigned.select("cluster_id", split.alias("split"))
+    return cl.join(a, "cluster_id").select("doc_id", "cluster_id", "split")

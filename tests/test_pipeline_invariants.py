@@ -260,3 +260,31 @@ def test_cluster_split_eliminates_cross_split_leakage(spark, sf_dir):
         .withColumn("doc_split", doc_split)
     )
     assert singletons.where(F.col("split") != F.col("doc_split")).count() == 0
+
+
+def test_balanced_cluster_split_hits_band_quotas(spark, sf_dir):
+    """The quota-balanced cluster split: still leakage-free BY
+    CONSTRUCTION (assignment is a function of cluster_id), and every
+    band's mass lands within one cluster of its target — train gets
+    [t90, t90 + max_cluster), train+val gets [t95, t95 + max_cluster),
+    where t90/t95 are the integer 90%/95% marks.  The plain cluster
+    split has no such bound (a giant family drags its whole mass into
+    one hash bucket — the skew this variant exists to fix)."""
+    assign = EXTRA_QUERIES["split_by_cluster_balanced"].spark(spark, sf_dir)
+    rows = assign.collect()
+    total = len(rows)
+    docs = load_table(spark, sf_dir, "documents")
+    assert total == docs.count()
+    # one split per cluster (leakage-free at cluster granularity)
+    by_cluster: dict = {}
+    sizes: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+        sizes[r["cluster_id"]] = sizes.get(r["cluster_id"], 0) + 1
+    assert all(len(s) == 1 for s in by_cluster.values())
+    max_sz = max(sizes.values())
+    t90, t95 = total * 90 // 100, total * 95 // 100
+    n_train = sum(1 for r in rows if r["split"] == "train")
+    n_val = sum(1 for r in rows if r["split"] == "val")
+    assert t90 <= n_train < t90 + max_sz
+    assert t95 <= n_train + n_val < t95 + max_sz

@@ -49,6 +49,9 @@ NESTED_LOOP_ALLOWED = {
     "ann_recall_pq",
     # embeds the filtered-corpus cosine_topk as its exact side
     "ann_recall_filtered",
+    # same recall family at the production probe width — embeds
+    # cosine_topk (the bounded 10-query broadcast) as its exact side
+    "ann_recall_ivf_production",
     # broadcast of the single-row (n_pos, tot_pos) balance aggregate
     # onto customer (queries_subqueries.py)
     "rich_inactive_customers",
@@ -92,6 +95,11 @@ GLOBAL_WINDOW_ALLOWED = {
     # substitute (approx-percentile cutpoints + bucket join) exists
     # (queries_catalog.py:~1231)
     "ntile_price_quartiles",
+    # two-level prefix sum: the only global windows run over the
+    # 256-row shard-total relation (top-8-bits-of-hash shards), O(256)
+    # at any corpus size; the per-cluster cumsum is hash-partitioned
+    # (queries_dedup.py: split_by_cluster_balanced)
+    "split_by_cluster_balanced",
 }
 
 
