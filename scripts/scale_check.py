@@ -208,6 +208,7 @@ DEFAULT_QUERIES = [
     "split_by_cluster",
     "split_leakage_audit_clustered",
     "ann_recall_ivf_production",
+    "split_by_cluster_balanced",
 ]
 
 _NODE_RE = re.compile(r"^\* ([A-Za-z]+[A-Za-z0-9]*)", re.MULTILINE)
