@@ -195,7 +195,12 @@ DEFAULT_QUERIES = [
     "token_frequency_spectrum",
     # round-10 additions (merge-swept at sf1/sf10 in round 10, at
     # sf100 in round 11) — in the default list so future full sweeps
-    # re-check them automatically
+    # re-check them automatically.
+    # semantic_dedup_joined: sf1/sf10 ONLY — at sf100 its per-pair
+    # candidate rows (two 64-double arrays each, 8e9 pairs at k=4000)
+    # are TBs of Arrow traffic; fenced out of the sf100 artifact with
+    # the note under fenced_out (round 11).  Exclude it from any sf100
+    # --queries list.
     "semantic_dedup_joined",
     "hard_negative_mining",
     "semantic_cluster_sizes",

@@ -157,7 +157,15 @@ SF100 = os.path.join(os.path.dirname(ARTIFACT), "BENCH_sf100.json")
 # (well under the model: the constant factors amortize) still beats
 # flat assignment 2.5× at that decade (BENCH_sf100.json recorder).
 # Admitted BY NAME with the model as its bound; everything else holds
-# the plain near-linear limits.
+# the plain near-linear limits.  semantic_dedup_joined (the flat
+# broadcast-join tier) is FENCED OUT of the sf100 timed rows instead:
+# its per-(vector, centroid)-row candidate relation materializes two
+# 64-double arrays per pair — 8e9 pairs ≈ TBs of Arrow traffic at
+# k=4000 — so at that decade it is the documented wrong plan (the
+# router is 2.5× faster than even the closure-flat 1188 s recorder)
+# and a timed row would measure a plan nobody would run; its in-regime
+# decades (sf1: 8.6×… see BENCH_sf10.json) stay swept, and the fencing
+# note lives under the artifact's fenced_out key.
 SUPERLINEAR_MODELED = {"semantic_dedup_hier": 31.7}
 
 
