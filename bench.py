@@ -144,6 +144,9 @@ BENCH_EXTRAS = [
     "ann_recall_ivf_production",
     # quota-balanced cluster split (two-level prefix sum); 105 -> 106
     "split_by_cluster_balanced",
+    # router-assignment cluster histogram — the monitoring plan at the
+    # decade where the exact histogram is fenced; 106 -> 107
+    "semantic_cluster_sizes_routed",
 ]
 
 # Cross-round regressions that are ACCEPTED costs of a correctness or

@@ -134,6 +134,7 @@ FAMILIES: dict[str, set[str]] = {
         "semantic_dedup_joined",
         "semantic_dedup_hier",
         "semantic_cluster_sizes",
+        "semantic_cluster_sizes_routed",
     },
     # similarity search
     "exact_knn": {"cosine_topk", "embedding_neardup_pairs"},

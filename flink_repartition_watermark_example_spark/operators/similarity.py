@@ -1514,13 +1514,21 @@ def _lloyd_round_supers(C, cnorms):
     return S, parent0
 
 
-def semantic_dedup_two_level(
+def two_level_assignment(
     emb: DataFrame,
-    threshold: float = 0.25,
     centroid_ids: list[int] | None = None,
     nprobe: int = 2,
 ) -> DataFrame:
-    """SemDeDup with TWO-LEVEL centroid routing — the assignment-cost
+    """The ASSIGNMENT stage of :func:`semantic_dedup_two_level` —
+    (vec_id, v, nv, list_id) via super-routing, shared by the dedup
+    path (which persists it and purges within lists) and the
+    monitoring queries that need the router's list structure WITHOUT
+    the quadratic purge (semantic_cluster_sizes_routed: the histogram
+    at the decade where exact flat assignment is fenced,
+    BENCH_sf100.json fenced_out).  Deterministic pure function — the
+    DuckDB hier CTEs reproduce it hash-exactly.
+
+    SemDeDup with TWO-LEVEL centroid routing — the assignment-cost
     fix for the fourth decade.  Flat assignment is O(n·k) cosine
     folds; with the corpus-scaled k ~ n/500 that term grows ~n²/500
     and eventually dominates (the SemDeDup paper pays it on GPUs).
@@ -1621,14 +1629,29 @@ def semantic_dedup_two_level(
                 {"vec_id": pdf["vec_id"], "v": pdf["v"], "nv": nv, "list_id": lists}
             )
 
-    assigned = (
+    return (
         fan_out(emb, "vec_id")
         .select("vec_id", as_double("embedding").alias("v"))
         .mapInPandas(
             assign_two_level,
             schema="vec_id long, v array<double>, nv double, list_id long",
         )
-        .persist()
     )
+
+
+def semantic_dedup_two_level(
+    emb: DataFrame,
+    threshold: float = 0.25,
+    centroid_ids: list[int] | None = None,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Two-level-routed SemDeDup: :func:`two_level_assignment` (see
+    its docstring for the routing model and determinism contract) +
+    the shared within-list purge.  The assignment relation feeds both
+    sides of the pair self-join AND the final anti-join, so it is
+    persist-pinned here (the round-5 concurrent-fan-in trap)."""
+    assigned = two_level_assignment(
+        emb, centroid_ids=centroid_ids, nprobe=nprobe
+    ).persist()
     assigned.count()
     return _purge_within_lists(assigned, threshold)

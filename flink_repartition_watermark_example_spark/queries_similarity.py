@@ -821,8 +821,10 @@ def q_semantic_dedup_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
 # measured to recover the boundary losses nprobe=1 paid.
 HIER_NPROBE = 2
 
-_SEMDEDUP_HIER_SQL = f"""
-    WITH params AS (
+# Factored so the routed cluster-size histogram composes the SAME
+# assignment CTEs (everything up to `lists`) without the purge —
+# one equality proof across the dedup and the monitoring consumer.
+_SEMDEDUP_HIER_CTES = f"""params AS (
       SELECT GREATEST(16, CAST(count(*) // {SIM.SEMDEDUP_PER_CLUSTER} AS BIGINT)) AS k
       FROM embeddings
     ),
@@ -889,7 +891,11 @@ _SEMDEDUP_HIER_SQL = f"""
                                            ch.centroid_id ASC) AS rc
         FROM vsup vs JOIN childs ch ON ch.sidx = vs.sidx
       ) WHERE rc = 1
-    ),
+    )
+"""
+
+_SEMDEDUP_HIER_SQL = f"""
+    WITH {_SEMDEDUP_HIER_CTES},
     purged AS (
       SELECT DISTINCT b.vec_id
       FROM lists a JOIN lists b
@@ -936,6 +942,51 @@ def q_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.semantic_dedup_two_level(
         emb, centroid_ids=SIM.scaled_centroid_ids(emb), nprobe=HIER_NPROBE
+    )
+
+
+@register_extra(
+    "semantic_cluster_sizes_routed",
+    f"""
+    WITH {_SEMDEDUP_HIER_CTES},
+    sizes AS (
+      SELECT list_id, count(*) AS n FROM lists GROUP BY list_id
+    )
+    SELECT CAST(n AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(n * count(*) AS BIGINT) AS n_vectors
+    FROM sizes GROUP BY n
+    """,
+    doc="The cluster-size histogram over the TWO-LEVEL ROUTER "
+    "assignment — the monitoring plan for the decade where the exact "
+    "flat-assignment histogram is fenced (BENCH_sf100.json fenced_out: "
+    "semantic_cluster_sizes measured 165x on 10x data at sf100 because "
+    "exact assignment is n*k work; the router's O(n*sqrt(k)) "
+    "assignment is what you'd actually run there — 480 s vs 1188 s "
+    "for the full dedup at that decade).  Same two cascaded "
+    "aggregations over (list_id) as the exact histogram; the "
+    "assignment itself is the deterministic hier routing, so the "
+    "DuckDB oracle composes the VERBATIM hier CTEs and the result is "
+    "hash-exact, not approximate — the monitoring readout inherits "
+    "the router's boundary trade (documented on semantic_dedup_hier) "
+    "rather than sampling error.",
+)
+def q_semantic_cluster_sizes_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = SIM.two_level_assignment(
+        emb, centroid_ids=SIM.scaled_centroid_ids(emb), nprobe=HIER_NPROBE
+    )
+    sizes = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        sizes.groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            F.col("n").cast("long").alias("cluster_size"),
+            "n_clusters",
+            (F.col("n") * F.col("n_clusters")).cast("long").alias("n_vectors"),
+        )
     )
 
 

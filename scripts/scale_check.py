@@ -214,6 +214,9 @@ DEFAULT_QUERIES = [
     "split_leakage_audit_clustered",
     "ann_recall_ivf_production",
     "split_by_cluster_balanced",
+    # router-assignment histogram: the sf100-regime monitoring plan
+    # (n^1.5 modeled family, like semantic_dedup_hier)
+    "semantic_cluster_sizes_routed",
 ]
 
 _NODE_RE = re.compile(r"^\* ([A-Za-z]+[A-Za-z0-9]*)", re.MULTILINE)
