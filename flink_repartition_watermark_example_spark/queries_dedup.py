@@ -908,19 +908,23 @@ _BALANCED_SPLIT_CASE = """CASE
     "oracle's single global window equals the engine's two-level "
     "sharded prefix sum exactly (same (h, cluster_id) total order).",
 )
-def q_split_by_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quota_split_assign(sz: DataFrame) -> DataFrame:
+    """(cluster_id, sz) → (cluster_id, split): the quota-balanced band
+    assignment as a TWO-LEVEL distributed prefix sum.  Clusters order
+    by (h = md5(cluster_id, salt='splitorder'), cluster_id); sizes
+    shard by the TOP 8 bits of the 60-bit h (256 contiguous ranges of
+    the total order), cumsum locally under a hash-partitioned window,
+    and the 256 shard totals get offsets + the grand total in bounded
+    global windows (O(256) rows at any corpus size) that broadcast-
+    join back.  Band rule: cum_before < floor(total*90/100) → train,
+    < floor(total*95/100) → val, else test (integer arithmetic on
+    both engines).  Equal by construction to a single global cumsum
+    over the same order — property-tested against the brute force in
+    tests/test_properties.py."""
     from pyspark.sql.window import Window
 
     from flink_repartition_watermark_example_spark.functions.hashing import md5_long
 
-    pairs = q_simhash_neardup_pairs(spark, sf_dir)
-    # cl feeds the size aggregate AND the final doc join; the expensive
-    # pair pipeline is consumed ONCE inside connected_components (whose
-    # edge relation is eagerly localCheckpointed), so the second
-    # reference recomputes only a join off the checkpointed edges — no
-    # persist of the per-doc relation needed.
-    cl = _doc_clusters(spark, sf_dir, pairs)
-    sz = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
     szh = sz.select(
         "cluster_id",
         "sz",
@@ -960,5 +964,17 @@ def q_split_by_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit("test"))
     )
-    a = assigned.select("cluster_id", split.alias("split"))
+    return assigned.select("cluster_id", split.alias("split"))
+
+
+def q_split_by_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_simhash_neardup_pairs(spark, sf_dir)
+    # cl feeds the size aggregate AND the final doc join; the expensive
+    # pair pipeline is consumed ONCE inside connected_components (whose
+    # edge relation is eagerly localCheckpointed), so the second
+    # reference recomputes only a join off the checkpointed edges — no
+    # persist of the per-doc relation needed.
+    cl = _doc_clusters(spark, sf_dir, pairs)
+    sz = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = quota_split_assign(sz)
     return cl.join(a, "cluster_id").select("doc_id", "cluster_id", "split")

@@ -518,3 +518,51 @@ def test_triangle_counts_match_naive_enumeration(spark):
         ).collect()
     }
     assert got == expected
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**12),  # sparse cluster ids
+            st.integers(min_value=1, max_value=500),     # cluster sizes
+        ),
+        min_size=1,
+        max_size=120,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_quota_split_two_level_prefix_sum_equals_brute_force(spark, sizes):
+    """The sharded two-level prefix sum (256 hash-range shards +
+    bounded offset window) must equal the single global cumsum over
+    the same (h, cluster_id) order on ANY input — sparse ids, skewed
+    sizes, shard-boundary collisions included."""
+    import hashlib
+
+    from flink_repartition_watermark_example_spark.queries_dedup import quota_split_assign
+
+    sz = spark.createDataFrame(sizes, "cluster_id long, sz long")
+    got = {
+        r["cluster_id"]: r["split"] for r in quota_split_assign(sz).collect()
+    }
+
+    def h(cid: int) -> int:
+        return int(
+            hashlib.md5(f"{cid}#splitorder".encode()).hexdigest()[:15], 16
+        )
+
+    ordered = sorted(sizes, key=lambda t: (h(t[0]), t[0]))
+    total = sum(s for _, s in ordered)
+    t90, t95 = total * 90 // 100, total * 95 // 100
+    before = 0
+    expect = {}
+    for cid, s in ordered:
+        expect[cid] = (
+            "train" if before < t90 else ("val" if before < t95 else "test")
+        )
+        before += s
+    assert got == expect
