@@ -49,6 +49,8 @@ def mean_recall(approx, exact) -> float:
 def main() -> None:
     sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
     spark = get_spark(app_name="nprobe-recall")
+    from flink_repartition_watermark_example_spark.operators import kmeans as KM
+
     curve: dict[str, dict] = {}
     for sf_dir in sf_dirs:
         sf_key = os.path.basename(sf_dir.rstrip("/"))
@@ -58,17 +60,34 @@ def main() -> None:
         exact_filt = SIM.cosine_topk(
             emb.where((F.col("vec_id") < 10) | pred)
         ).persist()
-        exact_plain.count(), exact_filt.count()
+        # trained-index baseline: nprobe = all lists probes every
+        # candidate, i.e. the exhaustive search in the trained index's
+        # own quantized integer-L2 metric
+        exact_trained = KM.ivf_trained_topk(
+            emb, nprobe=len(SIM.CENTROID_IDS)
+        ).persist()
+        exact_plain.count(), exact_filt.count(), exact_trained.count()
         rows = {}
         for nprobe in NPROBES:
             plain = mean_recall(SIM.ivf_topk(emb, nprobe=nprobe), exact_plain)
             filt = mean_recall(
                 SIM.ivf_topk(emb, nprobe=nprobe, corpus_pred=pred), exact_filt
             )
-            rows[str(nprobe)] = {"ivf": plain, "ivf_filtered": filt}
-            print(f"{sf_key} nprobe={nprobe}: ivf={plain} filtered={filt}",
-                  flush=True)
+            trained = mean_recall(
+                KM.ivf_trained_topk(emb, nprobe=nprobe), exact_trained
+            )
+            rows[str(nprobe)] = {
+                "ivf": plain,
+                "ivf_filtered": filt,
+                "ivf_trained": trained,
+            }
+            print(
+                f"{sf_key} nprobe={nprobe}: ivf={plain} filtered={filt} "
+                f"trained={trained}",
+                flush=True,
+            )
         exact_plain.unpersist(), exact_filt.unpersist()
+        exact_trained.unpersist()
         curve[sf_key] = rows
     out = {
         "k": K,
