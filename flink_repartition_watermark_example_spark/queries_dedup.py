@@ -883,31 +883,6 @@ _BALANCED_SPLIT_CASE = """CASE
       ELSE 'test' END"""
 
 
-@register_extra(
-    "split_by_cluster_balanced",
-    f"""
-    WITH RECURSIVE {_CLUSTER_SPLIT_CTES},
-    sz AS (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY cluster_id),
-    o AS (SELECT cluster_id, sz,
-                 {md5_long_sql("CAST(cluster_id AS VARCHAR)", salt='splitorder')} AS h
-          FROM sz),
-    c AS (SELECT cluster_id, sz, h,
-                 sum(sz) OVER (ORDER BY h, cluster_id) - sz AS cum_before,
-                 sum(sz) OVER () AS total
-          FROM o),
-    a AS (SELECT cluster_id, {_BALANCED_SPLIT_CASE} AS split FROM c)
-    SELECT cl.doc_id, cl.cluster_id, a.split
-    FROM cl JOIN a ON a.cluster_id = cl.cluster_id
-    """,
-    doc="Quota-BALANCED cluster split: clusters in deterministic "
-    "md5(cluster_id, salt='splitorder') order, prefix-summed sizes "
-    "cut at 90%/95% of the corpus — still zero cross-split leakage "
-    "(assignment is a function of cluster_id), but every band is "
-    "within one cluster of its target mass, fixing the proportion "
-    "skew a giant duplicate family causes under the hash rule.  The "
-    "oracle's single global window equals the engine's two-level "
-    "sharded prefix sum exactly (same (h, cluster_id) total order).",
-)
 def quota_split_assign(sz: DataFrame) -> DataFrame:
     """(cluster_id, sz) → (cluster_id, split): the quota-balanced band
     assignment as a TWO-LEVEL distributed prefix sum.  Clusters order
@@ -967,6 +942,32 @@ def quota_split_assign(sz: DataFrame) -> DataFrame:
     return assigned.select("cluster_id", split.alias("split"))
 
 
+
+@register_extra(
+    "split_by_cluster_balanced",
+    f"""
+    WITH RECURSIVE {_CLUSTER_SPLIT_CTES},
+    sz AS (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY cluster_id),
+    o AS (SELECT cluster_id, sz,
+                 {md5_long_sql("CAST(cluster_id AS VARCHAR)", salt='splitorder')} AS h
+          FROM sz),
+    c AS (SELECT cluster_id, sz, h,
+                 sum(sz) OVER (ORDER BY h, cluster_id) - sz AS cum_before,
+                 sum(sz) OVER () AS total
+          FROM o),
+    a AS (SELECT cluster_id, {_BALANCED_SPLIT_CASE} AS split FROM c)
+    SELECT cl.doc_id, cl.cluster_id, a.split
+    FROM cl JOIN a ON a.cluster_id = cl.cluster_id
+    """,
+    doc="Quota-BALANCED cluster split: clusters in deterministic "
+    "md5(cluster_id, salt='splitorder') order, prefix-summed sizes "
+    "cut at 90%/95% of the corpus — still zero cross-split leakage "
+    "(assignment is a function of cluster_id), but every band is "
+    "within one cluster of its target mass, fixing the proportion "
+    "skew a giant duplicate family causes under the hash rule.  The "
+    "oracle's single global window equals the engine's two-level "
+    "sharded prefix sum exactly (same (h, cluster_id) total order).",
+)
 def q_split_by_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_simhash_neardup_pairs(spark, sf_dir)
     # cl feeds the size aggregate AND the final doc join; the expensive
