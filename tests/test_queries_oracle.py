@@ -20,7 +20,8 @@ WITH_ORACLE = [n for n, q in ALL_QUERIES.items() if q.oracle is not None]
 _SLOW_ORACLE = {"neardup_clusters", "kmeans_centroids", "bpe_merges",
                 "pagerank_suppliers", "ivf_trained_topk",
                 # iterative CC + recursive-CTE oracle, like neardup_clusters
-                "split_by_cluster", "split_leakage_audit_clustered"}
+                "split_by_cluster", "split_leakage_audit_clustered",
+                "split_by_cluster_balanced"}
 
 
 def _param(name: str):
