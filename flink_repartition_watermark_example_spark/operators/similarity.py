@@ -224,6 +224,25 @@ SEMDEDUP_CLOSURE_K_MAX = 4096
 # documented next tier.
 SEMDEDUP_BROADCAST_BYTES = 256 * 1024 * 1024
 
+# Pair-row budget for FLAT assignment.  Flat assignment materializes
+# one candidate row per (vector, centroid) — n*k rows, each carrying
+# two EMBED_DIM-double arrays on the joined path — so its regime ends
+# long before the broadcast ceiling trips: at sf100 the centroid set
+# is a harmless 2 MB (k=4000), but 2M vectors x 4000 = 8e9 pair rows
+# is TBs of transient Arrow transfer, and the round-11 sweep leg was
+# killed after 40 min (BENCH_sf100.json.fenced_out post-mortem).
+# Measured brackets at dim 64: 8e7 pair rows (sf10) ran the joined
+# tier in 87 s; the two-level router ran the 8e9-pair corpus in
+# ~480 s.  5e8 places the switch at the measured regime boundary
+# (~500 s of flat work extrapolating linearly — right where
+# O(n*sqrt(k)) routing takes over).  Above the budget
+# :func:`semantic_dedup_dispatch` routes assignment through the
+# two-level router automatically (VERDICT r11 #1); results then
+# follow the router's documented IVF boundary trade (purge recall
+# 0.991 at sf1, 0.999 at sf10 vs flat) instead of requiring the user
+# to know the regime map.
+SEMDEDUP_PAIRROW_BUDGET = 500_000_000
+
 
 def scaled_centroid_ids(emb: DataFrame, per_cluster: int = SEMDEDUP_PER_CLUSTER) -> list[int]:
     """Corpus-scaled SemDeDup centroid set: the first max(16, n //
@@ -296,17 +315,16 @@ def exact_kth_smallest(df: DataFrame, col: str, k: int, buckets: int = 128,
     return row["m"]
 
 
-def scaled_centroids_df(emb: DataFrame, per_cluster: int = SEMDEDUP_PER_CLUSTER) -> DataFrame:
-    """DataFrame twin of :func:`scaled_centroid_ids` — the SAME
-    centroid set (first max(16, n // per_cluster) eligible vec_ids
-    ascending) as a (centroid_id, cv) RELATION, derived with no O(k)
-    driver collect: one count(), one exact distributed rank cut
-    (O(buckets) driver traffic), one filter.  This is the 4th-decade
-    form — at n = 1e9 vectors k is ~2M and the id list alone would be
-    16 MB of driver traffic plus GBs of task-closure centroid matrix;
-    here the centroids stay a relation the engine broadcasts or
-    shuffles (VERDICT r9 #2 / the reference's S14 discipline:
-    README.md:28-45 — state ships via the engine, not the driver)."""
+def scaled_centroid_plan(
+    emb: DataFrame, per_cluster: int = SEMDEDUP_PER_CLUSTER
+) -> tuple[DataFrame, int, int]:
+    """(cent_df, k, n): :func:`scaled_centroids_df` plus the CLAMPED
+    k and the corpus count that sized it.  Callers doing guard math —
+    the broadcast-bytes ceiling, the pair-row budget — reuse these
+    instead of re-counting, so the guards always agree with the
+    actual centroid set (ADVICE r11: an unclamped expected_k computed
+    from a third count() could exceed the clamped set on degenerate
+    inputs)."""
     n = emb.count()
     k = max(16, n // per_cluster)
     elig = emb.where(F.col("vec_id") >= 10)
@@ -319,15 +337,31 @@ def scaled_centroids_df(emb: DataFrame, per_cluster: int = SEMDEDUP_PER_CLUSTER)
     ecount = elig.count()
     k = min(k, ecount)
     if k < 1:
-        return elig.select(
+        cent = elig.select(
             F.col("vec_id").alias("centroid_id"),
             as_double("embedding").alias("cv"),
         )
+        return cent, 0, n
     cutoff = exact_kth_smallest(elig.select("vec_id"), "vec_id", k)
-    return elig.where(F.col("vec_id") <= F.lit(cutoff)).select(
+    cent = elig.where(F.col("vec_id") <= F.lit(cutoff)).select(
         F.col("vec_id").alias("centroid_id"),
         as_double("embedding").alias("cv"),
     )
+    return cent, k, n
+
+
+def scaled_centroids_df(emb: DataFrame, per_cluster: int = SEMDEDUP_PER_CLUSTER) -> DataFrame:
+    """DataFrame twin of :func:`scaled_centroid_ids` — the SAME
+    centroid set (first max(16, n // per_cluster) eligible vec_ids
+    ascending) as a (centroid_id, cv) RELATION, derived with no O(k)
+    driver collect: one count(), one exact distributed rank cut
+    (O(buckets) driver traffic), one filter.  This is the 4th-decade
+    form — at n = 1e9 vectors k is ~2M and the id list alone would be
+    16 MB of driver traffic plus GBs of task-closure centroid matrix;
+    here the centroids stay a relation the engine broadcasts or
+    shuffles (VERDICT r9 #2 / the reference's S14 discipline:
+    README.md:28-45 — state ships via the engine, not the driver)."""
+    return scaled_centroid_plan(emb, per_cluster)[0]
 
 
 # --- fold-exact numpy kernels ---------------------------------------------
@@ -1253,6 +1287,7 @@ def semantic_dedup_joined(
     cent_df: DataFrame,
     threshold: float = 0.25,
     expected_k: int | None = None,
+    expected_n: int | None = None,
 ) -> DataFrame:
     """:func:`semantic_dedup` with JOIN-BASED assignment — the
     k > SEMDEDUP_CLOSURE_K_MAX tier (VERDICT r9 #2).  Identical
@@ -1267,13 +1302,32 @@ def semantic_dedup_joined(
     SEMDEDUP_BROADCAST_BYTES of centroid vectors, flat O(n·k)
     assignment is the wrong plan at ANY transport and the caller
     should route through :func:`semantic_dedup_two_level` — raising
-    here beats silently planning a 100-TB-scale cross product."""
+    here beats silently planning a 100-TB-scale cross product.
+    ``expected_n`` (the corpus count, when the caller already has it)
+    arms the second guard: past SEMDEDUP_PAIRROW_BUDGET candidate
+    rows the flat shape is out of regime regardless of broadcast size
+    (the round-11 sf100 post-mortem) — callers who don't know the
+    regime map should use :func:`semantic_dedup_dispatch`, which
+    picks the tier instead of raising."""
     if expected_k is not None and expected_k * EMBED_DIM * 8 > SEMDEDUP_BROADCAST_BYTES:
         raise ValueError(
             f"k={expected_k} centroids exceed the broadcast ceiling "
             f"({SEMDEDUP_BROADCAST_BYTES} B of vectors): flat assignment is "
             "O(n*k) pair rows by this size — use semantic_dedup_two_level "
             "(O(n*sqrt(k)) equi-join routing) instead"
+        )
+    if (
+        expected_k is not None
+        and expected_n is not None
+        and expected_n * expected_k > SEMDEDUP_PAIRROW_BUDGET
+    ):
+        raise ValueError(
+            f"n*k = {expected_n}*{expected_k} exceeds the flat-assignment "
+            f"pair-row budget ({SEMDEDUP_PAIRROW_BUDGET}): the candidate "
+            "relation would materialize that many two-array Arrow rows "
+            "(the killed round-11 sf100 sweep leg) — use "
+            "semantic_dedup_dispatch (auto-tier) or "
+            "semantic_dedup_two_level_joined (O(n*sqrt(k)) routing)"
         )
     vectors = fan_out(emb, "vec_id").select(
         "vec_id", as_double("embedding").alias("v")
@@ -1313,6 +1367,7 @@ def semantic_dedup_two_level_joined(
     cent_df: DataFrame,
     threshold: float = 0.25,
     nprobe: int = 2,
+    expected_k: int | None = None,
 ) -> DataFrame:
     """:func:`semantic_dedup_two_level` with every stage RELATIONAL —
     the k > SEMDEDUP_CLOSURE_K_MAX tier of the router (and the only
@@ -1340,7 +1395,10 @@ def semantic_dedup_two_level_joined(
 
     if nprobe < 1:
         raise ValueError("nprobe must be >= 1")
-    k = cent_df.count()
+    # expected_k (from the scaled_centroid_plan that built cent_df)
+    # skips a recount of the centroid relation — which would re-run
+    # its rank-cut derivation end to end.
+    k = expected_k if expected_k is not None else cent_df.count()
     if k < 1:
         raise ValueError("centroid relation is empty")
     import math
@@ -1655,3 +1713,41 @@ def semantic_dedup_two_level(
     ).persist()
     assigned.count()
     return _purge_within_lists(assigned, threshold)
+
+
+def semantic_dedup_dispatch(
+    emb: DataFrame,
+    per_cluster: int = SEMDEDUP_PER_CLUSTER,
+    threshold: float = 0.25,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Regime-aware SemDeDup: ONE entry point that picks the
+    assignment tier from the measured cost model, so no caller has to
+    know the regime map (VERDICT r11 #1 — the only guard used to be
+    the broadcast-bytes ceiling, which the killed sf100 sweep leg
+    never tripped: its k=4000 centroid set was a harmless 2 MB while
+    the pair relation was 8e9 Arrow rows).
+
+    - n*k <= SEMDEDUP_PAIRROW_BUDGET: FLAT assignment through the
+      broadcast-relation joined tier — exact, bit-identical to the
+      closure tier (tests/test_semdedup_joined.py).
+    - above the budget: TWO-LEVEL routing through
+      :func:`semantic_dedup_two_level_joined` — O(n*sqrt(k))
+      assignment, fully relational (no O(k) driver traffic at any k).
+      Results then follow the router's documented IVF boundary trade
+      (purge recall vs flat: 0.991 at sf1, 0.999 at sf10; 2.5x faster
+      at sf100 where flat is out of regime entirely) — the same
+      semantics as the registered semantic_dedup_hier family and its
+      hash-exact hier oracle CTEs.
+
+    Both tiers derive the IDENTICAL centroid set from one
+    :func:`scaled_centroid_plan` call, so the dispatch decision and
+    the guards inside the flat tier key off the same clamped k."""
+    cent_df, k, n = scaled_centroid_plan(emb, per_cluster)
+    if n * k > SEMDEDUP_PAIRROW_BUDGET:
+        return semantic_dedup_two_level_joined(
+            emb, cent_df, threshold=threshold, nprobe=nprobe, expected_k=k
+        )
+    return semantic_dedup_joined(
+        emb, cent_df, threshold=threshold, expected_k=k, expected_n=n
+    )

