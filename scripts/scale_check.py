@@ -196,11 +196,10 @@ DEFAULT_QUERIES = [
     # round-10 additions (merge-swept at sf1/sf10 in round 10, at
     # sf100 in round 11) — in the default list so future full sweeps
     # re-check them automatically.
-    # semantic_dedup_joined: sf1/sf10 ONLY — at sf100 its per-pair
-    # candidate rows (two 64-double arrays each, 8e9 pairs at k=4000)
-    # are TBs of Arrow traffic; fenced out of the sf100 artifact with
-    # the note under fenced_out (round 11).  Exclude it from any sf100
-    # --queries list.
+    # semantic_dedup_joined: since round 12 the registered query
+    # auto-tiers on the pair-row budget (semantic_dedup_dispatch), so
+    # sf100 runs the two-level router instead of the killed flat
+    # broadcast-join shape — safe at every decade.
     "semantic_dedup_joined",
     "hard_negative_mining",
     "semantic_cluster_sizes",
@@ -218,6 +217,46 @@ DEFAULT_QUERIES = [
     # (n^1.5 modeled family, like semantic_dedup_hier)
     "semantic_cluster_sizes_routed",
 ]
+
+# Per-query SF fences (ADVICE r11): a query whose plan is out of
+# regime past a decade is SKIPPED — with a fenced_out row emitted into
+# the artifact — whenever the sweep's big-side dir is at or beyond its
+# fence.  This encodes the fencing decisions IN CODE: a plain default
+# sweep can no longer re-plan a documented regime-wall shape because
+# the operator didn't read a comment (the round-11 failure mode that
+# cost a 40-min killed leg).  Keyed by registered name; value =
+# (lowest fenced sf number, reason recorded in the artifact).
+SF_FENCES: dict[str, tuple[float, str]] = {
+    "semantic_cluster_sizes": (
+        100,
+        "exact flat O(n*k) assignment: measured 165x on 10x data at "
+        "sf100 (round-10 post-mortem preserved in this artifact's "
+        "fenced_out); the in-regime monitoring plan at that decade is "
+        "semantic_cluster_sizes_routed (4.1x, 51x cheaper)",
+    ),
+    "semantic_dedup_survivors": (
+        10,
+        "fixed-k=16 SemDeDup teaching variant, quadratic within "
+        "clusters by construction: measured 90x on 10x data at sf10 "
+        "(historical rows under fenced_out in BENCH_sf1/sf10); the "
+        "production config is semantic_dedup_scaled",
+    ),
+}
+
+
+def _sf_number(path: str) -> float | None:
+    """sf magnitude from a data-dir basename ('sf100' -> 100.0);
+    None when the dir doesn't follow the convention (fences then
+    don't apply — an explicitly named custom dir is an operator
+    decision, not a default sweep)."""
+    base = os.path.basename(os.path.normpath(path))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return None
+
 
 _NODE_RE = re.compile(r"^\* ([A-Za-z]+[A-Za-z0-9]*)", re.MULTILINE)
 
@@ -490,7 +529,18 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     report: dict[str, dict] = {}
+    sf_num = _sf_number(args.sf1)
+    fenced_now: dict[str, dict] = {}
     for name in names:
+        fence = SF_FENCES.get(name)
+        if fence and sf_num is not None and sf_num >= fence[0]:
+            fenced_now[name] = {
+                "reason": fence[1],
+                "fenced_from_sf": fence[0],
+            }
+            print(f"{name}: FENCED at sf{sf_num:g} (>= sf{fence[0]:g}) — "
+                  "skipping; fenced_out row emitted", flush=True)
+            continue
         q = all_queries[name]
         # warmup at sf0.001 so neither measured run pays first-use
         # JIT/codegen/Python-worker startup (it lands on whichever run
@@ -607,8 +657,12 @@ def main() -> None:
     else:
         extra_top = {}
     # fencing is an explicit decision: the key is always present (empty
-    # when nothing is fenced) so guard tests can require it
+    # when nothing is fenced) so guard tests can require it.  SF_FENCES
+    # skips emit their rows here; an existing (usually richer,
+    # measurement-carrying) note for the same query is kept.
     extra_top.setdefault("fenced_out", {})
+    for fname, frow in fenced_now.items():
+        extra_top["fenced_out"].setdefault(fname, frow)
     artifact = {
         **extra_top,
         "mult": args.mult,
@@ -618,7 +672,8 @@ def main() -> None:
         "queries": report,
         "stream_batch_rows": stream_batch,
         "max_ratio": max(
-            r["ratio"] for r in report.values() if r["ratio"] is not None
+            (r["ratio"] for r in report.values() if r["ratio"] is not None),
+            default=None,
         ),
         "total_sec_sf1": round(sum(r["sec_sf1"] for r in report.values()), 2),
     }

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 
 import pytest
 
@@ -136,6 +137,10 @@ def test_sf10_spot_sweep_stays_sub_linear():
             f"{name} is fenced out of the sweep set (round 10); its "
             "rows belong under 'fenced_out', not 'queries'"
         )
+        assert name not in _fenced_at(10), (
+            f"{name} is SF-fenced at sf10 (scale_check.SF_FENCES); a "
+            "timed row here contradicts the recorded fencing decision"
+        )
         assert r["ratio"] < 20, (
             f"{name} grew {r['ratio']}× on 10× data (sf1→sf10)"
         )
@@ -151,22 +156,39 @@ def test_sf10_spot_sweep_stays_sub_linear():
 SF100 = os.path.join(os.path.dirname(ARTIFACT), "BENCH_sf100.json")
 
 
-# The one modeled >10× sf100 row (VERDICT r10 "what's wrong" #1): the
+# Modeled >10× sf100 rows (VERDICT r10 "what's wrong" #1): the
 # two-level router's assignment is O(n·√k) with k ~ n/500, an n^1.5
 # work model — 10× data is 31.6× modeled work, and the measured 10.27×
 # (well under the model: the constant factors amortize) still beats
 # flat assignment 2.5× at that decade (BENCH_sf100.json recorder).
 # Admitted BY NAME with the model as its bound; everything else holds
-# the plain near-linear limits.  semantic_dedup_joined (the flat
-# broadcast-join tier) is FENCED OUT of the sf100 timed rows instead:
-# its per-(vector, centroid)-row candidate relation materializes two
-# 64-double arrays per pair — 8e9 pairs ≈ TBs of Arrow traffic at
-# k=4000 — so at that decade it is the documented wrong plan (the
-# router is 2.5× faster than even the closure-flat 1188 s recorder)
-# and a timed row would measure a plan nobody would run; its in-regime
-# decades (sf1: 8.6×… see BENCH_sf10.json) stay swept, and the fencing
-# note lives under the artifact's fenced_out key.
-SUPERLINEAR_MODELED = {"semantic_dedup_hier": 31.7}
+# the plain near-linear limits.  semantic_dedup_joined rides the SAME
+# router at sf100 since round 12: its registered query auto-tiers on
+# the pair-row (n·k) budget (semantic_dedup_dispatch), so the flat
+# broadcast-join shape that was fenced in round 11 (8e9 two-array
+# Arrow pair rows, killed leg) never plans there — the sf100 row is
+# the router's timing against a flat sf10 baseline leg and carries the
+# same n^1.5 model bound.
+SUPERLINEAR_MODELED = {
+    "semantic_dedup_hier": 31.7,
+    "semantic_dedup_joined": 31.7,
+}
+
+# The per-SF fence sets the sweep driver enforces IN CODE
+# (scripts/scale_check.py SF_FENCES, ADVICE r11): a fenced query must
+# never hold a timed row at/past its fence SF — a future merge that
+# timed one anyway contradicts the recorded fencing decision.
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    ),
+)
+from scale_check import SF_FENCES  # noqa: E402
+
+
+def _fenced_at(sf: float) -> set:
+    return {n for n, (lo, _) in SF_FENCES.items() if sf >= lo}
 
 
 @pytest.mark.skipif(
@@ -191,6 +213,10 @@ def test_sf100_third_decade_stays_sub_linear():
         assert name not in QUADRATIC_FAMILY, (
             f"{name} is fenced out of the sweep set; its rows belong "
             "under 'fenced_out', not 'queries'"
+        )
+        assert name not in _fenced_at(100), (
+            f"{name} is SF-fenced at sf100 (scale_check.SF_FENCES); a "
+            "timed row here contradicts the recorded fencing decision"
         )
         bound = SUPERLINEAR_MODELED.get(name, 20)
         assert r["ratio"] < bound, (
