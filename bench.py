@@ -214,6 +214,19 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).limit(1).collect()
 
+    # Materialize the shared cluster map ONCE, timed and recorded under
+    # its own artifact key (cluster_build_sec): the three cluster-split
+    # queries consume the checkpoint-pinned map (the production
+    # materialize-once shape, VERDICT r11 #3 — streaming/clustermap.py
+    # is the durable on-disk form), so their per-query rows measure the
+    # marginal consumer cost and this key keeps the one-off build cost
+    # visible instead of letting it vanish into rep medians.
+    from flink_repartition_watermark_example_spark.queries_dedup import cluster_build
+
+    t0 = time.perf_counter()
+    cluster_build(spark, sf_dir)
+    build_sec = round(time.perf_counter() - t0, 2)
+
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -274,7 +287,7 @@ def main() -> None:
     # clobbered by four subsequent bench runs in round 9) — carry over
     # every top-level key this harness doesn't own.
     OWN_KEYS = {"metric", "value", "unit", "queries", "spread", "reps",
-                "reruns", "sf", "accepted_regressions"}
+                "reruns", "sf", "accepted_regressions", "cluster_build_sec"}
     preserved: dict = {}
     if os.path.exists(out_path):
         try:
@@ -294,6 +307,7 @@ def main() -> None:
             "reps": reps,
             "reruns": reruns,
             "accepted_regressions": ACCEPTED_REGRESSIONS,
+            "cluster_build_sec": build_sec,
             "sf": sf,
         }
     )
