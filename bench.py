@@ -147,6 +147,12 @@ BENCH_EXTRAS = [
     # router-assignment cluster histogram — the monitoring plan at the
     # decade where the exact histogram is fenced; 106 -> 107
     "semantic_cluster_sizes_routed",
+    # round-12: the cross-family leakage diagnostic (before-number),
+    # the multi-edge-family CC split, and its all-family zero-leakage
+    # audit; 107 -> 110
+    "split_leakage_cross_family",
+    "split_by_cluster_multi",
+    "split_leakage_audit_multi",
 ]
 
 # Cross-round regressions that are ACCEPTED costs of a correctness or

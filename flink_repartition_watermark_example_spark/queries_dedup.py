@@ -1068,3 +1068,195 @@ def q_split_by_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     sz = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
     a = quota_split_assign(sz)
     return cl.join(a, "cluster_id").select("doc_id", "cluster_id", "split")
+
+
+# --- multi-edge-family clustering (VERDICT r11 #4) ----------------------------
+# The simhash-only cluster split proves zero leakage for simhash pairs,
+# but near-dups found by the OTHER detector families — LSH-verified
+# ngram-jaccard and winnowed containment — can still straddle splits
+# (different candidate geometry, different pairs).  The remedy follows
+# the audit-then-fix discipline of the round-11 split work: FIRST the
+# diagnostic that measures cross-family leakage of the simhash-only
+# split (the before-number that motivates the fix), THEN the multi-edge
+# split (CC over the UNION of the three pair families) and its
+# zero-leakage audit across ALL families.  Scale shape is unchanged:
+# every family's pair relation is a capped banded equi-join, the union
+# is their concatenation, and star-contraction CC is family-count
+# agnostic.
+
+# Standalone jaccard-verified pair statement (threshold 0.5) — the
+# `duppairs` shape of neardup_purged_docs as a composable subquery.
+_JACCARD_PAIRS_SQL = f"""
+    WITH {_SIG_CTES}, {_BANDS_CTE}
+    SELECT doc_a, doc_b FROM cand
+    JOIN sh ha ON ha.doc_id = doc_a JOIN sh hb ON hb.doc_id = doc_b
+    WHERE len(list_intersect(ha.s, hb.s))::DOUBLE
+            / len(list_distinct(list_concat(ha.s, hb.s))) >= 0.5
+"""
+
+# The three-family union with family labels, for the audit rollups.
+_FAMILY_PAIRS_SQL = f"""
+    fam AS (
+      SELECT 'simhash' AS family, doc_a, doc_b
+      FROM ({EXTRA_QUERIES["simhash_neardup_pairs"].oracle})
+      UNION ALL
+      SELECT 'jaccard', doc_a, doc_b FROM ({_JACCARD_PAIRS_SQL})
+      UNION ALL
+      SELECT 'containment', doc_a, doc_b
+      FROM ({EXTRA_QUERIES["winnow_containment_pairs"].oracle})
+    )
+"""
+
+
+def _family_pairs_df(spark: SparkSession, sf_dir: str, build: ClusterBuild) -> DataFrame:
+    out = None
+    for fam in CLUSTER_EDGE_FAMILIES:
+        leg = (
+            build.pairs[fam]
+            if fam in build.pairs
+            else _edge_pairs(spark, sf_dir, fam)
+        ).select(
+            F.lit(fam).alias("family"),
+            F.col("doc_a"),
+            F.col("doc_b"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
+@register_extra(
+    "split_leakage_cross_family",
+    f"""
+    WITH RECURSIVE {_CLUSTER_SPLIT_CTES},
+    s AS (SELECT doc_id, {_CLUSTER_SPLIT_CASE} AS split FROM cl),
+    {_FAMILY_PAIRS_SQL}
+    SELECT p.family,
+           LEAST(sa.split, sb.split) AS split_a,
+           GREATEST(sa.split, sb.split) AS split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM fam p
+    JOIN s sa ON sa.doc_id = p.doc_a
+    JOIN s sb ON sb.doc_id = p.doc_b
+    GROUP BY 1, 2, 3
+    """,
+    doc="The CROSS-FAMILY leakage diagnostic for the simhash-only "
+    "cluster split: near-dup pairs from ALL THREE detector families "
+    "(simhash hamming<=3, LSH-verified jaccard>=0.5, winnowed "
+    "containment>=0.5) bucketed by the endpoints' splits under "
+    "split_by_cluster's simhash-only assignment.  simhash rows are "
+    "same-split by construction; any cross-split row in the jaccard/"
+    "containment families is residual leakage the simhash-only "
+    "clustering cannot see (measured at sf0.001: 6 cross-split pairs "
+    "survive — 3 jaccard + 3 containment) — the before-number that "
+    "motivates split_by_cluster_multi.  Scale shape: three capped "
+    "banded equi-join pair relations, two hash joins to attach "
+    "endpoint splits, an O(families x 9)-row rollup.",
+)
+def q_split_leakage_cross_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = cluster_build(spark, sf_dir)
+    s = b.clusters.select("doc_id", _cluster_split_col().alias("split"))
+    pairs = _family_pairs_df(spark, sf_dir, b)
+    joined = (
+        pairs.join(
+            s.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
+            "doc_a",
+        ).join(
+            s.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")),
+            "doc_b",
+        )
+    )
+    return (
+        joined.select(
+            "family",
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("family", "split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+# Multi-edge CC closure: same recursive min-label shape as
+# _CLUSTER_SPLIT_CTES but over the UNION of the three pair families.
+_MULTI_CLUSTER_CTES = f"""
+    {_FAMILY_PAIRS_SQL},
+    mpairs AS (SELECT DISTINCT doc_a, doc_b FROM fam),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM mpairs
+          UNION SELECT doc_b, doc_a FROM mpairs),
+    reach(v, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.v
+      WHERE reach.r < e.b
+    ),
+    cl AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
+"""
+
+
+@register_extra(
+    "split_by_cluster_multi",
+    f"""
+    WITH RECURSIVE {_MULTI_CLUSTER_CTES}
+    SELECT doc_id, cluster_id, {_CLUSTER_SPLIT_CASE} AS split FROM cl
+    """,
+    doc="Leakage-safe split over the UNION of all three near-dup "
+    "detector families: connected components of simhash ∪ "
+    "jaccard-verified ∪ containment pairs (min-doc_id labels), "
+    "bucketed by the same md5 90/5/5 rule.  Every pair ANY registered "
+    "detector finds is an edge, so cross-split leakage is zero across "
+    "all families by construction — closing the residual "
+    "split_leakage_cross_family measures for the simhash-only split.  "
+    "Union-first is the production ordering: edges are cheap "
+    "(capped equi-joins) and CC is run once, versus clustering per "
+    "family and reconciling labels after.",
+)
+def q_split_by_cluster_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = cluster_build(spark, sf_dir, families=CLUSTER_EDGE_FAMILIES).clusters
+    return cl.select("doc_id", "cluster_id", _cluster_split_col().alias("split"))
+
+
+@register_extra(
+    "split_leakage_audit_multi",
+    f"""
+    WITH RECURSIVE {_MULTI_CLUSTER_CTES},
+    s AS (SELECT doc_id, {_CLUSTER_SPLIT_CASE} AS split FROM cl)
+    SELECT p.family,
+           LEAST(sa.split, sb.split) AS split_a,
+           GREATEST(sa.split, sb.split) AS split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM fam p
+    JOIN s sa ON sa.doc_id = p.doc_a
+    JOIN s sb ON sb.doc_id = p.doc_b
+    GROUP BY 1, 2, 3
+    """,
+    doc="The AFTER side of the cross-family leakage story: the "
+    "three-family pair rollup re-run over split_by_cluster_multi's "
+    "assignments.  Every surviving row must have split_a == split_b "
+    "in EVERY family — any detector's pair is an edge of the CC the "
+    "split keys on, so a cross-split row is impossible by "
+    "construction (invariant-pinned in "
+    "tests/test_pipeline_invariants.py alongside the single-family "
+    "audit).",
+)
+def q_split_leakage_audit_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = cluster_build(spark, sf_dir, families=CLUSTER_EDGE_FAMILIES)
+    s = b.clusters.select("doc_id", _cluster_split_col().alias("split"))
+    pairs = _family_pairs_df(spark, sf_dir, b)
+    joined = (
+        pairs.join(
+            s.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
+            "doc_a",
+        ).join(
+            s.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")),
+            "doc_b",
+        )
+    )
+    return (
+        joined.select(
+            "family",
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("family", "split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

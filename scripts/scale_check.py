@@ -216,6 +216,11 @@ DEFAULT_QUERIES = [
     # router-assignment histogram: the sf100-regime monitoring plan
     # (n^1.5 modeled family, like semantic_dedup_hier)
     "semantic_cluster_sizes_routed",
+    # round-12: multi-edge-family clustering (cross-family diagnostic,
+    # union-edge CC split, all-family audit)
+    "split_leakage_cross_family",
+    "split_by_cluster_multi",
+    "split_leakage_audit_multi",
 ]
 
 # Per-query SF fences (ADVICE r11): a query whose plan is out of

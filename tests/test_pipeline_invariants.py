@@ -288,3 +288,42 @@ def test_balanced_cluster_split_hits_band_quotas(spark, sf_dir):
     n_val = sum(1 for r in rows if r["split"] == "val")
     assert t90 <= n_train < t90 + max_sz
     assert t95 <= n_train + n_val < t95 + max_sz
+
+
+def test_multi_edge_split_closes_cross_family_leakage(spark, sf_dir):
+    """The cross-FAMILY before/after pair (VERDICT r11 #4): the
+    simhash-only cluster split leaves residual cross-split pairs in
+    the jaccard/containment detector families (the diagnostic's
+    before-number must be nonzero here, or the fix is unmotivated);
+    the multi-edge split — CC over the union of all three families —
+    must show zero cross-split pairs in EVERY family, and every
+    simhash-split cluster must be contained in one multi-split cluster
+    (unioning edges only merges components, never splits them)."""
+    before = EXTRA_QUERIES["split_leakage_cross_family"].spark(spark, sf_dir)
+    residual = sum(
+        r["n_pairs"] for r in before.collect() if r["split_a"] != r["split_b"]
+    )
+    assert residual > 0, (
+        "expected residual cross-family leakage under the simhash-only "
+        "split at this SF (measured 6 at sf0.001) — if detectors now "
+        "agree, the diagnostic and this test need a richer corpus"
+    )
+    after = EXTRA_QUERIES["split_leakage_audit_multi"].spark(spark, sf_dir)
+    rows = after.collect()
+    assert rows, "audit returned no rows"
+    for r in rows:
+        assert r["split_a"] == r["split_b"], (
+            f"cross-split pair survived the multi-edge split: {r}"
+        )
+    # refinement: each simhash cluster sits inside ONE multi cluster
+    single = EXTRA_QUERIES["split_by_cluster"].spark(spark, sf_dir)
+    multi = EXTRA_QUERIES["split_by_cluster_multi"].spark(spark, sf_dir)
+    joined = single.select(
+        "doc_id", F.col("cluster_id").alias("c1")
+    ).join(multi.select("doc_id", F.col("cluster_id").alias("c2")), "doc_id")
+    split_across = (
+        joined.groupBy("c1")
+        .agg(F.countDistinct("c2").alias("k"))
+        .where(F.col("k") > 1)
+    )
+    assert split_across.count() == 0

@@ -21,7 +21,11 @@ _SLOW_ORACLE = {"neardup_clusters", "kmeans_centroids", "bpe_merges",
                 "pagerank_suppliers", "ivf_trained_topk",
                 # iterative CC + recursive-CTE oracle, like neardup_clusters
                 "split_by_cluster", "split_leakage_audit_clustered",
-                "split_by_cluster_balanced"}
+                "split_by_cluster_balanced",
+                # the multi-edge-family CC trio: three pair pipelines
+                # plus the recursive closure in one oracle statement
+                "split_leakage_cross_family", "split_by_cluster_multi",
+                "split_leakage_audit_multi"}
 
 
 def _param(name: str):
