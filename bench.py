@@ -142,8 +142,9 @@ BENCH_EXTRAS = [
     # the production-nprobe recall pin (the 0.9 crossing of the
     # recorded nprobe curve); 104 -> 105
     "ann_recall_ivf_production",
-    # quota-balanced cluster split (two-level prefix sum); 105 -> 106
-    "split_by_cluster_balanced",
+    # split_by_cluster_balanced (quota-balanced cluster split) was
+    # benched here in round 11; it rotated INTO the primary 50 in
+    # round 12 and is benched as a primary now.
     # router-assignment cluster histogram — the monitoring plan at the
     # decade where the exact histogram is fenced; 106 -> 107
     "semantic_cluster_sizes_routed",
@@ -153,6 +154,11 @@ BENCH_EXTRAS = [
     "split_leakage_cross_family",
     "split_by_cluster_multi",
     "split_leakage_audit_multi",
+    # round-12 gate rotation: split_by_cluster_balanced moved into the
+    # primary 50 (benched as a primary now); promo_revenue_share moved
+    # out to extras — swapping them here keeps the benched set
+    # identical.
+    "promo_revenue_share",
 ]
 
 # Cross-round regressions that are ACCEPTED costs of a correctness or

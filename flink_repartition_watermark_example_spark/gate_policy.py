@@ -126,7 +126,22 @@ FAMILIES: dict[str, set[str]] = {
         "split_leakage_audit",
         "split_by_cluster",
         "split_leakage_audit_clustered",
+        "split_leakage_cross_family",
     },
+    # round-11 physical shapes, gated in round 12 (rule 4): the
+    # star-contraction CC labeling (operators/graph.py) under the
+    # split/cluster consumers, and the two-level 256-shard distributed
+    # prefix sum (queries_dedup.quota_split_assign).
+    # split_by_cluster_balanced covers both with one slot.
+    "connected_components": {
+        "neardup_clusters",
+        "split_by_cluster",
+        "split_leakage_audit_clustered",
+        "split_by_cluster_balanced",
+        "split_by_cluster_multi",
+        "split_leakage_audit_multi",
+    },
+    "distributed_prefix_sum": {"split_by_cluster_balanced"},
     "span_dedup": {"span_dedup_stats", "span_dedup_docs"},
     "semantic_dedup": {
         "semantic_dedup_scaled",
@@ -155,6 +170,7 @@ FAMILIES: dict[str, set[str]] = {
         "stratified_sample_docs",
         "split_by_cluster",
         "split_by_cluster_balanced",
+        "split_by_cluster_multi",
     },
 }
 
@@ -217,5 +233,19 @@ ROTATION_LOG: list[dict] = [
         " semantic_dedup floor keeps a member; the closure tier stays"
         " bit-identical-pinned to the joined tier in"
         " tests/test_semdedup_joined.py",
+    },
+    {
+        "round": 12,
+        "added": ["split_by_cluster_balanced"],
+        "removed": ["promo_revenue_share"],
+        "reason": "gate the two round-11 physical shapes that had zero"
+        " driver-checked rows (VERDICT r11 #2, rule 4): star-contraction"
+        " connected components and the two-level 256-shard distributed"
+        " prefix sum — split_by_cluster_balanced runs both in one slot."
+        "  promo_revenue_share rotates to extras: the decorrelation"
+        " family keeps THREE gate members (orders_above_cust_avg,"
+        " waiting_suppliers, nation_market_share) and Q14's"
+        " conditional-aggregate ratio stays oracle-checked in pytest"
+        " and benched via BENCH_EXTRAS",
     },
 ]

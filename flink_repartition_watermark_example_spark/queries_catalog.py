@@ -1287,7 +1287,12 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+# Rotated to extras in round 12 (gate slot went to
+# split_by_cluster_balanced — policy rule 4 for the CC + prefix-sum
+# families): the decorrelation family keeps three gate members
+# (orders_above_cust_avg, waiting_suppliers, nation_market_share), and
+# this stays oracle-checked in pytest + benched via BENCH_EXTRAS.
+@register_extra(
     "promo_revenue_share",
     """
     SELECT CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,

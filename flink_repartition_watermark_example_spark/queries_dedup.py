@@ -1035,7 +1035,11 @@ def quota_split_assign(sz: DataFrame) -> DataFrame:
 
 
 
-@register_extra(
+# Promoted to the gate in round 12 (policy rule 4): one slot covers
+# BOTH round-11 physical shapes with zero driver-checked rows — the
+# star-contraction CC labeling and the two-level distributed prefix
+# sum (gate_policy.py ROTATION_LOG round 12).
+@register(
     "split_by_cluster_balanced",
     f"""
     WITH RECURSIVE {_CLUSTER_SPLIT_CTES},
