@@ -159,6 +159,9 @@ BENCH_EXTRAS = [
     # out to extras — swapping them here keeps the benched set
     # identical.
     "promo_revenue_share",
+    # round-12: the incremental CC cluster-map index replay (label-
+    # graph merges, versioned snapshots)
+    "streaming_cluster_map",
 ]
 
 # Cross-round regressions that are ACCEPTED costs of a correctness or

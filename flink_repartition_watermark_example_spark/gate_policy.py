@@ -63,6 +63,7 @@ FAMILIES: dict[str, set[str]] = {
         "streaming_quantile_value",
         "streaming_bitmap_active_users",
         "streaming_int8_scales",
+        "streaming_cluster_map",
     },
     # scans / filters / projections / pushdown
     "scan_filter_project": {"scan_filter_project"},
@@ -140,6 +141,7 @@ FAMILIES: dict[str, set[str]] = {
         "split_by_cluster_balanced",
         "split_by_cluster_multi",
         "split_leakage_audit_multi",
+        "streaming_cluster_map",
     },
     "distributed_prefix_sum": {"split_by_cluster_balanced"},
     "span_dedup": {"span_dedup_stats", "span_dedup_docs"},

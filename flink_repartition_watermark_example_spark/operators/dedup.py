@@ -359,7 +359,7 @@ def simhash_neardup_pairs(
     max_hamming: int = SIMHASH_MAX_HAMMING,
     bands: int = SIMHASH_BANDS,
     bits: int = SIMHASH_BITS,
-    max_bucket_docs: int = MAX_BUCKET_DOCS,
+    max_bucket_docs: int | None = MAX_BUCKET_DOCS,
 ) -> DataFrame:
     """Near-duplicate pairs by simhash Hamming distance: candidates are
     pairs agreeing on ≥1 of ``bands`` equal-width bands of the hash
@@ -394,12 +394,16 @@ def simhash_neardup_pairs(
     )
     from pyspark.sql.window import Window
 
-    bucket = Window.partitionBy("band", "key")
-    banded = (
-        banded.withColumn("__bsz", F.count(F.lit(1)).over(bucket))
-        .where(F.col("__bsz") <= max_bucket_docs)
-        .drop("__bsz")
-    )
+    if max_bucket_docs is not None:
+        # None disables the cap (equivalence testing against the
+        # uncapped streaming replay, like the LSH path) — a raw
+        # `<= NULL` comparison would silently drop EVERY row.
+        bucket = Window.partitionBy("band", "key")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(bucket))
+            .where(F.col("__bsz") <= max_bucket_docs)
+            .drop("__bsz")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -1264,3 +1264,106 @@ def q_split_leakage_audit_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("family", "split_a", "split_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+# --- streaming cluster map (VERDICT r11 #5) ----------------------------------
+# The incremental CC label index (streaming/clustermap.py) run THROUGH
+# Structured Streaming and value-checked against the BATCH cluster
+# split.  The equality contract needs the bucket cap disabled on both
+# sides (the emission-time cap semantics divergence documented on the
+# streaming indexes), so the oracle is the UNCAPPED simhash pair
+# pipeline + the same recursive CC closure + the same md5 split rule.
+# _SIMHASH_SQL is a full "WITH toks AS ..." prefix; the recursive
+# statement needs its CTE list under a single WITH RECURSIVE header.
+_SIMHASH_CTES_BODY = _SIMHASH_SQL.replace("WITH toks", "toks", 1)
+
+_UNCAPPED_CLUSTER_SPLIT_SQL = f"""
+    WITH RECURSIVE {_SIMHASH_CTES_BODY},
+    bandedu AS (
+      SELECT doc_id, simhash, r.band,
+             (simhash >> (r.band * {_SIMHASH_W})) & {(1 << _SIMHASH_W) - 1} AS key
+      FROM sh CROSS JOIN range(0, {DD.SIMHASH_BANDS}) r(band)
+    ),
+    upairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandedu a JOIN bandedu b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {DD.SIMHASH_MAX_HAMMING}
+    ),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM upairs
+          UNION SELECT doc_b, doc_a FROM upairs),
+    reach(v, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.v
+      WHERE reach.r < e.b
+    ),
+    cl AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
+    SELECT doc_id, cluster_id, {_CLUSTER_SPLIT_CASE} AS split FROM cl
+"""
+
+
+@register_extra(
+    "streaming_cluster_map",
+    _UNCAPPED_CLUSTER_SPLIT_SQL,
+    doc="The incremental cluster-map index (streaming/clustermap.py) "
+    "replayed through Structured Streaming and value-checked against "
+    "the batch CC split: documents arrive as three doc_id-keyed "
+    "file-batches; each batch band-joins against the persisted simhash "
+    "index for new pairs, merges components through a LABEL-GRAPH CC "
+    "(O(batch pairs) vertices — never the corpus), relabels only "
+    "touched clusters, and writes a versioned (doc_id, cluster_id, "
+    "split) snapshot (the cdc_merge_writer discipline: crash-replayed "
+    "batches overwrite their own version; older versions give AS-OF "
+    "time travel).  Labels are component minima and min is "
+    "associative, so streamed-in-any-split equals the batch CC split "
+    "EXACTLY — this oracle is the batch pipeline (uncapped on both "
+    "sides, the documented emission-time cap divergence of every "
+    "streaming index).  Crash-replay, time-travel, and touched-only "
+    "invariants are pinned in tests/test_streaming_clustermap.py.",
+)
+def q_streaming_cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from flink_repartition_watermark_example_spark.streaming.clustermap import (
+        cluster_map_writer,
+        read_cluster_map,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="stream_clustermap_")
+    try:
+        src = os.path.join(root, "replay")
+        # modulo splits: sparse-id safe (the gen_scale stride lesson)
+        for cond in (
+            F.col("doc_id") % 3 == 0,
+            F.col("doc_id") % 3 == 1,
+            F.col("doc_id") % 3 == 2,
+        ):
+            docs.where(cond).coalesce(1).write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.outputMode("append")
+            .foreachBatch(
+                cluster_map_writer(
+                    os.path.join(root, "index"),
+                    os.path.join(root, "map"),
+                    max_bucket_docs=None,
+                )
+            )
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # pin the result before the temp dir goes away (corpus-sized:
+        # the O(1)-collect discipline of the sketch replays doesn't
+        # apply — checkpoint blocks do)
+        return read_cluster_map(
+            spark, os.path.join(root, "map")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
