@@ -162,6 +162,10 @@ BENCH_EXTRAS = [
     # round-12: the incremental CC cluster-map index replay (label-
     # graph merges, versioned snapshots)
     "streaming_cluster_map",
+    # round-12: the trained-quantizer production recall point
+    # (nprobe=12 vs the sampled pin's 15) — benched beside
+    # ann_recall_ivf_production for the per-round wall head-to-head
+    "ann_recall_ivf_trained_production",
 ]
 
 # Cross-round regressions that are ACCEPTED costs of a correctness or

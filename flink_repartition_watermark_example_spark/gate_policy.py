@@ -160,6 +160,7 @@ FAMILIES: dict[str, set[str]] = {
         "ivf_ann_filtered_topk",
         "hard_negative_mining",
         "ann_recall_ivf_production",
+        "ann_recall_ivf_trained_production",
     },
     # sketches
     "sketch_aggregates": {"approx_distinct_users_sketch"},

@@ -37,6 +37,17 @@ OFFSET = 2_097_152  # 2^21 > max |quantized component|; keeps values positive
 ITERS = 3
 DIM = 64
 
+# Production probe width for the TRAINED index: the measured 0.9-recall
+# crossing of the nprobe curve for the trained-Lloyd family
+# (scripts/record_nprobe_recall.py, BENCH_local.json "nprobe_recall":
+# trained crosses at 12 — 0.92 at sf0.01, 0.98 at sf0.1 — where the
+# sampled fixed-row index needs 15).  20% less probe work at the same
+# recall bar is the payoff of one 3-iteration Lloyd pass; the trained
+# family is therefore the documented production default
+# (ann_recall_ivf_trained_production), with the sampled pin kept as the
+# training-free fallback.
+TRAINED_PRODUCTION_NPROBE = 12
+
 
 def quantized(emb: DataFrame) -> DataFrame:
     """(vec_id, q: array<bigint>) — micro-unit + offset encoding."""

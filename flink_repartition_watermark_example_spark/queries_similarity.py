@@ -597,9 +597,12 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KM.centroids_df(load_table(spark, sf_dir, "embeddings"))
 
 
-@register_extra(
-    "ivf_trained_topk",
-    f"""
+def _ivf_trained_topk_sql(nprobe: int) -> str:
+    """Full trained-IVF top-5 statement at probe width ``nprobe`` —
+    shared by the registered nprobe=2 query and the production-recall
+    pair (nprobe=TRAINED_PRODUCTION_NPROBE vs the all-lists exhaustive
+    baseline)."""
+    return f"""
     WITH {_kmeans_ctes(KM.ITERS)},
     corpus AS (
       SELECT vec_id, q, cid AS list_id FROM (
@@ -619,7 +622,7 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            c.cid ASC) AS rn
         FROM qv v CROSS JOIN c{KM.ITERS} c
         WHERE v.vec_id < 10
-      ) WHERE rn <= 2
+      ) WHERE rn <= {nprobe}
     ),
     scored AS (
       SELECT p.query_id, co.vec_id, {_km_dist_sql('p.qq', 'co.q')} AS dist_q
@@ -632,7 +635,12 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT query_id, vec_id, dist_q, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= 5
-    """,
+    """
+
+
+@register_extra(
+    "ivf_trained_topk",
+    _ivf_trained_topk_sql(2),
     doc="IVF top-5 over lists from the TRAINED k-means centroids "
     "(ivf_ann_topk uses the untrained seed rows): integer micro-unit "
     "squared-L2 end to end, so training, assignment, probing, and "
@@ -640,6 +648,39 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KM.ivf_trained_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register_extra(
+    "ann_recall_ivf_trained_production",
+    _recall_sql(
+        _ivf_trained_topk_sql(KM.TRAINED_PRODUCTION_NPROBE),
+        # the trained family's exhaustive baseline: probing every list
+        # IS brute-force integer-L2 over the trained index's space
+        _ivf_trained_topk_sql(len(SIM.CENTROID_IDS)),
+        "ivf_trained_production",
+    ),
+    doc="recall@5 of the TRAINED k-means IVF at ITS production probe "
+    f"width (nprobe={KM.TRAINED_PRODUCTION_NPROBE} of "
+    f"{len(SIM.CENTROID_IDS)} lists) against the trained index's "
+    "exhaustive search — the productized point of the recorded "
+    "recall-vs-nprobe curve (BENCH_local.json 'nprobe_recall'): the "
+    "trained-Lloyd quantizer crosses 0.9 mean recall at nprobe=12 "
+    "where the sampled fixed-row index (ann_recall_ivf_production) "
+    "needs 15 — 20% less probe work at the same recall bar for one "
+    "3-iteration integer-exact Lloyd pass, making the trained family "
+    "the documented production default (regression-pinned >= 0.9 in "
+    "tests/test_similarity_ann.py; wall-clock head-to-head recorded "
+    "per round in BENCH_local.json).  Training cost is amortized: "
+    "the centroids are a K x dim integer artifact refreshed on the "
+    "index-build cadence, not per query.",
+)
+def q_ann_recall_ivf_trained_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _recall_df(
+        KM.ivf_trained_topk(emb, nprobe=KM.TRAINED_PRODUCTION_NPROBE),
+        KM.ivf_trained_topk(emb, nprobe=len(SIM.CENTROID_IDS)),
+        "ivf_trained_production",
+    )
 
 
 @register_extra(

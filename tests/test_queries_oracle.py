@@ -19,6 +19,8 @@ WITH_ORACLE = [n for n, q in ALL_QUERIES.items() if q.oracle is not None]
 # (pytest -m "not slow") still runs the other ~85 oracle checks.
 _SLOW_ORACLE = {"neardup_clusters", "kmeans_centroids", "bpe_merges",
                 "pagerank_suppliers", "ivf_trained_topk",
+                # two unrolled k-means CTE chains in one statement
+                "ann_recall_ivf_trained_production",
                 # iterative CC + recursive-CTE oracle, like neardup_clusters
                 "split_by_cluster", "split_leakage_audit_clustered",
                 "split_by_cluster_balanced",

@@ -330,3 +330,17 @@ def test_production_nprobe_holds_point_nine_recall(spark, sf_dir):
     ).collect()
     mean_recall = sum(r["hits"] for r in rows) / (5 * len(rows))
     assert mean_recall >= 0.9, mean_recall
+
+
+def test_trained_production_nprobe_holds_point_nine_recall(spark, sf_dir):
+    """The trained family's production point (VERDICT r11 #6):
+    TRAINED_PRODUCTION_NPROBE is the trained-Lloyd curve's measured
+    0.9-recall crossing (nprobe=12 vs the sampled index's 15) — mean
+    recall@5 at that width must stay >= 0.9 on every test corpus."""
+    from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES
+
+    rows = EXTRA_QUERIES["ann_recall_ivf_trained_production"].spark(
+        spark, sf_dir
+    ).collect()
+    mean_recall = sum(r["hits"] for r in rows) / (5 * len(rows))
+    assert mean_recall >= 0.9, mean_recall
