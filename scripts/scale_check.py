@@ -246,6 +246,17 @@ SF_FENCES: dict[str, tuple[float, str]] = {
         "(historical rows under fenced_out in BENCH_sf1/sf10); the "
         "production config is semantic_dedup_scaled",
     ),
+    "streaming_cluster_map": (
+        10,
+        "the REGISTERED replay runs UNCAPPED by contract (exact "
+        "stream==batch oracle equality requires max_bucket_docs=None "
+        "on both sides), and the degenerate zero-simhash bucket makes "
+        "uncapped pair generation quadratic: ~2e8 pairs at sf1 "
+        "(swept: 128.5 s, 2.5x), ~2e10 at sf10 — out of regime.  The "
+        "PRODUCTION writer runs with the cap (cluster_map_writer "
+        "default) and shares the swept streaming-index join geometry; "
+        "the uncapped form exists to pin equality at oracle SFs",
+    ),
 }
 
 
