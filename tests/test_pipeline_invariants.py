@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES
+from flink_repartition_watermark_example_spark.queries import EXTRA_QUERIES, QUERIES
 from flink_repartition_watermark_example_spark.queries_pipeline import (
     PACK_BUDGET_TOKENS,
     PACK_SPLITS,
@@ -20,8 +20,14 @@ from flink_repartition_watermark_example_spark.functions import textfns as TX
 from flink_repartition_watermark_example_spark.sources.tables import load_table
 
 
+def _q(name):
+    """Rotation-proof lookup: gate rotations move entries between the
+    primary and extra registries without changing semantics."""
+    return QUERIES[name] if name in QUERIES else EXTRA_QUERIES[name]
+
+
 def _rows(spark, sf_dir, name):
-    return EXTRA_QUERIES[name].spark(spark, sf_dir).collect()
+    return _q(name).spark(spark, sf_dir).collect()
 
 
 def test_packing_conserves_chunks_and_respects_budget(spark, sf_dir):
@@ -230,12 +236,12 @@ def test_cluster_split_eliminates_cross_split_leakage(spark, sf_dir):
     based split must show NONE (a near-dup pair is an edge of the
     graph whose components define the splits), and the assignment must
     be a total function of the corpus with each cluster in one split."""
-    after = EXTRA_QUERIES["split_leakage_audit_clustered"].spark(spark, sf_dir)
+    after = _q("split_leakage_audit_clustered").spark(spark, sf_dir)
     for r in after.collect():
         assert r["split_a"] == r["split_b"], (
             f"cross-split near-dup pair survived cluster splitting: {r}"
         )
-    assign = EXTRA_QUERIES["split_by_cluster"].spark(spark, sf_dir)
+    assign = _q("split_by_cluster").spark(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     assert assign.count() == docs.count()  # total: one row per doc
     # each cluster maps to exactly one split
@@ -270,7 +276,7 @@ def test_balanced_cluster_split_hits_band_quotas(spark, sf_dir):
     where t90/t95 are the integer 90%/95% marks.  The plain cluster
     split has no such bound (a giant family drags its whole mass into
     one hash bucket — the skew this variant exists to fix)."""
-    assign = EXTRA_QUERIES["split_by_cluster_balanced"].spark(spark, sf_dir)
+    assign = _q("split_by_cluster_balanced").spark(spark, sf_dir)
     rows = assign.collect()
     total = len(rows)
     docs = load_table(spark, sf_dir, "documents")
@@ -299,7 +305,7 @@ def test_multi_edge_split_closes_cross_family_leakage(spark, sf_dir):
     must show zero cross-split pairs in EVERY family, and every
     simhash-split cluster must be contained in one multi-split cluster
     (unioning edges only merges components, never splits them)."""
-    before = EXTRA_QUERIES["split_leakage_cross_family"].spark(spark, sf_dir)
+    before = _q("split_leakage_cross_family").spark(spark, sf_dir)
     residual = sum(
         r["n_pairs"] for r in before.collect() if r["split_a"] != r["split_b"]
     )
@@ -308,7 +314,7 @@ def test_multi_edge_split_closes_cross_family_leakage(spark, sf_dir):
         "split at this SF (measured 6 at sf0.001) — if detectors now "
         "agree, the diagnostic and this test need a richer corpus"
     )
-    after = EXTRA_QUERIES["split_leakage_audit_multi"].spark(spark, sf_dir)
+    after = _q("split_leakage_audit_multi").spark(spark, sf_dir)
     rows = after.collect()
     assert rows, "audit returned no rows"
     for r in rows:
@@ -316,8 +322,8 @@ def test_multi_edge_split_closes_cross_family_leakage(spark, sf_dir):
             f"cross-split pair survived the multi-edge split: {r}"
         )
     # refinement: each simhash cluster sits inside ONE multi cluster
-    single = EXTRA_QUERIES["split_by_cluster"].spark(spark, sf_dir)
-    multi = EXTRA_QUERIES["split_by_cluster_multi"].spark(spark, sf_dir)
+    single = _q("split_by_cluster").spark(spark, sf_dir)
+    multi = _q("split_by_cluster_multi").spark(spark, sf_dir)
     joined = single.select(
         "doc_id", F.col("cluster_id").alias("c1")
     ).join(multi.select("doc_id", F.col("cluster_id").alias("c2")), "doc_id")
