@@ -1396,3 +1396,151 @@ def q_streaming_int8_scales(spark: SparkSession, sf_dir: str) -> DataFrame:
         "j bigint, s double",
         key_col="vec_id",
     )
+
+
+# --- second-moment structure: integer Gram / covariance / PCA -------------
+# (round 12: the one-pass linear-algebra pattern — operators/linalg.py)
+
+_GRAM_Q = 10000.0  # == linalg.GRAM_Q == _DIM_Q; restated for the SQL render
+
+
+@register_extra(
+    "embedding_covariance_topk",
+    f"""
+    WITH comp AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_GRAM_Q})
+                  AS BIGINT) AS xq
+      FROM embeddings),
+    cells AS (
+      SELECT a.dim AS dim_i, b.dim AS dim_j,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a.xq) AS BIGINT) AS sum_i,
+             CAST(sum(b.xq) AS BIGINT) AS sum_j,
+             CAST(sum(a.xq * b.xq) AS BIGINT) AS sum_prod
+      FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.dim < b.dim
+      GROUP BY 1, 2)
+    SELECT dim_i, dim_j, n, sum_prod,
+           CAST(floor(CAST(sum_prod AS DOUBLE) / n
+                      - (CAST(sum_i AS DOUBLE) / n)
+                        * (CAST(sum_j AS DOUBLE) / n)) AS BIGINT) AS cov_q
+    FROM cells
+    ORDER BY abs(CAST(floor(CAST(sum_prod AS DOUBLE) / n
+                      - (CAST(sum_i AS DOUBLE) / n)
+                        * (CAST(sum_j AS DOUBLE) / n)) AS BIGINT)) DESC,
+             dim_i ASC, dim_j ASC
+    LIMIT 20
+    """,
+    doc="Covariance structure monitoring: the 20 strongest off-diagonal "
+    "covariances between embedding dimensions — the table that flags "
+    "redundant/entangled dimensions before an index or quantizer is "
+    "sized.  Physical shape is the 100 TB one-pass pattern "
+    "(operators/linalg.int_gram): each Arrow batch reduces to ONE "
+    "integer d x d Gram contribution via an int64 matmul, the exchange "
+    "carries O(partitions * d^2) accumulator rows, and the corpus is "
+    "never joined or shuffled row-wise (the oracle's self-join rendering "
+    "is the semantic spec, not the plan).  Float discipline: components "
+    "floor-quantize to ints BEFORE accumulation, so every cell is an "
+    "exact integer on both engines; the derived covariance doubles stay "
+    "exact below 2^53 (bound asserted in operators/linalg.py).",
+)
+def q_embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flink_repartition_watermark_example_spark.operators.linalg import int_gram
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    gram = int_gram(emb).where(F.col("dim_i") < F.col("dim_j"))
+    cov_q = F.floor(
+        F.col("sum_prod").cast("double") / F.col("n")
+        - (F.col("sum_i").cast("double") / F.col("n"))
+        * (F.col("sum_j").cast("double") / F.col("n"))
+    ).cast("long")
+    return (
+        gram.select("dim_i", "dim_j", "n", "sum_prod", cov_q.alias("cov_q"))
+        .orderBy(F.abs(F.col("cov_q")).desc(), "dim_i", "dim_j")
+        .limit(20)
+    )
+
+
+@register_extra(
+    "embedding_pca_variance",
+    None,  # eigendecomposition is not ANSI-SQL-expressible; exactness is
+    # pinned instead by tests/test_linalg.py (numpy full-data twin +
+    # trace conservation) and the rows-only driver check.
+    doc="PCA spectrum of the embedding covariance: per component the "
+    "floor-quantized eigenvalue (1e9 scale, original units) and "
+    "explained-variance ratio (1e6 scale).  The corpus-side work is "
+    "the SAME one-pass integer Gram as embedding_covariance_topk; the "
+    "driver sees only the O(d^2) cell relation and eigendecomposes a "
+    "64x64 matrix — the index-sizing artifact (how many components "
+    "carry the mass) a PQ/IVF/whitening design reads.  Deterministic "
+    "because the Gram is exact integers and eigvalsh on an identical "
+    "matrix is reproducible on a fixed LAPACK build.",
+)
+def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from flink_repartition_watermark_example_spark.operators.linalg import pca_spectrum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals, n = pca_spectrum(emb)
+    total = float(np.sum(vals))
+    rows = [
+        (
+            int(i),
+            int(n),
+            int(np.floor(v * 1e9)),
+            int(np.floor(1e6 * v / total)) if total > 0 else 0,
+        )
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(
+        rows, "component bigint, n bigint, eig_q9 bigint, explained_q6 bigint"
+    )
+
+
+@register_extra(
+    "embedding_pca_project_stats",
+    None,  # the basis comes from an eigendecomposition (not ANSI-SQL);
+    # exactness is pinned by tests/test_linalg.py — per-component
+    # projected variance must reproduce the eigenvalue spectrum.
+    doc="The apply-side of the PCA fit: project every embedding onto "
+    "the top-8 principal components (the d x r basis broadcasts "
+    "through the Arrow closure — train-on-aggregate / apply-by-"
+    "broadcast, the same shape as shipping a trained quantizer) and "
+    "report exact integer moments + the derived variance per "
+    "component.  By construction the variances must reproduce the "
+    "eigenvalue spectrum (test-pinned rtol 1e-3 — the residual is "
+    "the coordinate quantization), which makes the query its own "
+    "end-to-end audit of the fit->broadcast->apply loop.  Scale "
+    "shape: per-row (1 x d) @ (d x r) inside mapInPandas, map-side-"
+    "combined O(r) output, no row-wise shuffle; the only driver "
+    "traffic is the O(d^2) Gram collect in the fit.",
+)
+def q_embedding_pca_project_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flink_repartition_watermark_example_spark.operators.linalg import (
+        GRAM_Q,
+        pca_components,
+        project_moments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals, vecs, n = pca_components(emb)
+    r = 8
+    moments = project_moments(emb, vecs[:, :r])
+    var_q9 = F.floor(
+        F.lit(1e9)
+        * (
+            F.col("sumsq_q").cast("double") / F.col("n")
+            - (F.col("sum_q").cast("double") / F.col("n"))
+            * (F.col("sum_q").cast("double") / F.col("n"))
+        )
+        / F.lit(GRAM_Q * GRAM_Q)
+    ).cast("long")
+    return moments.select(
+        "component", "n", "sum_q", "sumsq_q", var_q9.alias("var_q9")
+    ).orderBy("component")

@@ -1292,3 +1292,103 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("majority_lang_frac_q"),
         )
     )
+
+
+# --- corpus mixture drift: per-source token-distribution divergence -------
+# (round 12)
+
+
+@register_extra(
+    "source_token_divergence",
+    f"""
+    WITH toks AS (SELECT source, unnest({_TOKS}) AS w FROM documents),
+    st AS (SELECT source, w, count(*) AS c_st FROM toks GROUP BY 1, 2),
+    tok AS (SELECT w, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+    src AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s,
+                   CAST(count(*) AS BIGINT) AS v_s
+            FROM st GROUP BY 1),
+    tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_tot FROM tok),
+    inpart AS (
+      SELECT st.source,
+             sum(abs(CAST(st.c_st AS HUGEINT) * t.n_tot
+                     - CAST(tk.c_t AS HUGEINT) * s.n_s)) AS num_in,
+             CAST(sum(tk.c_t) AS BIGINT) AS c_in
+      FROM st
+      JOIN tok tk ON tk.w = st.w
+      JOIN src s ON s.source = st.source
+      CROSS JOIN tot t
+      GROUP BY 1)
+    SELECT i.source,
+           s.n_s AS n_tokens,
+           s.v_s AS vocab_source,
+           CAST(floor(1e9 * CAST(i.num_in
+                                 + CAST(s.n_s AS HUGEINT) * (t.n_tot - i.c_in)
+                                 AS DOUBLE)
+                      / (2.0 * CAST(s.n_s AS DOUBLE)
+                         * CAST(t.n_tot AS DOUBLE))) AS BIGINT) AS tv_q9
+    FROM inpart i
+    JOIN src s ON s.source = i.source
+    CROSS JOIN tot t
+    """,
+    doc="Corpus mixture drift: per source, the total-variation distance "
+    "between the source's token distribution and the whole-corpus "
+    "distribution (quantized at 1e9) plus token/vocab inventories — "
+    "the table a data-mixing stage reads to spot a source whose "
+    "language shifted (crawl drift, encoder change) before it skews "
+    "training.  TV = 1/2 * sum_t |p_s(t) - p(t)| over the FULL vocab: "
+    "the numerator is accumulated as exact integers "
+    "(|c_st*N - c_t*N_s| as decimal/hugeint), the complement mass of "
+    "tokens the source never saw folds in as N_s*(N - sum_{{t in s}} "
+    "c_t), and the single double division happens once per source — "
+    "the rational-arithmetic discipline (no ln, like bigram_lift) that "
+    "keeps both engines bit-identical.  Scale shape: one corpus-scale "
+    "map-side-combined (source, token) agg; everything after runs on "
+    "count tables — tok is O(vocab) broadcast, src/tot are O(sources) "
+    "— so the 100 TB cost is one explode-agg pass.",
+)
+def q_source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs, "doc_id").select(
+        "source", F.explode(TX.tokens("text")).alias("w")
+    )
+    st = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_st"))
+    tok = st.groupBy("w").agg(F.sum("c_st").cast("long").alias("c_t"))
+    src = st.groupBy("source").agg(
+        F.sum("c_st").cast("long").alias("n_s"),
+        F.count(F.lit(1)).cast("long").alias("v_s"),
+    )
+    tot = tok.agg(F.sum("c_t").cast("long").alias("n_tot"))
+
+    def dec(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    inpart = (
+        st.join(F.broadcast(tok), "w")
+        .join(F.broadcast(src.select("source", "n_s")), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.abs(dec("c_st") * dec("n_tot") - dec("c_t") * dec("n_s"))
+            ).alias("num_in"),
+            F.sum("c_t").cast("long").alias("c_in"),
+        )
+    )
+    num = (
+        F.col("num_in")
+        + dec("n_s") * (dec("n_tot") - F.col("c_in").cast("decimal(38,0)"))
+    ).cast("double")
+    tv_q9 = F.floor(
+        (F.lit(1e9) * num)
+        / (F.lit(2.0) * F.col("n_s").cast("double") * F.col("n_tot").cast("double"))
+    ).cast("long")
+    return (
+        inpart.join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            F.col("v_s").alias("vocab_source"),
+            tv_q9.alias("tv_q9"),
+        )
+    )

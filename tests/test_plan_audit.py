@@ -61,6 +61,10 @@ NESTED_LOOP_ALLOWED = {
     # broadcast of the single-row (n_uni, n_bg) totals aggregate onto
     # the bigram count table (queries_text.py)
     "bigram_lift",
+    # broadcast of the single-row corpus-total aggregate onto the
+    # (source, token) count table and the O(sources) output relation
+    # (queries_text.py, round 12)
+    "source_token_divergence",
     # broadcast of the single-row (total, n_parts) aggregate onto the
     # per-part value relation — the Q11 HAVING-scalar decorrelation
     # (queries_subqueries.py)
