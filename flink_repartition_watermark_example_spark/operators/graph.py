@@ -60,6 +60,37 @@ def _small_star(e: DataFrame) -> DataFrame:
     return relink.union(direct).distinct()
 
 
+# Budget for the bounded-collect union-find tier: 1M (a, b) longs is
+# a ~30 MB driver collect — safely inside the O(centroids)/O(buckets)
+# bounded-collect discipline, and far above any micro-batch label
+# graph (the only caller class that opts in).
+DRIVER_CC_MAX_EDGES = 1_000_000
+
+
+def _unionfind_labels(rows) -> dict[int, int]:
+    """Min-root union-find over collected (a, b) edge rows: the root
+    of every set is its minimum member (union attaches the larger
+    root under the smaller), so labels match the distributed CC's
+    min-reachable-vertex contract exactly."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        a, b = int(row["__a"]), int(row["__b"])
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {v: find(v) for v in parent}
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
@@ -67,6 +98,7 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 50,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """(vertex, component) with component = min vertex id reachable.
 
@@ -95,6 +127,19 @@ def connected_components(
 
     Edges are treated as undirected and may contain duplicates or
     self-loops (dropped up front).
+
+    ``driver_max_edges`` enables a BOUNDED-COLLECT small tier (the
+    semantic_dedup_dispatch discipline): when the deduplicated edge
+    count is within the budget, the edges collect to the driver and a
+    min-root union-find labels them in O(E α(E)) — one job instead of
+    O(log n) shuffle rounds with per-round checkpoints.  Callers pass
+    it only where the edge set is structurally bounded (the streaming
+    cluster map's per-micro-batch LABEL graph — O(batch pairs)
+    regardless of corpus age); corpus-scale batch CC keeps the
+    distributed contraction, and oversized inputs fall through to it
+    automatically.  Labels are identical by construction (min member
+    of each component; property-tested against both distributed
+    implementations).
     """
     e = (
         edges.select(F.col(src_col).alias("__a"), F.col(dst_col).alias("__b"))
@@ -102,6 +147,25 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+    if driver_max_edges is not None and e.count() <= driver_max_edges:
+        labels = _unionfind_labels(e.collect())
+        spark = vertices.sparkSession
+        if labels:
+            roots = spark.createDataFrame(
+                [(int(v), int(l)) for v, l in labels.items()],
+                "__a long, __lbl long",
+            )
+        else:
+            roots = spark.createDataFrame([], "__a long, __lbl long")
+        return (
+            vertices.select(F.col(vertex_col).alias("__v"))
+            .join(F.broadcast(roots), F.col("__v") == F.col("__a"), "left")
+            .select(
+                F.col("__v").alias(vertex_col),
+                F.coalesce("__lbl", "__v").alias("component"),
+            )
+        )
 
     def _chk(df: DataFrame):
         # decimal sum: a long sum of 64-bit hashes overflows under ANSI

@@ -1323,6 +1323,12 @@ _UNCAPPED_CLUSTER_SPLIT_SQL = f"""
     "invariants are pinned in tests/test_streaming_clustermap.py.",
 )
 def q_streaming_cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _replay_cluster_map(spark, sf_dir, max_bucket_docs=None)
+
+
+def _replay_cluster_map(
+    spark: SparkSession, sf_dir: str, max_bucket_docs: int | None
+) -> DataFrame:
     import shutil
     import tempfile
 
@@ -1351,7 +1357,7 @@ def q_streaming_cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cluster_map_writer(
                     os.path.join(root, "index"),
                     os.path.join(root, "map"),
-                    max_bucket_docs=None,
+                    max_bucket_docs=max_bucket_docs,
                 )
             )
             .option("checkpointLocation", os.path.join(root, "ckpt"))
@@ -1367,3 +1373,81 @@ def q_streaming_cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# The CAPPED production replay, oracle-exact INCLUDING the cap: every
+# other streaming index documents the emission-time cap as an
+# unavoidable stream-vs-batch divergence (a bucket that crosses the
+# cap late keeps its early pairs).  Here the replay's batch assignment
+# is a pure function of the data (stage = doc_id % 3), so
+# emission-time itself is expressible in SQL: a pair (a, b) sharing a
+# (band, key) is emitted at horizon s = greatest(stage_a, stage_b)
+# iff that bucket's population among docs with stage <= s is within
+# the cap.  Bucket counts are nondecreasing in s, so each leg can
+# also pre-filter at its OWN arrival horizon — which removes the
+# degenerate-bucket quadratic blowup from the oracle too.
+_CAPPED_CLUSTER_SPLIT_SQL = f"""
+    WITH RECURSIVE {_SIMHASH_CTES_BODY},
+    bandedu AS (
+      SELECT doc_id, simhash, doc_id % 3 AS stage, r.band,
+             (simhash >> (r.band * {_SIMHASH_W})) & {(1 << _SIMHASH_W) - 1} AS key
+      FROM sh CROSS JOIN range(0, {DD.SIMHASH_BANDS}) r(band)
+    ),
+    hcnt AS (
+      SELECT band, key, s.s AS s, count(*) AS cnt
+      FROM bandedu h CROSS JOIN range(0, 3) s(s)
+      WHERE h.stage <= s.s
+      GROUP BY 1, 2, 3
+    ),
+    lv AS (
+      SELECT bd.* FROM bandedu bd
+      JOIN hcnt h ON h.band = bd.band AND h.key = bd.key AND h.s = bd.stage
+      WHERE h.cnt <= {DD.MAX_BUCKET_DOCS}
+    ),
+    upairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM lv a JOIN lv b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      JOIN hcnt h ON h.band = a.band AND h.key = a.key
+                 AND h.s = greatest(a.stage, b.stage)
+      WHERE h.cnt <= {DD.MAX_BUCKET_DOCS}
+        AND bit_count(xor(a.simhash, b.simhash)) <= {DD.SIMHASH_MAX_HAMMING}
+    ),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM upairs
+          UNION SELECT doc_b, doc_a FROM upairs),
+    reach(v, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.v
+      WHERE reach.r < e.b
+    ),
+    cl AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
+    SELECT doc_id, cluster_id, {_CLUSTER_SPLIT_CASE} AS split FROM cl
+"""
+
+
+@register_extra(
+    "streaming_cluster_map_capped",
+    _CAPPED_CLUSTER_SPLIT_SQL,
+    doc="The PRODUCTION configuration of the incremental cluster-map "
+    "index: same replay as streaming_cluster_map but with the "
+    f"hot-bucket cap ({DD.MAX_BUCKET_DOCS}) enabled — and, uniquely "
+    "among the streaming indexes, the cap is ORACLE-EXACT: because "
+    "the replay's batch assignment is a pure function of the data "
+    "(stage = doc_id % 3), the emission-time rule — a pair is "
+    "emitted at horizon s = greatest(stage_a, stage_b) iff its "
+    "(band, key) population among docs with stage <= s is within "
+    "the cap — renders directly as SQL over horizon counts, so the "
+    "stream==oracle compare covers the exact semantics every other "
+    "index only documents.  Bucket counts are nondecreasing in s, "
+    "which both legs exploit to pre-filter at their own arrival "
+    "horizon: the degenerate template bucket (43% of the corpus) "
+    "never enters the pair join on either engine, keeping the "
+    "replay linear at every SF where the uncapped twin is "
+    "SF-fenced quadratic.  The uncapped twin remains registered as "
+    "the cap-free equality witness against the batch CC split.",
+)
+def q_streaming_cluster_map_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _replay_cluster_map(
+        spark, sf_dir, max_bucket_docs=DD.MAX_BUCKET_DOCS
+    )

@@ -221,6 +221,16 @@ DEFAULT_QUERIES = [
     "split_leakage_cross_family",
     "split_by_cluster_multi",
     "split_leakage_audit_multi",
+    # round-12: trained-quantizer production recall, the capped
+    # (oracle-exact emission-time cap) cluster-map replay, the
+    # one-pass integer-Gram linear-algebra family, and the per-source
+    # token-distribution drift table
+    "ann_recall_ivf_trained_production",
+    "streaming_cluster_map_capped",
+    "embedding_covariance_topk",
+    "embedding_pca_variance",
+    "embedding_pca_project_stats",
+    "source_token_divergence",
 ]
 
 # Per-query SF fences (ADVICE r11): a query whose plan is out of

@@ -44,3 +44,34 @@ def test_trained_ivf_returns_full_topk_per_query(spark, sf_dir):
     per_q = {r["query_id"]: r["n"] for r in out.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert len(per_q) == 10
     assert all(n == 5 for n in per_q.values())
+
+
+def test_train_memo_hits_and_fingerprint_busts(spark, sf_dir, tmp_path):
+    """The trained-quantizer memo: same source + iters returns the
+    SAME artifact without retraining; rewriting the source file (new
+    mtime/size) busts the key; in-memory relations are never memoized."""
+    from flink_repartition_watermark_example_spark.operators import kmeans as KM
+    from flink_repartition_watermark_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    KM._TRAIN_MEMO.clear()
+    first = KM.train(emb)
+    assert len(KM._TRAIN_MEMO) == 1
+    again = KM.train(load_table(spark, sf_dir, "embeddings"))
+    assert again is first  # memo hit, no second Lloyd pass
+    assert len(KM._TRAIN_MEMO) == 1
+
+    # fingerprint: a REWRITTEN source (same path, new bytes) re-trains
+    p = str(tmp_path / "emb.parquet")
+    emb.limit(40).write.mode("overwrite").parquet(p)
+    k1 = KM._train_key(spark.read.parquet(p), KM.ITERS)
+    emb.limit(40).write.mode("overwrite").parquet(p)
+    k2 = KM._train_key(spark.read.parquet(p), KM.ITERS)
+    assert k1 != k2
+
+    # in-memory relation: no stable identity -> no memo key
+    mem = spark.createDataFrame(
+        [(1, [0.0] * KM.DIM)], "vec_id bigint, embedding array<double>"
+    )
+    assert KM._train_key(mem, KM.ITERS) is None
+    KM._TRAIN_MEMO.clear()

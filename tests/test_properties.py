@@ -175,6 +175,14 @@ def test_connected_components_matches_union_find(spark, edges):
         r.v: r.component for r in connected_components(vdf, edf).collect()
     }
     assert got == expect
+    # the bounded-collect union-find tier must produce identical labels
+    got_driver = {
+        r.v: r.component
+        for r in connected_components(
+            vdf, edf, driver_max_edges=10**6
+        ).collect()
+    }
+    assert got_driver == expect
 
 
 # --- BPE merge-encoding property -----------------------------------------
