@@ -179,6 +179,9 @@ BENCH_EXTRAS = [
     "embedding_pca_variance",
     "embedding_pca_project_stats",
     "source_token_divergence",
+    # round-12: the cluster-map staleness audit (the recompute-cadence
+    # metric for a materialized map — current vs as-of-horizon batch CC)
+    "cluster_map_staleness",
 ]
 
 # Cross-round regressions that are ACCEPTED costs of a correctness or

@@ -333,3 +333,24 @@ def test_multi_edge_split_closes_cross_family_leakage(spark, sf_dir):
         .where(F.col("k") > 1)
     )
     assert split_across.count() == 0
+
+
+def test_cluster_map_staleness_partitions_the_corpus(spark, sf_dir):
+    """The staleness audit's statuses partition the CURRENT corpus:
+    counts sum to the document count, every status is one of the four
+    defined classes, and the new_doc rows are exactly the documents
+    past the snapshot horizon (stage = doc_id % 3 == 2).  A doc
+    sharing its snapshot cluster label cannot be a split_flip (the
+    split is a pure function of the label)."""
+    rows = _rows(spark, sf_dir, "cluster_map_staleness")
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    statuses = {r["status"] for r in rows}
+    assert statuses <= {"new_doc", "split_flip", "label_drift", "stable"}
+    n_new = sum(r["n_docs"] for r in rows if r["status"] == "new_doc")
+    assert n_new == docs.where(F.col("doc_id") % 3 == 2).count()
+    # snapshot-era docs must all be classified (stable/drift/flip)
+    assert sum(r["n_docs"] for r in rows) - n_new == docs.where(
+        F.col("doc_id") % 3 <= 1
+    ).count()

@@ -27,7 +27,10 @@ _SLOW_ORACLE = {"neardup_clusters", "kmeans_centroids", "bpe_merges",
                 # the multi-edge-family CC trio: three pair pipelines
                 # plus the recursive closure in one oracle statement
                 "split_leakage_cross_family", "split_by_cluster_multi",
-                "split_leakage_audit_multi"}
+                "split_leakage_audit_multi",
+                # two pair pipelines + two recursive closures (current
+                # map + as-of snapshot map) in one oracle statement
+                "cluster_map_staleness"}
 
 
 def _param(name: str):
