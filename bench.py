@@ -167,21 +167,35 @@ BENCH_EXTRAS = [
     # but out of the bench (the semantic_dedup_survivors precedent:
     # it is quadratic BY CONTRACT on the degenerate template bucket —
     # 49.8 s of a 211 s bench at sf0.1, SF-fenced past sf1).
-    "streaming_cluster_map_capped",
+    # (streaming_cluster_map_capped was benched here; it rotated INTO
+    # the primary 50 in the second round-12 rotation and is benched as
+    # a primary now.)
     # round-12: the trained-quantizer production recall point
     # (nprobe=12 vs the sampled pin's 15) — benched beside
     # ann_recall_ivf_production for the per-round wall head-to-head
     "ann_recall_ivf_trained_production",
     # round-12: the one-pass integer-Gram linear-algebra family
     # (covariance structure + PCA spectrum) and the per-source
-    # token-distribution drift table
-    "embedding_covariance_topk",
+    # token-distribution drift table.  embedding_covariance_topk
+    # rotated INTO the primary 50 (second round-12 rotation) and is
+    # benched as a primary; the swapped-out pair keeps its bench slot
+    # below so the benched set stays identical.
+    "word_count_topn",
+    "fingerprint_dedup",
     "embedding_pca_variance",
     "embedding_pca_project_stats",
     "source_token_divergence",
     # round-12: the cluster-map staleness audit (the recompute-cadence
     # metric for a materialized map — current vs as-of-horizon batch CC)
     "cluster_map_staleness",
+    # round-12 second rotation: pivot_revenue_by_priority moved out to
+    # extras (dq_constraint_report took its slot and is benched as a
+    # primary) — keeping it here keeps the benched set identical.
+    "pivot_revenue_by_priority",
+    # round-12: the data-quality family's non-gate members (one-pass
+    # long-format column profile; shuffle-key skew diagnostics)
+    "table_profile",
+    "key_skew_report",
 ]
 
 # Cross-round regressions that are ACCEPTED costs of a correctness or

@@ -144,6 +144,30 @@ FAMILIES: dict[str, set[str]] = {
         "streaming_cluster_map",
     },
     "distributed_prefix_sum": {"split_by_cluster_balanced"},
+    # round-12 physical shapes, gated the same round (rule 4): the
+    # incremental CC label-graph merge with its ORACLE-EXACT hot-bucket
+    # cap (streaming/clustermap.py — the only streaming index whose
+    # production cap renders as SQL), and the one-pass integer-Gram
+    # accumulation (operators/linalg.py — per-batch int64 matmul, an
+    # O(partitions * d^2) exchange instead of any row-wise shuffle).
+    "streaming_cluster_map": {
+        "streaming_cluster_map",
+        "streaming_cluster_map_capped",
+        "cluster_map_staleness",
+    },
+    "integer_gram_linalg": {
+        "embedding_covariance_topk",
+        "embedding_pca_variance",
+        "embedding_pca_project_stats",
+    },
+    # round-12 capability class: declarative data-quality gating /
+    # profiling / skew diagnostics (queries_quality.py) — the
+    # constraint-report member carries the family's gate slot.
+    "data_quality": {
+        "dq_constraint_report",
+        "table_profile",
+        "key_skew_report",
+    },
     "span_dedup": {"span_dedup_stats", "span_dedup_docs"},
     "semantic_dedup": {
         "semantic_dedup_scaled",
@@ -250,5 +274,35 @@ ROTATION_LOG: list[dict] = [
         " waiting_suppliers, nation_market_share) and Q14's"
         " conditional-aggregate ratio stays oracle-checked in pytest"
         " and benched via BENCH_EXTRAS",
+    },
+    {
+        "round": 12,
+        "added": [
+            "embedding_covariance_topk",
+            "streaming_cluster_map_capped",
+            "dq_constraint_report",
+        ],
+        "removed": ["word_count_topn", "fingerprint_dedup", "pivot_revenue_by_priority"],
+        "reason": "gate the two physical shapes round 12 itself introduced"
+        " (rule 4): the one-pass integer-Gram accumulation"
+        " (operators/linalg.py — per-batch int64 matmul, O(p*d^2)"
+        " exchange, no row-wise shuffle) via embedding_covariance_topk,"
+        " and the incremental CC label-graph cluster map in its"
+        " cap-ORACLE-EXACT production config via"
+        " streaming_cluster_map_capped.  word_count_topn rotates out"
+        " (topk_sort keeps topk_orders + top_suppliers_by_nation;"
+        " tokenization keeps token_counts_by_source — the identical"
+        " explode+agg kernel) and fingerprint_dedup rotates out"
+        " (exact_dedup keeps exact_dedup_docs; the fingerprint kernel"
+        " is recomputed inside span/winnow queries).  Also gate the"
+        " round-12 data-quality capability class (queries_quality.py)"
+        " via dq_constraint_report — the Deequ-shape constraint report"
+        " (conditional-agg pass per table + LeftSemi RI rules, with a"
+        " genuinely failing constraint on the synthetic data);"
+        " pivot_revenue_by_priority rotates out (grouping_surfaces"
+        " keeps grouping_sets_revenue — the same partial+final hash-agg"
+        " machinery; the PIVOT rendering stays oracle-checked in"
+        " pytest).  All three removals stay oracle-checked in pytest"
+        " and benched",
     },
 ]

@@ -409,11 +409,13 @@ def _fold_norm(V):
     return np.sqrt(acc)
 
 
-def _score_pairs(joined: DataFrame) -> DataFrame:
+def _score_pairs(joined: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Shared fold-exact scoring stage: a joined candidate relation
     with (query_id, qv, nqv, vec_id, v, nv) → (query_id, vec_id,
     cos_sim), cos = dot/(nqv·nv) in the expression fold's exact
-    operation order, one Arrow pass, no shuffle."""
+    operation order, one Arrow pass, no shuffle.  `carry` names long
+    columns of the input passed through unchanged (e.g. list_id for
+    the diversified variant)."""
     import numpy as np
     import pandas as pd
 
@@ -426,17 +428,19 @@ def _score_pairs(joined: DataFrame) -> DataFrame:
             cos = _fold_dot_rows(Q, V) / (
                 pdf["nqv"].to_numpy() * pdf["nv"].to_numpy()
             )
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"],
-                    "vec_id": pdf["vec_id"],
-                    "cos_sim": cos,
-                }
-            )
+            out = {
+                "query_id": pdf["query_id"],
+                "vec_id": pdf["vec_id"],
+                "cos_sim": cos,
+            }
+            for c in carry:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return joined.mapInPandas(
-        batches, schema="query_id long, vec_id long, cos_sim double"
+    schema = "query_id long, vec_id long, cos_sim double" + "".join(
+        f", {c} long" for c in carry
     )
+    return joined.mapInPandas(batches, schema=schema)
 
 
 def _bucketize_fold(vdf: DataFrame, planes: list[list[float]]) -> DataFrame:
@@ -487,6 +491,7 @@ def ivf_topk(
     k: int = 5,
     nprobe: int = NPROBE,
     corpus_pred=None,
+    per_list_top1: bool = False,
 ) -> DataFrame:
     """Approximate top-k via an IVF-flat coarse index — the k-means-
     family counterpart of `lsh_ann_topk`.  Index build collects the 16
@@ -582,15 +587,37 @@ def ivf_topk(
         assign_probes,
         schema="query_id long, qv array<double>, nqv double, list_id long",
     )
-    scored = _score_pairs(corpus.join(F.broadcast(q), "list_id"))
+    scored = _score_pairs(
+        corpus.join(F.broadcast(q), "list_id"),
+        carry=("list_id",) if per_list_top1 else (),
+    )
+    if per_list_top1:
+        # Diversified retrieval: keep only the best hit per probed
+        # list before the global ranking, so the final top-k spans k
+        # DISTINCT coarse cells (the cheap, fully-distributed stand-in
+        # for MMR-style diversification — cells are the diversity
+        # buckets the index already maintains).  The per-(query, list)
+        # argmax is a partitioned window over the probe-bounded
+        # candidate set; nothing here adds driver work or a new
+        # shuffle shape.
+        wl = Window.partitionBy("query_id", "list_id").orderBy(
+            F.col("cos_sim").desc(), F.col("vec_id").asc()
+        )
+        scored = (
+            scored.withColumn("list_rn", F.row_number().over(wl))
+            .where(F.col("list_rn") == 1)
+            .drop("list_rn")
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    ranked = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
     )
+    cols = ["query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank")]
+    if per_list_top1:
+        cols.insert(2, F.col("list_id").cast("long").alias("list_id"))
+    return ranked.select(*cols)
 
 
 def ivf_topk_hof(

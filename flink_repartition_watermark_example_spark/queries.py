@@ -311,3 +311,4 @@ from flink_repartition_watermark_example_spark import queries_streaming  # noqa:
 from flink_repartition_watermark_example_spark import queries_pipeline  # noqa: E402,F401
 from flink_repartition_watermark_example_spark import queries_sketches  # noqa: E402,F401
 from flink_repartition_watermark_example_spark import queries_subqueries  # noqa: E402,F401
+from flink_repartition_watermark_example_spark import queries_quality  # noqa: E402,F401

@@ -914,7 +914,7 @@ def q_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "pivot_revenue_by_priority",
     """
     SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,

@@ -72,7 +72,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup(load_table(spark, sf_dir, "documents"), ["text"], "doc_id")
 
 
-@register(
+@register_extra(
     "fingerprint_dedup",
     f"""
     WITH toks AS (SELECT doc_id, {TX.tokens_sql('text')} AS t FROM documents)
@@ -1426,7 +1426,7 @@ _CAPPED_CLUSTER_SPLIT_SQL = f"""
 """
 
 
-@register_extra(
+@register(
     "streaming_cluster_map_capped",
     _CAPPED_CLUSTER_SPLIT_SQL,
     doc="The PRODUCTION configuration of the incremental cluster-map "

@@ -262,6 +262,79 @@ def q_ivf_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, corpus_pred=F.col("label").isin(0, 2, 4, 6, 8))
 
 
+# Probe width of the diversified search: wider than the plain top-k's
+# NPROBE because each probed list contributes at most ONE result, so
+# the probe set must exceed k for the final ranking to choose at all.
+DIVERSE_NPROBE = 8
+
+
+@register_extra(
+    "ivf_diverse_topk",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+      WHERE vec_id IN ({", ".join(str(c) for c in SIM.CENTROID_IDS)})
+    ),
+    corpus AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id >= 10),
+    assign AS (
+      SELECT vec_id, v, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {cosine_sql('v', 'cv')} DESC,
+                                         centroid_id ASC) AS rn
+      FROM corpus CROSS JOIN cent
+    ),
+    lists AS (SELECT vec_id, v, centroid_id AS list_id FROM assign WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < 10),
+    qp AS (
+      SELECT query_id, qv, centroid_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {cosine_sql('qv', 'cv')} DESC,
+                                         centroid_id ASC) AS rn
+      FROM q CROSS JOIN cent
+    ),
+    probes AS (SELECT query_id, qv, centroid_id AS list_id FROM qp
+               WHERE rn <= {DIVERSE_NPROBE}),
+    scored AS (
+      SELECT p.query_id, l.vec_id, p.list_id,
+             {cosine_sql('p.qv', 'l.v')} AS cos_sim
+      FROM probes p JOIN lists l ON l.list_id = p.list_id
+    ),
+    per_list AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id, list_id
+                                   ORDER BY cos_sim DESC, vec_id ASC)
+                AS list_rn
+      FROM scored
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, list_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM per_list WHERE list_rn = 1
+    )
+    SELECT query_id, vec_id, CAST(list_id AS BIGINT) AS list_id,
+           cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="DIVERSIFIED approximate search: top-5 subject to at most one "
+    "result per coarse cell — each of the 8 probed IVF lists "
+    "contributes only its best hit, so the final ranking spans 5 "
+    "DISTINCT regions of the embedding space (the retrieval shape "
+    "behind dedup-aware RAG context selection and diverse few-shot "
+    "mining, where 5 near-copies of one cluster are worthless).  The "
+    "cells the index already maintains serve as the diversity buckets, "
+    "making this the fully-distributed O(probe-bounded) stand-in for "
+    "greedy MMR (which is sequential in k by definition).  Physical "
+    "delta vs ivf_ann_topk: one extra PARTITIONED window (query_id, "
+    "list_id) over the probe-bounded candidate set — no new shuffle "
+    "shape, no driver work; same fold-exact scoring kernels, so "
+    "cos_sim doubles stay bit-identical to the oracle's list_reduce.",
+)
+def q_ivf_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, nprobe=DIVERSE_NPROBE, per_list_top1=True)
+
+
 def _l2sq_sql(a: str, b: str, n: int) -> str:
     """Left-fold squared L2 over n elements — lockstep with
     operators/similarity._l2sq."""
@@ -1404,7 +1477,7 @@ def q_streaming_int8_scales(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GRAM_Q = 10000.0  # == linalg.GRAM_Q == _DIM_Q; restated for the SQL render
 
 
-@register_extra(
+@register(
     "embedding_covariance_topk",
     f"""
     WITH comp AS (

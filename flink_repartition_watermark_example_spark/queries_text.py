@@ -63,7 +63,7 @@ def q_text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "word_count_topn",
     f"""
     WITH toks AS (SELECT {_TOKS} AS t FROM documents),

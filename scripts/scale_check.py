@@ -231,6 +231,12 @@ DEFAULT_QUERIES = [
     "embedding_pca_variance",
     "embedding_pca_project_stats",
     "source_token_divergence",
+    # round-12: the data-quality family (constraint report, one-pass
+    # column profile, key-skew diagnostics) — each one aggregation
+    # pass per table, O(report)-row results
+    "dq_constraint_report",
+    "table_profile",
+    "key_skew_report",
 ]
 
 # Per-query SF fences (ADVICE r11): a query whose plan is out of

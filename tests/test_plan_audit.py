@@ -80,6 +80,14 @@ NESTED_LOOP_ALLOWED = {
     # embeds cosine_topk (the 10-query broadcast brute-force baseline)
     # as its positives side
     "hard_negative_mining",
+    # broadcast joins BETWEEN single-row aggregate relations: each
+    # constraint metric is one row (per-table conditional agg × the
+    # LeftSemi RI count), so every nested-loop input is exactly one
+    # row at any corpus size (queries_quality.py, round 12)
+    "dq_constraint_report",
+    # single-row moment aggregate × single-row TakeOrdered(10) sum —
+    # both sides O(1) rows by construction (queries_quality.py)
+    "key_skew_report",
 }
 
 
