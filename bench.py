@@ -193,9 +193,13 @@ BENCH_EXTRAS = [
     # primary) — keeping it here keeps the benched set identical.
     "pivot_revenue_by_priority",
     # round-12: the data-quality family's non-gate members (one-pass
-    # long-format column profile; shuffle-key skew diagnostics)
+    # long-format column profile; shuffle-key skew diagnostics; the
+    # per-hour incremental streaming monitor)
     "table_profile",
     "key_skew_report",
+    "streaming_dq_monitor",
+    # round-12: diversified ANN (top-5 across 5 distinct coarse cells)
+    "ivf_diverse_topk",
 ]
 
 # Cross-round regressions that are ACCEPTED costs of a correctness or

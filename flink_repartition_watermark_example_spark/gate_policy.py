@@ -64,6 +64,7 @@ FAMILIES: dict[str, set[str]] = {
         "streaming_bitmap_active_users",
         "streaming_int8_scales",
         "streaming_cluster_map",
+        "streaming_dq_monitor",
     },
     # scans / filters / projections / pushdown
     "scan_filter_project": {"scan_filter_project"},
@@ -167,6 +168,7 @@ FAMILIES: dict[str, set[str]] = {
         "dq_constraint_report",
         "table_profile",
         "key_skew_report",
+        "streaming_dq_monitor",
     },
     "span_dedup": {"span_dedup_stats", "span_dedup_docs"},
     "semantic_dedup": {
@@ -185,6 +187,7 @@ FAMILIES: dict[str, set[str]] = {
         "hard_negative_mining",
         "ann_recall_ivf_production",
         "ann_recall_ivf_trained_production",
+        "ivf_diverse_topk",
     },
     # sketches
     "sketch_aggregates": {"approx_distinct_users_sketch"},

@@ -399,3 +399,62 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = r if out is None else out.unionAll(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# streaming_dq_monitor
+# ---------------------------------------------------------------------------
+
+_DQ_MONITOR_SQL = """
+    SELECT date_trunc('hour', ts) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors,
+           CAST(sum(CASE WHEN value > 400.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_user,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS error_share,
+           (CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*)) > 0.25 AS error_alert
+    FROM events
+    GROUP BY 1
+"""
+
+
+@register_extra(
+    "streaming_dq_monitor",
+    _DQ_MONITOR_SQL,
+    doc="The streaming face of the DQ family: per-event-hour rule "
+    "counters (error events, value outliers, null user ids) maintained "
+    "as an incremental index (streaming/dqmonitor.py) — each "
+    "micro-batch writes an additive versioned delta under the "
+    "neardup-index discipline (replay-idempotent, crash-repairable, "
+    "losslessly compactable), and the report derives share/alert "
+    "columns from the merged counters with one exact-long division.  "
+    "Counters are algebraic, so streamed-in-any-split == batch "
+    "EXACTLY: the oracle is the plain GROUP BY.  Keyed on EVENT time, "
+    "so late data folds into its own hour; per-batch cost is O(batch), "
+    "state is O(hours-seen) — bounded regardless of stream length.  "
+    "This is ingest gating at 100 TB: the pipeline reads the alert "
+    "flag per hour without recomputing history.",
+)
+def q_streaming_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_repartition_watermark_example_spark.queries_sketches import _replay_through_sketch
+    from flink_repartition_watermark_example_spark.streaming.dqmonitor import (
+        compact_dq_state,
+        dq_monitor_writer,
+        read_dq_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return _replay_through_sketch(
+        spark,
+        ev.select("event_id", "ts", "event_type", "value", "user_id"),
+        dq_monitor_writer,
+        lambda d: compact_dq_state(spark, d),
+        lambda d: read_dq_report(spark, d),
+        "hour timestamp, n_events long, n_errors long, n_outliers long, "
+        "n_null_user long, error_share double, error_alert boolean",
+    )

@@ -237,6 +237,8 @@ DEFAULT_QUERIES = [
     "dq_constraint_report",
     "table_profile",
     "key_skew_report",
+    "streaming_dq_monitor",
+    "ivf_diverse_topk",
 ]
 
 # Per-query SF fences (ADVICE r11): a query whose plan is out of
