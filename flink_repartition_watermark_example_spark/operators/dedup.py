@@ -360,6 +360,8 @@ def simhash_neardup_pairs(
     bands: int = SIMHASH_BANDS,
     bits: int = SIMHASH_BITS,
     max_bucket_docs: int | None = MAX_BUCKET_DOCS,
+    *,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by simhash Hamming distance: candidates are
     pairs agreeing on ≥1 of ``bands`` equal-width bands of the hash
@@ -369,6 +371,13 @@ def simhash_neardup_pairs(
     predicate, computed at hash-join scale; a pair colliding in
     several bands is emitted once (distinct).
 
+    ``sh`` optionally supplies a precomputed (doc_id, simhash)
+    relation for exactly ``docs`` — simhash is a pure per-doc
+    function, so a pinned corpus-wide relation filtered to a
+    sub-corpus equals recomputing it there (the staleness audit's
+    as-of leg passes the pinned corpus simhash filtered to the
+    snapshot horizon).
+
     ``max_bucket_docs`` is the same degenerate-bucket cap as the LSH
     path (MAX_BUCKET_DOCS, mirrored in the oracle): a band value
     shared by a huge doc population — near-empty docs all simhash to
@@ -377,7 +386,8 @@ def simhash_neardup_pairs(
     bands; only docs pathologically similar to a whole crowd lose
     recall, the documented at-scale tradeoff."""
     w = bits // bands
-    sh = simhash(docs, text_col, bits)
+    if sh is None:
+        sh = simhash(docs, text_col, bits)
     banded = sh.select(
         "doc_id",
         "simhash",

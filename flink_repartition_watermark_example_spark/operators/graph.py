@@ -62,8 +62,13 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 # Budget for the bounded-collect union-find tier: 1M (a, b) longs is
 # a ~30 MB driver collect — safely inside the O(centroids)/O(buckets)
-# bounded-collect discipline, and far above any micro-batch label
-# graph (the only caller class that opts in).
+# bounded-collect discipline.  Since r12 every CC call site passes it:
+# the dispatch probes the pinned edge count first, so an in-budget
+# graph (micro-batch label graphs ALWAYS; the capped batch pair graphs
+# at bench/test SFs) is labeled in one collect, and a corpus whose
+# pair graph outgrows the budget falls through to the distributed
+# star-contraction automatically — the scale-adaptive tier discipline
+# of semantic_dedup_dispatch.
 DRIVER_CC_MAX_EDGES = 1_000_000
 
 
@@ -141,31 +146,44 @@ def connected_components(
     of each component; property-tested against both distributed
     implementations).
     """
-    e = (
-        edges.select(F.col(src_col).alias("__a"), F.col(dst_col).alias("__b"))
-        .where(F.col("__a") != F.col("__b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = edges.select(
+        F.col(src_col).alias("__a"), F.col(dst_col).alias("__b")
+    ).where(F.col("__a") != F.col("__b"))
 
-    if driver_max_edges is not None and e.count() <= driver_max_edges:
-        labels = _unionfind_labels(e.collect())
-        spark = vertices.sparkSession
-        if labels:
-            roots = spark.createDataFrame(
-                [(int(v), int(l)) for v, l in labels.items()],
-                "__a long, __lbl long",
+    if driver_max_edges is not None:
+        # Adaptive dispatch probes the RAW (self-loop-free) edge count,
+        # which bounds the distinct count — so the bounded tier needs
+        # NO distinct shuffle at all: union-find absorbs duplicate
+        # edges natively (find/union are idempotent).  Measured r12:
+        # the old distinct -> checkpoint -> count -> collect sequence
+        # was 3 jobs + a shuffle per bounded CC call; this is one
+        # materialization + one count + one collect of pinned blocks.
+        e0 = e.localCheckpoint(eager=True)
+        if e0.count() <= driver_max_edges:
+            labels = _unionfind_labels(e0.collect())
+            spark = vertices.sparkSession
+            if labels:
+                roots = spark.createDataFrame(
+                    [(int(v), int(l)) for v, l in labels.items()],
+                    "__a long, __lbl long",
+                )
+            else:
+                roots = spark.createDataFrame([], "__a long, __lbl long")
+            return (
+                vertices.select(F.col(vertex_col).alias("__v"))
+                .join(F.broadcast(roots), F.col("__v") == F.col("__a"), "left")
+                .select(
+                    F.col("__v").alias(vertex_col),
+                    F.coalesce("__lbl", "__v").alias("component"),
+                )
             )
-        else:
-            roots = spark.createDataFrame([], "__a long, __lbl long")
-        return (
-            vertices.select(F.col(vertex_col).alias("__v"))
-            .join(F.broadcast(roots), F.col("__v") == F.col("__a"), "left")
-            .select(
-                F.col("__v").alias(vertex_col),
-                F.coalesce("__lbl", "__v").alias("component"),
-            )
-        )
+        # Oversized: fall through to the distributed contraction —
+        # dedup once (contraction rounds multiply duplicates
+        # otherwise), reusing the pinned blocks so the upstream
+        # pipeline still runs exactly once.
+        e = e0
+
+    e = e.distinct().localCheckpoint(eager=True)
 
     def _chk(df: DataFrame):
         # decimal sum: a long sum of 64-bit hashes overflows under ANSI
