@@ -65,11 +65,14 @@ def quantized(emb: DataFrame) -> DataFrame:
 
 def _dist_sq(vec_col, cv: list[int]):
     """Integer squared L2 — order-independent, so exact under any
-    execution order."""
+    execution order.  The centroid ships as ONE array literal
+    (F.lit(list)), not 64 scalar literals: building a Column is py4j
+    round-trips, and the per-element form cost ~2 s of pure driver
+    time per 16-centroid expression tree (measured r12)."""
     return F.aggregate(
         F.zip_with(
             vec_col,
-            F.array(*[F.lit(int(x)).cast("bigint") for x in cv]),
+            F.lit([int(x) for x in cv]).cast("array<bigint>"),
             lambda a, b: (a - b) * (a - b),
         ),
         F.lit(0).cast("bigint"),
@@ -77,21 +80,41 @@ def _dist_sq(vec_col, cv: list[int]):
     )
 
 
+def ranked_centroids(vec_col, cents: list[tuple[int, list[int]]]):
+    """array<struct<d, cid>> of ALL centroids sorted by (dist asc,
+    centroid_id asc) — the shared ranking expression behind assignment
+    (element 1) and probe selection (slice 1..nprobe).
+
+    The whole centroid set ships as ONE nested-array literal plus one
+    id-array literal (two py4j calls), and the per-centroid distance
+    fold runs inside zip_with — semantically identical to the earlier
+    16-struct F.array form (same integer math, same (d, cid)
+    lexicographic sort) but ~50x cheaper to CONSTRUCT: plan building
+    was 4.9 s of the 9.4 s trained-recall query wall (measured r12)."""
+    cv_lit = F.lit([[int(x) for x in cv] for _, cv in cents]).cast(
+        "array<array<bigint>>"
+    )
+    cid_lit = F.lit([int(cid) for cid, _ in cents]).cast("array<bigint>")
+    return F.sort_array(
+        F.zip_with(
+            cv_lit,
+            cid_lit,
+            lambda cv, cid: F.struct(
+                F.aggregate(
+                    F.zip_with(vec_col, cv, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                cid.alias("cid"),
+            ),
+        )
+    )
+
+
 def assign_col(vec_col, cents: list[tuple[int, list[int]]]):
     """Nearest-centroid id (dist asc, centroid_id asc tiebreak) as a
     scan-side expression over literal centroids — no shuffle."""
-    ranked = F.sort_array(
-        F.array(
-            *[
-                F.struct(
-                    _dist_sq(vec_col, cv).alias("d"),
-                    F.lit(int(cid)).cast("bigint").alias("cid"),
-                )
-                for cid, cv in cents
-            ]
-        )
-    )
-    return F.element_at(ranked, 1).getField("cid")
+    return F.element_at(ranked_centroids(vec_col, cents), 1).getField("cid")
 
 
 def initial_centroids(emb: DataFrame) -> list[tuple[int, list[int]]]:
@@ -201,45 +224,51 @@ def ivf_trained_topk(
     expression, each query probes its nprobe nearest lists, candidates
     come from a broadcast equi-join on list id, and scoring is integer
     squared L2 in micro-units — every value exact across engines."""
+    scored = _trained_scored(emb, num_queries, nprobe, iters)
+    return _topk_from_scored(scored, k)
+
+
+def _trained_scored(
+    emb: DataFrame, num_queries: int, nprobe: int, iters: int
+) -> DataFrame:
+    """(query_id, vec_id, probe_rank, dist_q): every corpus vector in
+    one of each query's ``nprobe`` nearest lists, scored by integer
+    squared L2, carrying the probed list's rank for that query."""
     cents = train(emb, iters)
     v = quantized(emb)
-
-    def ranked(vec_col):
-        return F.sort_array(
-            F.array(
-                *[
-                    F.struct(
-                        _dist_sq(vec_col, cv).alias("d"),
-                        F.lit(int(cid)).cast("bigint").alias("cid"),
-                    )
-                    for cid, cv in cents
-                ]
-            )
-        )
-
+    rk = ranked_centroids(F.col("q"), cents)
     corpus = v.where(F.col("vec_id") >= num_queries).select(
         "vec_id",
         "q",
-        F.element_at(ranked(F.col("q")), 1).getField("cid").alias("list_id"),
+        F.element_at(rk, 1).getField("cid").alias("list_id"),
     )
     q = (
         v.where(F.col("vec_id") < num_queries)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("q").alias("qq"),
-            F.explode(F.slice(ranked(F.col("q")), 1, nprobe)).alias("probe"),
+            F.posexplode(F.slice(rk, 1, nprobe)).alias("pr0", "probe"),
         )
-        .select("query_id", "qq", F.col("probe.cid").alias("list_id"))
+        .select(
+            "query_id",
+            "qq",
+            (F.col("pr0") + 1).cast("long").alias("probe_rank"),
+            F.col("probe.cid").alias("list_id"),
+        )
     )
-    scored = corpus.join(F.broadcast(q), "list_id").select(
+    return corpus.join(F.broadcast(q), "list_id").select(
         "query_id",
         "vec_id",
+        "probe_rank",
         F.aggregate(
             F.zip_with(F.col("qq"), F.col("q"), lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         ).alias("dist_q"),
     )
+
+
+def _topk_from_scored(scored: DataFrame, k: int) -> DataFrame:
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -252,3 +281,34 @@ def ivf_trained_topk(
             "query_id", "vec_id", "dist_q", F.col("rank").cast("long").alias("rank")
         )
     )
+
+
+def ivf_trained_topk_pair(
+    emb: DataFrame,
+    num_queries: int = 10,
+    k: int = 5,
+    nprobe_approx: int = TRAINED_PRODUCTION_NPROBE,
+    iters: int = ITERS,
+) -> tuple[DataFrame, DataFrame]:
+    """(approx_topk, exact_topk) for the trained-IVF recall query,
+    sharing ONE corpus assignment and ONE scoring pass.
+
+    The exhaustive side probes every list, so its scored relation is a
+    superset of the approx side's: a candidate is in the approx set
+    iff its list's probe_rank for that query is <= nprobe_approx.
+    Scoring once at full width and ranking twice is bit-identical to
+    two independent ivf_trained_topk calls (same integer distances,
+    same (dist, vec_id) tiebreak) but halves the assignment/scoring
+    work — and the scored relation is pinned, because the recall
+    join's three branches (approx, exact, exact-distinct) would
+    otherwise re-execute it per branch (measured r12: the recall
+    query was 9.4 s, ~4.9 s of it duplicated construction+scoring)."""
+    n_lists = len(train(emb, iters))
+    scored = _trained_scored(emb, num_queries, n_lists, iters).localCheckpoint(
+        eager=True
+    )
+    approx = _topk_from_scored(
+        scored.where(F.col("probe_rank") <= nprobe_approx), k
+    )
+    exact = _topk_from_scored(scored, k)
+    return approx, exact
