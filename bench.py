@@ -274,11 +274,23 @@ def main() -> None:
     # is the durable on-disk form), so their per-query rows measure the
     # marginal consumer cost and this key keeps the one-off build cost
     # visible instead of letting it vanish into rep medians.
-    from flink_repartition_watermark_example_spark.queries_dedup import cluster_build
+    from flink_repartition_watermark_example_spark.queries_dedup import (
+        cluster_build,
+        pinned_shingle_sigs,
+    )
 
     t0 = time.perf_counter()
     cluster_build(spark, sf_dir)
     build_sec = round(time.perf_counter() - t0, 2)
+
+    # Same discipline for the LSH-family index artifacts (r12): the
+    # shingle + minhash-signature relations are materialized once per
+    # session (the streaming neardup index persists exactly these on
+    # disk) and consumed by the candidate/jaccard/purge queries; the
+    # one-off cost is recorded under its own key so it stays visible.
+    t0 = time.perf_counter()
+    pinned_shingle_sigs(spark, sf_dir)
+    lsh_index_build_sec = round(time.perf_counter() - t0, 2)
 
     # Same discipline for the trained k-means quantizer (round 12):
     # train() memoizes per (session, source fingerprint) — an index
@@ -352,7 +364,7 @@ def main() -> None:
     # every top-level key this harness doesn't own.
     OWN_KEYS = {"metric", "value", "unit", "queries", "spread", "reps",
                 "reruns", "sf", "accepted_regressions", "cluster_build_sec",
-                "kmeans_train_sec"}
+                "kmeans_train_sec", "lsh_index_build_sec"}
     preserved: dict = {}
     if os.path.exists(out_path):
         try:
@@ -374,6 +386,7 @@ def main() -> None:
             "accepted_regressions": ACCEPTED_REGRESSIONS,
             "cluster_build_sec": build_sec,
             "kmeans_train_sec": kmeans_train_sec,
+            "lsh_index_build_sec": lsh_index_build_sec,
             "sf": sf,
         }
     )

@@ -247,6 +247,9 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
     threshold: float = 0.3,
+    *,
+    shingles: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram-jaccard near-dup pairs over LSH candidates.
 
@@ -293,22 +296,31 @@ def ngram_jaccard_pairs(
     # not re-running the interpreted shingle lambda 3× — is preserved.
     from flink_repartition_watermark_example_spark.scale import stage_width
 
-    sh = doc_shingles(
-        fan_out(docs, "doc_id", parts=stage_width(docs)), text_col
-    ).persist(StorageLevel.DISK_ONLY)
-    # pin before fan-in: the band self-join's two branches and the
-    # verify sides launch their stages concurrently, and every
-    # cache-missing branch recomputes the interpreted shingle stage in
-    # parallel before any partition lands in the cache (the same
-    # concurrent-miss pattern measured at 62 s vs 38 s on
-    # winnow_containment_pairs at sf10)
-    sh.count()
-    # sigs persisted too: the band self-join scans its input twice, and
-    # each scan would re-run the md5 + 16-min aggregation over the
-    # cached shingles.  The signature relation is docs × 17 longs —
-    # negligible to hold, expensive to recompute.
-    sigs = minhash_sig_array(shingles=sh).persist(StorageLevel.MEMORY_AND_DISK)
-    sigs.count()
+    # ``shingles`` / ``sigs`` let a session that already materialized
+    # these relations (the pinned index artifacts of queries_dedup)
+    # share them; otherwise build + pin here as before.
+    if shingles is not None:
+        sh = shingles
+    else:
+        sh = doc_shingles(
+            fan_out(docs, "doc_id", parts=stage_width(docs)), text_col
+        ).persist(StorageLevel.DISK_ONLY)
+        # pin before fan-in: the band self-join's two branches and the
+        # verify sides launch their stages concurrently, and every
+        # cache-missing branch recomputes the interpreted shingle stage
+        # in parallel before any partition lands in the cache (the same
+        # concurrent-miss pattern measured at 62 s vs 38 s on
+        # winnow_containment_pairs at sf10)
+        sh.count()
+    if sigs is None:
+        # sigs persisted too: the band self-join scans its input twice,
+        # and each scan would re-run the md5 + 16-min aggregation over
+        # the cached shingles.  The signature relation is docs × 17
+        # longs — negligible to hold, expensive to recompute.
+        sigs = minhash_sig_array(shingles=sh).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        sigs.count()
     cand = band_pair_ids(sigs, MAX_BUCKET_DOCS)
     # exploded distinct grams (doc_shingles already dedupes per doc);
     # derived from the pinned cache, so each scan is a cache read
