@@ -1470,17 +1470,18 @@ def _replay_cluster_map(
         read_cluster_map,
     )
 
+    from flink_repartition_watermark_example_spark.queries_sketches import (
+        _stage_replay_files,
+    )
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     root = tempfile.mkdtemp(prefix="stream_clustermap_")
     try:
-        src = os.path.join(root, "replay")
-        # modulo splits: sparse-id safe (the gen_scale stride lesson)
-        for cond in (
-            F.col("doc_id") % 3 == 0,
-            F.col("doc_id") % 3 == 1,
-            F.col("doc_id") % 3 == 2,
-        ):
-            docs.where(cond).coalesce(1).write.mode("append").parquet(src)
+        # modulo splits: sparse-id safe (the gen_scale stride lesson);
+        # one partitioned write + mtime-ordered moves stages all three
+        # arrival files in a single job (batch s == stage s, which the
+        # capped oracle's emission-horizon SQL depends on)
+        src = _stage_replay_files(docs, "doc_id", root)
         # The foreachBatch body runs with the SESSION shuffle conf, so
         # pin the replay to the same bounded width every other
         # streaming drain uses (_streaming_confs): a per-batch slice of
