@@ -501,9 +501,16 @@ def q_pq_adc_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _recall_df(approx: DataFrame, exact: DataFrame, method: str) -> DataFrame:
     """hits@k per query: |approx ∩ exact| — integers, so the float
-    scoring differences between engines/paths never touch the hash."""
+    scoring differences between engines/paths never touch the hash.
+
+    ``exact`` feeds TWO branches (the hits join and the per-query
+    anchor list) and Catalyst does not share subplans across branches,
+    so the exhaustive pipeline would execute twice; it is pinned here
+    (O(queries x k) rows) so every recall query pays its exact side
+    once (r12)."""
     from pyspark.sql import functions as F
 
+    exact = exact.localCheckpoint(eager=True)
     hits = (
         exact.select("query_id", "vec_id")
         .join(approx.select("query_id", "vec_id"), ["query_id", "vec_id"])
