@@ -297,6 +297,15 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             minmax(c, k, F.min).alias(f"mn_{c}"),
             minmax(c, k, F.max).alias(f"mx_{c}"),
         ]
+    # NOT pinned, deliberately (measured r12): checkpointing the wide
+    # agg forces ONE pass containing all six countDistincts, which
+    # Catalyst plans as an Expand (x7 row blowup) + wide distinct agg
+    # — 4.2 s vs 1.7 s at sf0.1.  Unpinned, each union branch prunes
+    # to a single-distinct aggregate over only its own column; the six
+    # scans re-read the same (OS-cached) table and each shuffles one
+    # narrow distinct stream — cheaper locally AND the saner shuffle
+    # shape at scale (an Expand multiplies the corpus through the
+    # exchange; six column-pruned scans each read one column).
     a = o.agg(*aggs)
     out = None
     for c, _ in _PROFILE_COLS:
@@ -365,10 +374,14 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for tbl, key in _SKEW_KEYS:
         t = load_table(spark, sf_dir, tbl)
+        # kc feeds two branches (the moment aggregate and the top-10
+        # slice); pinned so the table scan + per-key count runs once
+        # per table instead of twice (r12).  O(#keys) executor blocks.
         kc = (
             t.where(F.col(key).isNotNull())
             .groupBy(F.col(key).alias("k"))
             .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint(eager=True)
         )
         mom = kc.agg(
             F.sum("cnt").cast("long").alias("n_rows"),

@@ -1351,7 +1351,17 @@ def q_source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = fan_out(docs, "doc_id").select(
         "source", F.explode(TX.tokens("text")).alias("w")
     )
-    st = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_st"))
+    # st feeds FOUR plan branches (tok, src, the inpart join, and tot
+    # via tok); Catalyst shares no subplans across branches, so the
+    # corpus-scale tokenize+agg pass would run once per branch.  The
+    # pinned relation is the O(sources x vocab) count table — tiny
+    # next to the corpus — and makes the "one explode-agg pass" scale
+    # claim actually true in the executed plan (r12).
+    st = (
+        toks.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+        .localCheckpoint(eager=True)
+    )
     tok = st.groupBy("w").agg(F.sum("c_st").cast("long").alias("c_t"))
     src = st.groupBy("source").agg(
         F.sum("c_st").cast("long").alias("n_s"),
