@@ -1304,8 +1304,14 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pos = SIM.cosine_topk(emb).select(
-        "query_id", "vec_id", "cos_sim", F.lit(1).cast("long").alias("label")
+    # pos feeds the output union AND the anti-join; pinned (O(queries
+    # x k) rows) so the exact brute-force side executes once (r12).
+    pos = (
+        SIM.cosine_topk(emb)
+        .select(
+            "query_id", "vec_id", "cos_sim", F.lit(1).cast("long").alias("label")
+        )
+        .localCheckpoint(eager=True)
     )
     neg = (
         SIM.ivf_topk(emb, k=_HARDNEG_HI)
