@@ -325,7 +325,13 @@ def scaled_centroid_plan(
     actual centroid set (ADVICE r11: an unclamped expected_k computed
     from a third count() could exceed the clamped set on degenerate
     inputs)."""
-    n = emb.count()
+    # one job for both counts (r12): corpus size and eligible size are
+    # a single aggregate over one scan, not two count() jobs.
+    row = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("vec_id") >= 10, 1)).alias("ecount"),
+    ).collect()[0]
+    n, ecount = int(row["n"]), int(row["ecount"])
     k = max(16, n // per_cluster)
     elig = emb.where(F.col("vec_id") >= 10)
     # Clamp k to the eligible row count (ADVICE r10): the id-list twin
@@ -333,8 +339,7 @@ def scaled_centroid_plan(
     # corpora, per_cluster=1) an unclamped rank cut would raise where
     # the twin runs with fewer centroids — both tiers must derive the
     # IDENTICAL set on all inputs.  Sparse ids mean n-10 is not the
-    # eligible count; count it.
-    ecount = elig.count()
+    # eligible count; count it (in the same aggregate).
     k = min(k, ecount)
     if k < 1:
         cent = elig.select(
