@@ -63,58 +63,42 @@ def quantized(emb: DataFrame) -> DataFrame:
     )
 
 
-def _dist_sq(vec_col, cv: list[int]):
-    """Integer squared L2 — order-independent, so exact under any
-    execution order.  The centroid ships as ONE array literal
-    (F.lit(list)), not 64 scalar literals: building a Column is py4j
-    round-trips, and the per-element form cost ~2 s of pure driver
-    time per 16-centroid expression tree (measured r12)."""
-    return F.aggregate(
-        F.zip_with(
-            vec_col,
-            F.lit([int(x) for x in cv]).cast("array<bigint>"),
-            lambda a, b: (a - b) * (a - b),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+def _cent_arrays(cents: list[tuple[int, list[int]]]):
+    """(cids, C): the centroid set as int64 numpy arrays, rows in
+    ascending-cid order (``cents`` is kept sorted), so a first-win
+    argmin over C's rows IS the (dist asc, cid asc) tiebreak."""
+    import numpy as np
+
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    C = np.array([cv for _, cv in cents], dtype=np.int64)
+    return cids, C
 
 
-def ranked_centroids(vec_col, cents: list[tuple[int, list[int]]]):
-    """array<struct<d, cid>> of ALL centroids sorted by (dist asc,
-    centroid_id asc) — the shared ranking expression behind assignment
-    (element 1) and probe selection (slice 1..nprobe).
+def _quantize_np(emb_series):
+    """Micro-unit + offset encoding of an Arrow embedding column —
+    the numpy twin of :func:`quantized`: float32→float64 widening is
+    exact, the float64 multiply and floor are the same IEEE ops Spark
+    runs, so the int64 codes are bit-identical to the expression
+    form."""
+    import numpy as np
 
-    The whole centroid set ships as ONE nested-array literal plus one
-    id-array literal (two py4j calls), and the per-centroid distance
-    fold runs inside zip_with — semantically identical to the earlier
-    16-struct F.array form (same integer math, same (d, cid)
-    lexicographic sort) but ~50x cheaper to CONSTRUCT: plan building
-    was 4.9 s of the 9.4 s trained-recall query wall (measured r12)."""
-    cv_lit = F.lit([[int(x) for x in cv] for _, cv in cents]).cast(
-        "array<array<bigint>>"
-    )
-    cid_lit = F.lit([int(cid) for cid, _ in cents]).cast("array<bigint>")
-    return F.sort_array(
-        F.zip_with(
-            cv_lit,
-            cid_lit,
-            lambda cv, cid: F.struct(
-                F.aggregate(
-                    F.zip_with(vec_col, cv, lambda a, b: (a - b) * (a - b)),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                cid.alias("cid"),
-            ),
-        )
-    )
+    V = np.stack(emb_series.to_numpy()).astype(np.float64)
+    return np.floor(V * float(SCALE)).astype(np.int64) + OFFSET
 
 
-def assign_col(vec_col, cents: list[tuple[int, list[int]]]):
-    """Nearest-centroid id (dist asc, centroid_id asc tiebreak) as a
-    scan-side expression over literal centroids — no shuffle."""
-    return F.element_at(ranked_centroids(vec_col, cents), 1).getField("cid")
+def _dists_int(Q, C, block: int = 2048):
+    """(n, k) exact int64 squared-L2 distances (integer adds are
+    order-independent, so any summation order gives the one true
+    value; headroom documented in the module docstring).  Blocked so
+    the (block, k, dim) diff temp stays ~16 MB regardless of Arrow
+    batch size."""
+    import numpy as np
+
+    out = np.empty((Q.shape[0], C.shape[0]), dtype=np.int64)
+    for i in range(0, Q.shape[0], block):
+        d = Q[i : i + block, None, :] - C[None, :, :]
+        out[i : i + block] = np.einsum("rkd,rkd->rk", d, d)
+    return out
 
 
 def initial_centroids(emb: DataFrame) -> list[tuple[int, list[int]]]:
@@ -127,6 +111,44 @@ def initial_centroids(emb: DataFrame) -> list[tuple[int, list[int]]]:
         .collect()
     )
     return sorted((int(r["vec_id"]), [int(x) for x in r["q"]]) for r in rows)
+
+
+def _partial_sums_kernel(cents: list[tuple[int, list[int]]]):
+    """mapInPandas body for one Lloyd iteration: per Arrow batch,
+    quantize, assign each row to its nearest centroid, and yield the
+    batch's per-(cid, pos) component sums and member counts — the
+    map-side combine done in numpy (int64, exact)."""
+
+    cids, C = _cent_arrays(cents)
+
+    def f(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            Q = _quantize_np(pdf["embedding"])
+            a = np.argmin(_dists_int(Q, C), axis=1)
+            cid_o: list[int] = []
+            pos_o: list[int] = []
+            s_o: list[int] = []
+            n_o: list[int] = []
+            for ci in range(len(cids)):
+                mask = a == ci
+                m = int(mask.sum())
+                if not m:
+                    continue
+                s = Q[mask].sum(axis=0)
+                cid_o.extend([int(cids[ci])] * DIM)
+                pos_o.extend(range(DIM))
+                s_o.extend(int(x) for x in s)
+                n_o.extend([m] * DIM)
+            yield pd.DataFrame(
+                {"cid": cid_o, "pos": pos_o, "s": s_o, "n": n_o}
+            )
+
+    return f
 
 
 _TRAIN_MEMO: dict = {}
@@ -172,14 +194,25 @@ def train(emb: DataFrame, iters: int = ITERS) -> list[tuple[int, list[int]]]:
     hit = _TRAIN_MEMO.get(key) if key is not None else None
     if hit is not None:
         return hit
-    v = quantized(emb)
+    src = emb.select("embedding")
     cents = initial_centroids(emb)
     for _ in range(iters):
-        assigned = v.select(assign_col(F.col("q"), cents).alias("cid"), "q")
+        # One Arrow-batched kernel per iteration: quantize, assign
+        # (first-win argmin == (dist asc, cid asc) — rows of C are in
+        # ascending-cid order) and emit per-batch PARTIAL (cid, pos)
+        # sums — O(K·dim) rows per batch instead of exploding the
+        # corpus to n·dim rows through an interpreted per-row
+        # zip_with/aggregate fold (HOF lambdas never enter whole-stage
+        # codegen; the expression form cost ~10 s/iteration at sf0.1).
+        # Integer sums are associative, so batch partials + the final
+        # hash agg reproduce the expression plan's totals exactly.
         sums = (
-            assigned.select("cid", F.posexplode("q").alias("pos", "val"))
+            src.mapInPandas(
+                _partial_sums_kernel(cents),
+                schema="cid long, pos long, s long, n long",
+            )
             .groupBy("cid", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         by_cid: dict[int, list[int]] = {}
@@ -233,38 +266,83 @@ def _trained_scored(
 ) -> DataFrame:
     """(query_id, vec_id, probe_rank, dist_q): every corpus vector in
     one of each query's ``nprobe`` nearest lists, scored by integer
-    squared L2, carrying the probed list's rank for that query."""
+    squared L2, carrying the probed list's rank for that query.
+
+    One Arrow-batched kernel over the corpus scan does assignment,
+    probe-gating and scoring: the query workload (``num_queries``
+    rows — bounded by the request, not the corpus) and the K×dim
+    centroid matrix ride the task closure, each query's full
+    (dist asc, cid asc) centroid ranking is precomputed once on the
+    driver, and a corpus row is emitted for query q iff its list's
+    rank for q is <= nprobe — exactly the old broadcast equi-join on
+    probed list ids, minus the join and minus the per-row interpreted
+    zip_with/aggregate folds (HOF lambdas are excluded from
+    whole-stage codegen; this was ~8 s of the recall query at sf0.1).
+    All arithmetic is int64 (order-independent), so distances and
+    tiebreaks are bit-identical to the expression form and the
+    unrolled-CTE oracle."""
+    import numpy as np
+
     cents = train(emb, iters)
-    v = quantized(emb)
-    rk = ranked_centroids(F.col("q"), cents)
-    corpus = v.where(F.col("vec_id") >= num_queries).select(
-        "vec_id",
-        "q",
-        F.element_at(rk, 1).getField("cid").alias("list_id"),
+    cids, C = _cent_arrays(cents)
+    qrows = (
+        emb.where(F.col("vec_id") < num_queries)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    q = (
-        v.where(F.col("vec_id") < num_queries)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("q").alias("qq"),
-            F.posexplode(F.slice(rk, 1, nprobe)).alias("pr0", "probe"),
-        )
-        .select(
-            "query_id",
-            "qq",
-            (F.col("pr0") + 1).cast("long").alias("probe_rank"),
-            F.col("probe.cid").alias("list_id"),
-        )
+    qids = np.array([int(r["vec_id"]) for r in qrows], dtype=np.int64)
+    order = np.argsort(qids)
+    qids = qids[order]
+    Qq = (
+        np.floor(
+            np.array([r["embedding"] for r in qrows], dtype=np.float64)[order]
+            * float(SCALE)
+        ).astype(np.int64)
+        + OFFSET
     )
-    return corpus.join(F.broadcast(q), "list_id").select(
-        "query_id",
-        "vec_id",
-        "probe_rank",
-        F.aggregate(
-            F.zip_with(F.col("qq"), F.col("q"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ).alias("dist_q"),
+    # rank of each centroid (1-based) in (dist asc, cid asc) order,
+    # per query — the probe_rank lookup table
+    dq = _dists_int(Qq, C)
+    ranks = np.empty((len(qids), len(cids)), dtype=np.int64)
+    for i in range(len(qids)):
+        oc = np.lexsort((cids, dq[i]))
+        ranks[i, oc] = np.arange(1, len(cids) + 1)
+
+    def f(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            Q = _quantize_np(pdf["embedding"])
+            vid = pdf["vec_id"].to_numpy()
+            a = np.argmin(_dists_int(Q, C), axis=1)
+            pr = ranks[:, a]  # (n_queries, batch) probe_rank per pair
+            frames = []
+            for qi in range(len(qids)):
+                mask = pr[qi] <= nprobe
+                if not mask.any():
+                    continue
+                diff = Q[mask] - Qq[qi][None, :]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(
+                                int(mask.sum()), qids[qi], dtype=np.int64
+                            ),
+                            "vec_id": vid[mask],
+                            "probe_rank": pr[qi][mask],
+                            "dist_q": np.einsum("rd,rd->r", diff, diff),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return emb.where(F.col("vec_id") >= num_queries).select(
+        "vec_id", "embedding"
+    ).mapInPandas(
+        f, schema="query_id long, vec_id long, probe_rank long, dist_q long"
     )
 
 

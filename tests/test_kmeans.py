@@ -11,18 +11,23 @@ from flink_repartition_watermark_example_spark.sources.tables import load_table
 
 
 def _sse(emb, cents) -> int:
-    """Total within-cluster squared distance (integer, exact)."""
-    v = KM.quantized(emb)
-    best = F.sort_array(
-        F.array(
-            *[
-                F.struct(KM._dist_sq(F.col("q"), cv).alias("d"), F.lit(cid).alias("c"))
-                for cid, cv in cents
-            ]
-        )
-    )
+    """Total within-cluster squared distance (integer, exact) — the
+    same int64 numpy distance kernel the trainer uses."""
+    cids, C = KM._cent_arrays(cents)
+
+    def f(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            Q = KM._quantize_np(pdf["embedding"])
+            d = KM._dists_int(Q, C).min(axis=1)
+            yield pd.DataFrame({"d": [int(d.sum())]})
+
     return (
-        v.select(F.element_at(best, 1).getField("d").alias("d"))
+        emb.select("embedding")
+        .mapInPandas(f, "d long")
         .agg(F.sum("d"))
         .collect()[0][0]
     )
