@@ -457,17 +457,23 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
     votes with 60 F.aggregate higher-order lambdas, which Spark
     interprets per element — ~60·|tokens| lambda dispatches per doc;
     this form is the same arithmetic at codegen speed, and the shuffle
-    carries only 60 partial longs per doc at any scale.)  Docs with
-    zero tokens keep simhash 0 via the left join.  explode_outer, not
-    explode: see minhash_sig_array (InferFiltersFromGenerate)."""
+    carries only 60 partial longs per doc at any scale.)
+
+    ONE pass, no join-back (r12): the earlier form re-joined the doc
+    list to keep zero-token docs, which re-ran the tokenize pass in
+    the second branch (Catalyst shares no subtrees — tokenize was
+    ~half the operator's wall) and added a shuffle join.  Instead the
+    null row explode_outer emits for an empty/null token array flows
+    THROUGH the aggregate: a null hash fails every bit test, votes −1
+    on all bits, so every vote sum is negative and the simhash is 0 —
+    exactly the joined form's coalesce(…, 0) for those docs; docs
+    with tokens see the identical rows as before."""
     base = fan_out(docs, "doc_id").select(
         "doc_id", F.array_distinct(TX.tokens(text_col)).alias("ts")
     )
-    flat = (
-        base.select("doc_id", F.explode_outer("ts").alias("t"))
-        .where(F.col("t").isNotNull())
-        .select("doc_id", md5_long(F.col("t")).alias("h"))
-    )
+    flat = base.select(
+        "doc_id", F.explode_outer("ts").alias("t")
+    ).select("doc_id", md5_long(F.col("t")).alias("h"))
     votes = flat.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -482,11 +488,7 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
         sim = sim + F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return (
-        base.select("doc_id")
-        .join(votes, "doc_id", "left")
-        .select("doc_id", F.coalesce(sim, F.lit(0).cast("long")).alias("simhash"))
-    )
+    return votes.select("doc_id", sim.alias("simhash"))
 
 
 # --- winnowing -------------------------------------------------------------

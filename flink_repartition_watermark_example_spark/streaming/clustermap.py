@@ -158,7 +158,30 @@ def cluster_map_writer(
         if batch_df.isEmpty():  # empty replay split: nothing to merge
             return
 
-        new = _banded(batch_df, text_col).localCheckpoint(eager=True)
+        # Commit the band-index delta FIRST and read it back for every
+        # downstream join (the streaming/semdedup.py discipline, r12):
+        # the simhash+banding pipeline is materialized exactly once BY
+        # the write the index needs anyway, replacing the separate
+        # eager-localCheckpoint job that previously materialized the
+        # same rows a second time.  Crash-safe unchanged: a replayed
+        # batch overwrites its own version dir before recomputing the
+        # map, and the map write below still commits last.
+        # Index-version layout (measured r12): partition dirs by BAND
+        # only (4 dirs/version) and cluster each band's file by
+        # (bucket, key) so parquet row-group min/max stats carry the
+        # bucket dimension — the guide §6 layout (partition by the
+        # low-cardinality column, sort by the high-cardinality one).
+        # The earlier partitionBy(band, bucket) wrote <=256 dirs per
+        # version; the per-dir commit overhead was 2.7 s/batch at
+        # sf0.1 (8.3 s of the 28.4 s replay) and the extra pruning it
+        # bought over row-group stats is marginal because a corpus-
+        # sized batch touches every bucket anyway.
+        _banded(batch_df, text_col).repartition("band").sortWithinPartitions(
+            "bucket", "key"
+        ).write.mode("overwrite").partitionBy("band").parquet(
+            os.path.join(index_path, f"v{bid}")
+        )
+        new = spark.read.parquet(os.path.join(index_path, f"v{bid}"))
         old = _read_index(spark, index_path, below=bid)
 
         a = new.select(
@@ -242,12 +265,20 @@ def cluster_map_writer(
 
         # label-graph merge: endpoints resolve to their CURRENT labels
         # (a doc this batch introduces labels itself), and CC runs over
-        # the label graph only — O(batch pairs) vertices.
+        # the label graph only — O(batch pairs) vertices.  `lbl` is
+        # pinned: the corpus-sized base∪new-docs subtree otherwise
+        # re-executes once per consumer branch (la, lb, the final
+        # relabel join — Catalyst shares no subtrees), re-reading the
+        # base snapshot and re-running the anti-join each time
+        # (measured r12: ~7 executions per batch across ledges/lverts/
+        # merged).  `ledges` is pinned too so the vertex derivation and
+        # the CC dispatch read the materialized O(batch pairs) edge
+        # rows instead of re-running the two label joins.
         lbl = base.unionByName(
             batch_df.select(
                 "doc_id", F.col("doc_id").alias("cluster_id")
             ).join(base.select("doc_id"), "doc_id", "left_anti")
-        )
+        ).localCheckpoint(eager=True)
         la = lbl.select(
             F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("la")
         )
@@ -260,6 +291,7 @@ def cluster_map_writer(
             .select("la", "lb")
             .where(F.col("la") != F.col("lb"))
             .distinct()
+            .localCheckpoint(eager=True)
         )
         lverts = ledges.select(F.col("la").alias("v")).unionByName(
             ledges.select(F.col("lb").alias("v"))
