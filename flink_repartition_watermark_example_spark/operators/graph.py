@@ -156,11 +156,17 @@ def connected_components(
         # NO distinct shuffle at all: union-find absorbs duplicate
         # edges natively (find/union are idempotent).  Measured r12:
         # the old distinct -> checkpoint -> count -> collect sequence
-        # was 3 jobs + a shuffle per bounded CC call; this is one
-        # materialization + one count + one collect of pinned blocks.
-        e0 = e.localCheckpoint(eager=True)
-        if e0.count() <= driver_max_edges:
-            labels = _unionfind_labels(e0.collect())
+        # was 3 jobs + a shuffle per bounded CC call; now ONE
+        # limit-probed collect does both the budget check and the
+        # fetch (budget+1 rows caps the driver transfer exactly like
+        # the count probe did).  Callers opt in only for structurally
+        # bounded graphs, so the oversized fallthrough — which pays
+        # one extra upstream execution for the probe — is the rare
+        # path, and it pins the edges before the contraction rounds
+        # exactly as before.
+        probe = e.limit(driver_max_edges + 1).collect()
+        if len(probe) <= driver_max_edges:
+            labels = _unionfind_labels(probe)
             spark = vertices.sparkSession
             if labels:
                 roots = spark.createDataFrame(
@@ -179,9 +185,8 @@ def connected_components(
             )
         # Oversized: fall through to the distributed contraction —
         # dedup once (contraction rounds multiply duplicates
-        # otherwise), reusing the pinned blocks so the upstream
-        # pipeline still runs exactly once.
-        e = e0
+        # otherwise); the distinct+checkpoint below pins the edge set
+        # before the rounds, as always.
 
     e = e.distinct().localCheckpoint(eager=True)
 

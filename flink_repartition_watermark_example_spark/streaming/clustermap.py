@@ -250,7 +250,10 @@ def cluster_map_writer(
             )
             .where(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b")
-            .localCheckpoint(eager=True)
+            # not pinned: `pairs` feeds exactly one consumer (the
+            # ledges join below, itself checkpointed), so a separate
+            # materialization job here was pure overhead (measured
+            # r12: ~1 s/replay at sf0.1 batch sizes)
         )
 
         prior = [v for v in _map_versions(map_path) if v < bid]
@@ -329,20 +332,5 @@ def cluster_map_writer(
         merged.repartition("doc_id").write.mode("overwrite").parquet(
             os.path.join(map_path, f"v{bid}")
         )
-        # Index-version layout (measured r12): partition dirs by BAND
-        # only (4 dirs/version) and cluster each band's file by
-        # (bucket, key) so parquet row-group min/max stats carry the
-        # bucket dimension — the guide §6 layout (partition by the
-        # low-cardinality column, sort by the high-cardinality one).
-        # The earlier partitionBy(band, bucket) wrote <=256 dirs per
-        # version; the per-dir commit overhead was 2.7 s/batch at
-        # sf0.1 (8.3 s of the 28.4 s replay) and the extra pruning it
-        # bought over row-group stats is marginal because a corpus-
-        # sized batch touches every bucket anyway.  Columns on read
-        # are identical, so the neardup compaction machinery and all
-        # readers are unaffected.
-        new.repartition("band").sortWithinPartitions("bucket", "key").write.mode(
-            "overwrite"
-        ).partitionBy("band").parquet(os.path.join(index_path, f"v{bid}"))
 
     return write
