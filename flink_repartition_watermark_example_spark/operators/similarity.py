@@ -625,6 +625,126 @@ def ivf_topk(
     return ranked.select(*cols)
 
 
+def _topk_cos(scored: DataFrame, k: int) -> DataFrame:
+    """(cos desc, vec_id asc) top-k of a (query_id, vec_id, cos_sim)
+    relation — the shared ranking of cosine_topk / ivf_topk."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def ivf_scored_pair(
+    emb: DataFrame,
+    num_queries: int = 10,
+    k: int = 5,
+    nprobe_approx: int = IVF_PRODUCTION_NPROBE,
+    corpus_pred=None,
+) -> tuple[DataFrame, DataFrame]:
+    """(approx_topk, exact_topk) for the SAMPLED-index recall queries,
+    sharing ONE corpus scan that scores every (query, corpus) pair and
+    carries each pair's probe_rank — the `ivf_trained_topk_pair`
+    discipline ported to the cosine family (r12).
+
+    The exhaustive side of a recall query scores the whole corpus per
+    query anyway, and at the production probe width the approx side
+    re-scored ~nprobe/16 of it again (15/16 — near-total duplication).
+    Here one Arrow kernel computes, per corpus row: its list
+    (argmax first-win over ascending-cid centroids == ivf_topk's
+    assign_top1), each query's probe rank of that list (driver-
+    precomputed (cos desc, cid asc) table — the same lexsort as
+    assign_probes), and each query's cosine in the expression fold's
+    exact operation order (`_fold_dot_matrix` — multiplication is
+    bitwise commutative, the per-dimension add order is identical to
+    `_score_pairs`).  approx = pairs with probe_rank <= nprobe', exact
+    = all pairs; both ranked by the shared (cos desc, vec_id asc)
+    window, so each side is bit-identical to the independent
+    ivf_topk/cosine_topk composition it replaces.  The scored relation
+    is pinned: the recall join's branches would otherwise re-run the
+    kernel per branch.
+
+    ``corpus_pred`` reproduces ivf_topk's filtered search exactly,
+    including the adaptive probe widening (same two counts, same
+    integer-ceil formula)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = _centroids(emb)
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    C = np.array([cv for _, cv in cents], dtype=np.float64)
+    cnorms = _fold_norm(C)
+    qrows = sorted(
+        emb.where(F.col("vec_id") < num_queries)
+        .select("vec_id", as_double("embedding").alias("v"))
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qids = np.array([int(r["vec_id"]) for r in qrows], dtype=np.int64)
+    Qm = np.array([list(r["v"]) for r in qrows], dtype=np.float64)
+    nq = _fold_norm(Qm)
+    qcos = _fold_dot_matrix(Qm, C) / (nq[:, None] * cnorms[None, :])
+    ranks = np.empty((len(qids), len(cids)), dtype=np.int64)
+    for i in range(len(qids)):
+        oc = np.lexsort((cids, -qcos[i]))
+        ranks[i, oc] = np.arange(1, len(cids) + 1)
+
+    corpus_src = emb.where(corpus_pred) if corpus_pred is not None else emb
+    nprobe = nprobe_approx
+    if corpus_pred is not None:
+        total = emb.where(F.col("vec_id") >= num_queries).count()
+        kept = corpus_src.where(F.col("vec_id") >= num_queries).count()
+        if kept == 0:
+            raise ValueError("corpus_pred filters out every corpus vector")
+        nprobe = min(len(cents), (nprobe_approx * total + kept - 1) // kept)
+
+    def f(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            nv = _fold_norm(V)
+            ccos = _fold_dot_matrix(V, C) / (nv[:, None] * cnorms[None, :])
+            a = np.argmax(ccos, axis=1)
+            pr = ranks[:, a]  # (n_queries, batch) probe_rank per pair
+            qc = _fold_dot_matrix(V, Qm) / (nv[:, None] * nq[None, :])
+            vid = pdf["vec_id"].to_numpy()
+            frames = []
+            for qi in range(len(qids)):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(
+                                len(vid), qids[qi], dtype=np.int64
+                            ),
+                            "vec_id": vid,
+                            "cos_sim": qc[:, qi],
+                            "probe_rank": pr[qi],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    scored = (
+        fan_out(corpus_src.where(F.col("vec_id") >= num_queries), "vec_id")
+        .select("vec_id", as_double("embedding").alias("v"))
+        .mapInPandas(
+            f,
+            schema="query_id long, vec_id long, cos_sim double, probe_rank long",
+        )
+        .localCheckpoint(eager=True)
+    )
+    approx = _topk_cos(scored.where(F.col("probe_rank") <= nprobe), k)
+    exact = _topk_cos(scored, k)
+    return approx, exact
+
+
 def ivf_topk_hof(
     emb: DataFrame,
     num_queries: int = 10,

@@ -597,11 +597,13 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_recall_ivf_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return _recall_df(
-        SIM.ivf_topk(emb, nprobe=SIM.IVF_PRODUCTION_NPROBE),
-        SIM.cosine_topk(emb),
-        "ivf_production",
+    # fused pair (r12): one scan scores all pairs and carries probe
+    # ranks; bit-identical to the ivf_topk/cosine_topk composition
+    # (tests/test_similarity_ann.py pins the equality)
+    approx, exact = SIM.ivf_scored_pair(
+        emb, nprobe_approx=SIM.IVF_PRODUCTION_NPROBE
     )
+    return _recall_df(approx, exact, "ivf_production")
 
 
 # --- trained k-means IVF (integer-exact Lloyd's) -------------------------
@@ -1224,8 +1226,13 @@ def q_ann_recall_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     pred = F.col("label").isin(0, 2, 4, 6, 8)
-    approx = SIM.ivf_topk(emb, corpus_pred=pred)
-    exact = SIM.cosine_topk(emb.where((F.col("vec_id") < 10) | pred))
+    # fused pair (r12): the filtered corpus is scanned/scored once
+    # (pred still a scan pre-filter; adaptive probe widening
+    # reproduced inside) — bit-identical to the previous
+    # ivf_topk(corpus_pred)/filtered cosine_topk composition
+    approx, exact = SIM.ivf_scored_pair(
+        emb, nprobe_approx=SIM.NPROBE, corpus_pred=pred
+    )
     return _recall_df(approx, exact, "ivf_filtered")
 
 

@@ -38,6 +38,8 @@ TARGETS = [
     "ivf_trained_topk",
     "neardup_clusters",
     "split_by_cluster",
+    "ann_recall_ivf_production",
+    "ann_recall_filtered",
 ]
 
 

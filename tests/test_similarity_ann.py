@@ -344,3 +344,34 @@ def test_trained_production_nprobe_holds_point_nine_recall(spark, sf_dir):
     ).collect()
     mean_recall = sum(r["hits"] for r in rows) / (5 * len(rows))
     assert mean_recall >= 0.9, mean_recall
+
+
+def test_ivf_scored_pair_bit_identical_to_independent_paths(spark, sf_dir):
+    """The fused sampled-family pair (one scan scoring all pairs +
+    probe ranks, r12) must reproduce BOTH sides of the recall
+    composition it replaced exactly: approx == ivf_topk at the same
+    nprobe, exact == cosine_topk — same rows, bit-identical doubles
+    (== on floats, no tolerance), including the filtered variant with
+    its adaptive probe widening."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    approx, exact = SIM.ivf_scored_pair(
+        emb, nprobe_approx=SIM.IVF_PRODUCTION_NPROBE
+    )
+    assert sorted(map(tuple, approx.collect())) == sorted(
+        map(tuple, SIM.ivf_topk(emb, nprobe=SIM.IVF_PRODUCTION_NPROBE).collect())
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, SIM.cosine_topk(emb).collect())
+    )
+
+    pred = F.col("label").isin(0, 2, 4, 6, 8)
+    fa, fe = SIM.ivf_scored_pair(emb, nprobe_approx=SIM.NPROBE, corpus_pred=pred)
+    assert sorted(map(tuple, fa.collect())) == sorted(
+        map(tuple, SIM.ivf_topk(emb, corpus_pred=pred).collect())
+    )
+    assert sorted(map(tuple, fe.collect())) == sorted(
+        map(tuple, SIM.cosine_topk(emb.where((F.col("vec_id") < 10) | pred)).collect())
+    )
