@@ -155,7 +155,7 @@ def neardup_pairs_lsh(
     v = _bucketize_fold(
         fan_out(emb, "vec_id").select("vec_id", as_double("embedding").alias("v")),
         planes,
-    )
+    ).localCheckpoint(eager=True)
     a, b = v.alias("a"), v.alias("b")
     joined = a.join(
         b,

@@ -1066,11 +1066,16 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = fan_out(docs, "doc_id").select(
         "doc_id", TX.tokens("text").alias("t")
     )
+    # The (doc_id, term, tf) table feeds three branches (df, n_docs,
+    # the scored join) and Catalyst shares no subplans — unpinned, the
+    # tokenize+explode+agg subtree executed three times (r12).  Pinned
+    # it is computed once; at scale this is the materialize-once tf
+    # table every IR/BM25 system builds before scoring.
     tf = (
         toks.select("doc_id", F.explode("t").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    ).localCheckpoint(eager=True)
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     idf = (
@@ -1152,7 +1157,18 @@ def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_repartition_watermark_example_spark.scale import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = fan_out(docs, "doc_id").select(TX.tokens("text").alias("t"))
+    # Token arrays feed both the bigram and the unigram branches, and
+    # the two corpus totals previously re-ran the tokenize a third and
+    # fourth time (r12): pin the token arrays (computed once) and
+    # derive the totals from the count tables themselves —
+    # n_uni = Σ cu (every token is counted in exactly one unigram
+    # group) and n_bg = Σ pair_count over the unfiltered bigram
+    # counts — integer sums, identical by definition.
+    toks = (
+        fan_out(docs, "doc_id")
+        .select(TX.tokens("text").alias("t"))
+        .localCheckpoint(eager=True)
+    )
     bg = toks.where(F.size("t") >= 2).select(
         F.explode(
             F.expr(
@@ -1161,11 +1177,19 @@ def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    cab = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    cab = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .localCheckpoint(eager=True)
+    )
     uni = toks.select(F.explode("t").alias("w"))
-    cu = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
-    stats = uni.agg(F.count(F.lit(1)).alias("n_uni")).crossJoin(
-        bg.agg(F.count(F.lit(1)).alias("n_bg"))
+    cu = (
+        uni.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+        .localCheckpoint(eager=True)
+    )
+    stats = cu.agg(F.sum("cu").alias("n_uni")).crossJoin(
+        cab.agg(F.sum("pair_count").alias("n_bg"))
     )
     a = cu.select(F.col("w").alias("w1"), F.col("cu").alias("cu_a"))
     b = cu.select(F.col("w").alias("w2"), F.col("cu").alias("cu_b"))
