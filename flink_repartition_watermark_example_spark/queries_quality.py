@@ -157,6 +157,16 @@ def q_dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("c_acctbal") >= 0, 1).otherwise(0)).alias("c_nonneg"),
     )
 
+    # Measured and deliberately NOT pinned (r12): each one-row aggregate
+    # feeds several UNION ALL branches, so orders is scanned 6x /
+    # lineitem 4x — but the branches run in parallel inside ONE job and
+    # the warm wall is 0.67-0.89 s at sf0.1 vs 1.1-1.25 s with the
+    # aggregates localCheckpoint-pinned (eager or lazy; 4-rep
+    # alternating A/B): five checkpoint materializations cost more than
+    # the overlapped scans they avoid.  At 100 TB the audited tables
+    # would be pinned once per audit batch — the table_profile
+    # precedent, the inverse trade at this size.
+
     def ratio(num, den):
         return (F.col(num).cast("double") / F.col(den)).alias("metric")
 

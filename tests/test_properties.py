@@ -574,3 +574,34 @@ def test_quota_split_two_level_prefix_sum_equals_brute_force(spark, sizes):
         )
         before += s
     assert got == expect
+
+
+def test_bigram_lift_totals_derived_from_count_tables_are_exact(spark, sf_dir):
+    """r12: bigram_lift derives n_uni/n_bg from the pinned count tables
+    (n_uni = sum cu over unigram counts, n_bg = sum pair_count over
+    unfiltered bigram counts) instead of re-tokenizing the corpus a 3rd
+    and 4th time.  Pin the identity on real data: the derived totals
+    must equal the direct row counts of the exploded relations."""
+    from pyspark.sql import functions as F
+
+    from flink_repartition_watermark_example_spark.functions import textfns as TX
+    from flink_repartition_watermark_example_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(TX.tokens("text").alias("t"))
+    n_uni_direct = toks.select(F.explode("t").alias("w")).count()
+    bg = toks.where(F.size("t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    n_bg_direct = bg.count()
+    cu = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    cab = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    assert cu.agg(F.sum("cu")).collect()[0][0] == n_uni_direct
+    assert cab.agg(F.sum("pair_count")).collect()[0][0] == n_bg_direct
