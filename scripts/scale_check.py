@@ -264,6 +264,17 @@ SF_FENCES: dict[str, tuple[float, str]] = {
         "(historical rows under fenced_out in BENCH_sf1/sf10); the "
         "production config is semantic_dedup_scaled",
     ),
+    "embedding_neardup_pairs_8p": (
+        10,
+        "fixed 8-plane (256-bucket) configuration of the hashing "
+        "family: within-bucket pairing is quadratic in bucket size, "
+        "so the PLANE COUNT is the corpus-size lever (the registered "
+        "doc says ~20+ planes at 100 TB).  Measured 49.5x on 10x data "
+        "at sf10 (1.43 -> 70.9 s, r12 re-sweep) — the sf1 decade "
+        "(1.82-2.5x) is this configuration's regime; past it a user "
+        "runs more planes (same operator, same oracle construction, "
+        "different constant)",
+    ),
     "streaming_cluster_map": (
         10,
         "the REGISTERED replay runs UNCAPPED by contract (exact "
