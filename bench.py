@@ -202,6 +202,36 @@ BENCH_EXTRAS = [
     "ivf_diverse_topk",
 ]
 
+# Which pre-timed session builds each benched query consumes (VERDICT
+# r12 #6): a per-query row below measures the MARGINAL cost given the
+# named index artifact; standalone cost = row + the named build key's
+# value (charged once per session).  Queries not listed here compute
+# self-contained plans.  Written into the artifact every run.
+CONSUMES = {
+    # cluster_build(): the pinned simhash-family pair relation + the
+    # CC cluster map (pinned_simhash / pinned_family_pairs feed it)
+    "split_by_cluster": ["cluster_build_sec"],
+    "split_leakage_audit_clustered": ["cluster_build_sec"],
+    "split_by_cluster_balanced": ["cluster_build_sec"],
+    "split_leakage_audit": ["cluster_build_sec"],
+    "neardup_triangles": ["cluster_build_sec"],
+    "contrastive_pairs": ["cluster_build_sec"],
+    "dedup_audit_sample": ["cluster_build_sec"],
+    "cluster_map_staleness": ["cluster_build_sec"],
+    # the multi-family builds additionally construct the jaccard (from
+    # the LSH index) and containment families on their own first rep
+    # (memoized in-session; medians report the warm consumer cost)
+    "split_leakage_cross_family": ["cluster_build_sec", "lsh_index_build_sec"],
+    "split_by_cluster_multi": ["cluster_build_sec", "lsh_index_build_sec"],
+    "split_leakage_audit_multi": ["cluster_build_sec", "lsh_index_build_sec"],
+    # pinned_shingle_sigs(): the LSH shingle + minhash-signature index
+    "lsh_candidate_pairs": ["lsh_index_build_sec"],
+    "ngram_jaccard_pairs": ["lsh_index_build_sec"],
+    "neardup_purged_docs": ["lsh_index_build_sec"],
+    # kmeans.train(): the trained-quantizer centroids
+    "ann_recall_ivf_trained_production": ["kmeans_train_sec"],
+}
+
 # Cross-round regressions that are ACCEPTED costs of a correctness or
 # recall fix (VERDICT r10 #7): recorded here so future rounds don't
 # re-litigate the delta, written into the artifact, and exempt from
@@ -220,15 +250,27 @@ ACCEPTED_REGRESSIONS = {
 }
 
 
-def compact_line(timings: dict[str, float], sf: float) -> str:
+def compact_line(
+    timings: dict[str, float],
+    sf: float,
+    prev_queries: dict[str, float] | None = None,
+) -> str:
     """The stdout summary line (VERDICT r10 #3): the driver tail-
     captures a bounded (~2000-char) window and the full per-query map
     truncated from the front in r05/r06/r09/r10 (parsed: null) even at
     2-decimal compaction.  So stdout carries total, query count, the 5
     slowest, and a sha256 of the full per-query map — verifiable
-    against BENCH_local.json, sized ~350 chars (test-pinned under
-    1500) at any registry size."""
+    against BENCH_local.json, sized ~400 chars (test-pinned under
+    1500) at any registry size.
+
+    ``geomean_vs_prev`` / ``n_common_prev`` (VERDICT r12 #3/#8): the
+    driver's own round-over-round view is limited to the two rounds'
+    top-5 stdout windows (n_common collapsed to 1 in r12), so the
+    harness computes the full-common-set geomean speedup against the
+    per-query map of whatever BENCH_local.json it found on disk at
+    start — still ONE bounded JSON line."""
     import hashlib
+    import math
 
     worst5 = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
@@ -238,6 +280,18 @@ def compact_line(timings: dict[str, float], sf: float) -> str:
             {k: timings[k] for k in sorted(timings)}, separators=(",", ":")
         ).encode()
     ).hexdigest()
+    common = {
+        k: prev_queries[k] / v
+        for k, v in timings.items()
+        if prev_queries and prev_queries.get(k) and v > 0
+    }
+    geo = (
+        round(
+            math.exp(sum(math.log(s) for s in common.values()) / len(common)), 3
+        )
+        if common
+        else None
+    )
     return json.dumps(
         {
             "metric": "engine_bench_total",
@@ -246,6 +300,8 @@ def compact_line(timings: dict[str, float], sf: float) -> str:
             "queries": {k: round(v, 2) for k, v in worst5.items()},
             "n_queries": len(timings),
             "queries_sha256": qsha[:16],
+            "geomean_vs_prev": geo,
+            "n_common_prev": len(common),
             "full_artifact": "BENCH_local.json",
             "sf": sf,
         },
@@ -302,6 +358,12 @@ def main() -> None:
     t0 = time.perf_counter()
     KM.train(load_table(spark, sf_dir, "embeddings"))
     kmeans_train_sec = round(time.perf_counter() - t0, 2)
+
+    from flink_repartition_watermark_example_spark.queries_streaming import (
+        stream_shuffle_width,
+    )
+
+    stream_width = stream_shuffle_width()
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
@@ -364,13 +426,16 @@ def main() -> None:
     # every top-level key this harness doesn't own.
     OWN_KEYS = {"metric", "value", "unit", "queries", "spread", "reps",
                 "reruns", "sf", "accepted_regressions", "cluster_build_sec",
-                "kmeans_train_sec", "lsh_index_build_sec"}
+                "kmeans_train_sec", "lsh_index_build_sec",
+                "stream_shuffle_partitions", "consumes"}
     preserved: dict = {}
+    prev_queries: dict = {}
     if os.path.exists(out_path):
         try:
             with open(out_path) as f:
                 prev = json.load(f)
             preserved = {k: v for k, v in prev.items() if k not in OWN_KEYS}
+            prev_queries = prev.get("queries") or {}
         except (json.JSONDecodeError, OSError):
             preserved = {}
     full = json.dumps(
@@ -387,12 +452,14 @@ def main() -> None:
             "cluster_build_sec": build_sec,
             "kmeans_train_sec": kmeans_train_sec,
             "lsh_index_build_sec": lsh_index_build_sec,
+            "consumes": CONSUMES,
+            "stream_shuffle_partitions": stream_width,
             "sf": sf,
         }
     )
     with open(out_path, "w") as f:
         f.write(full + "\n")
-    print(compact_line(timings, sf), flush=True)
+    print(compact_line(timings, sf, prev_queries), flush=True)
 
 
 if __name__ == "__main__":

@@ -109,16 +109,26 @@ def lang_scores(toks: Column) -> dict[str, Column]:
 
 
 def lang_id(toks: Column) -> Column:
+    # First language in LANG_ORDER whose score equals the global max,
+    # 'und' when every score is 0.  Formulated against a SHARED
+    # greatest(...) so each score expression appears ~3 times in the
+    # tree; the previous running-(best, best_score) when-chain embedded
+    # the whole accumulator twice per step — ~2^|langs| copies of the
+    # early scores, a few-thousand-node expression tree whose
+    # analysis+codegen dominated rep-0 of every lang-id consumer
+    # (text_analysis 1.9 s rep-0 measured r13; VERDICT r12 #4).
+    # Equivalence: the old chain's invariant was best = first lang in
+    # LANG_ORDER (within the processed suffix) with score == suffix
+    # max > 0 — at the last step exactly "first lang with score ==
+    # global max > 0", which is what this computes; ties break to the
+    # earlier lang because it is processed LAST here, and all-zero
+    # (or null-token) docs fall through to 'und' in both forms.
     scores = lang_scores(toks)
+    mx = F.greatest(*[scores[lang] for lang in LANG_ORDER])
     best = F.lit("und")
-    best_score = F.lit(0)
-    # Iterate in reverse with >= so the LAST language processed — the
-    # FIRST in LANG_ORDER — wins ties, matching lang_id_sql()'s
-    # first-wins CASE chain ('> 0' keeps all-zero docs at 'und').
     for lang in reversed(LANG_ORDER):
-        cond = (scores[lang] >= best_score) & (scores[lang] > 0)
+        cond = (scores[lang] > 0) & (scores[lang] == mx)
         best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, scores[lang]).otherwise(best_score)
     return best
 
 

@@ -485,31 +485,41 @@ _SIMHASH_EXPR_MEMO: dict = {}
 def _simhash_exprs(bits: int):
     """Memoized (vote aggregates, reconstruction) Column trees for
     :func:`simhash`.  Column objects are UNRESOLVED expressions —
-    reusable across any DataFrame with the right input names — but
-    building the 60-wide tree costs ~800 py4j round trips (~1.7 s of
-    pure driver time per call, measured r12 — more than the
-    operator's sf0.1 execution), and the streaming cluster-map writer
-    constructs it once per micro-batch.  Keyed per application id so
-    a fresh JVM never sees stale gateway handles."""
+    reusable across any DataFrame with the right input names — so the
+    trees are built once per (application, bits).  Construction goes
+    through ``F.expr`` (one py4j round trip per expression, parsed
+    server-side) instead of composing per-node Column operators: the
+    composed 60-wide tree cost ~800 py4j round trips — 2.5 s of pure
+    driver time on the FIRST call of a session (measured r13; the
+    per-call memo from r12 only helped calls 2+), which was a third of
+    the cluster_build one-off.  The parsed trees are the same
+    arithmetic on the same types (int shiftright/& masks, ±1 int
+    votes summed to bigint, bigint bit reconstruction), verified
+    hash-identical by every simhash-consumer oracle test.  Keyed per
+    application id so a fresh JVM never sees stale gateway handles."""
     from pyspark.sql import SparkSession
 
     sess = SparkSession.getActiveSession()
     key = (sess.sparkContext.applicationId if sess else None, bits)
     hit = _SIMHASH_EXPR_MEMO.get(key)
     if hit is None:
-        vote_cols = [
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"_v{b}")
+        # ONE struct-of-sums aggregate expression + ONE reconstruction
+        # expression = two parses total (even one parse per ~13 ms of
+        # py4j+parse adds up 61 times)
+        votes_sql = "struct(" + ", ".join(
+            f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) AS _v{b}"
             for b in range(bits)
-        ]
-        sim = F.lit(0).cast("long")
-        for b in range(bits):
-            sim = sim + F.when(
-                F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        hit = (vote_cols, sim.alias("simhash"))
+        ) + ")"
+        sim_sql = "CAST(0 AS BIGINT)" + "".join(
+            f" + (CASE WHEN _vs._v{b} > 0 THEN CAST({1 << b} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+            for b in range(bits)
+        )
+        hit = (
+            [F.expr(votes_sql).alias("_vs")],
+            F.expr(sim_sql).alias("simhash"),
+        )
         _SIMHASH_EXPR_MEMO[key] = hit
     return hit
 

@@ -1659,32 +1659,53 @@ def semantic_dedup_two_level_joined(
 
 def _purge_within_lists(assigned: DataFrame, threshold: float) -> DataFrame:
     """SemDeDup's purge stage over an assigned (vec_id, v, nv, list_id)
-    relation (caller persists + count-pins it — it feeds both sides of
-    the pair self-join AND the final anti-join): within each list_id,
+    relation (caller persists + count-pins it): within each list_id,
     drop every vector with a >= threshold cosine to a LOWER-id
     cluster-mate; the min-id representative of each epsilon-ball
-    survives.  Candidate pairing is an equi-join on list_id — never
-    all-pairs across clusters."""
-    a, b = assigned.alias("a"), assigned.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.list_id") == F.col("b.list_id"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("query_id"),
-        F.col("a.v").alias("qv"),
-        F.col("a.nv").alias("nqv"),
-        F.col("b.vec_id").alias("vec_id"),
-        F.col("b.v").alias("v"),
-        F.col("b.nv").alias("nv"),
+    survives.  Never all-pairs across clusters.
+
+    ONE grouped Arrow kernel per cluster (r13, the ivf_scored_pair
+    discipline): the former list_id self-join materialized O(pairs)
+    rows EACH carrying two EMBED_DIM-double vectors through the Arrow
+    boundary of the scoring kernel, then paid a distinct + anti-join
+    shuffle pair — while the join's list_id hash partitioning had
+    already serialized each cluster's pair generation into one task
+    anyway.  Grouping ships each vector ONCE — O(n·d) Arrow bytes
+    instead of O(pairs·d) — and the kernel emits survivors directly
+    (no distinct, no anti-join).  Bit-equality: cell (i, j) of the
+    blocked _fold_dot_matrix pass is the identical left-fold operation
+    sequence as _score_pairs' per-pair _fold_dot_rows with the
+    lower-id vector as left factor (rows sorted by vec_id), and the
+    denominator multiplies norms in the same (lower, higher) order —
+    pinned by tests/test_semdedup_joined.py
+    test_grouped_purge_bit_identical_to_pair_join_path."""
+    import numpy as np
+    import pandas as pd
+
+    def purge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+        m = len(pdf)
+        if m <= 1:
+            return pdf[["vec_id", "list_id"]]
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nv = pdf["nv"].to_numpy()
+        purged = np.zeros(m, dtype=bool)
+        jj = np.arange(m)[None, :]
+        block = 2048  # caps the (block, m) cosine slab, like _dists_int
+        for i0 in range(0, m, block):
+            i1 = min(i0 + block, m)
+            cos = _fold_dot_matrix(V[i0:i1], V) / (
+                nv[i0:i1, None] * nv[None, :]
+            )
+            ii = np.arange(i0, i1)[:, None]
+            purged |= ((cos >= threshold) & (jj > ii)).any(axis=0)
+        return pdf.loc[~purged, ["vec_id", "list_id"]]
+
+    return (
+        assigned.select("vec_id", "nv", "list_id", "v")
+        .groupBy("list_id")
+        .applyInPandas(purge, schema="vec_id long, list_id long")
     )
-    purged = (
-        _score_pairs(pairs)
-        .where(F.col("cos_sim") >= threshold)
-        .select("vec_id")
-        .dropDuplicates()
-    )
-    return assigned.join(purged, "vec_id", "left_anti").select("vec_id", "list_id")
 
 
 def _lloyd_round_supers(C, cnorms):

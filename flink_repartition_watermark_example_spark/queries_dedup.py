@@ -812,6 +812,10 @@ def _doc_clusters(spark: SparkSession, sf_dir: str, pairs: DataFrame) -> DataFra
     # Adaptive CC dispatch (r12): bounded union-find tier under the
     # ~30 MB edge budget, distributed star-contraction above it —
     # labels identical by construction (min member), property-tested.
+    # The probe bounds the RAW edge count (ADVICE r12 #3): fine here
+    # because every family's pair relation ends in distinct/
+    # dropDuplicates, so raw == distinct and a dup-heavy relation can
+    # never silently lose the driver tier.
     cc = connected_components(
         verts, pairs, "v", "doc_a", "doc_b",
         driver_max_edges=DRIVER_CC_MAX_EDGES,
@@ -858,6 +862,36 @@ CLUSTER_EDGE_FAMILIES = ("simhash", "jaccard", "containment")
 
 
 _PINNED_SHINGLE_MEMO: dict = {}
+
+
+def release_pins(sf_dir: str | None = None) -> int:
+    """Drop the session-pinned dedup relations (ADVICE r12 #5): the
+    shingle/signature index, the corpus simhash, the per-family pair
+    relations and the cluster builds hold eagerly localCheckpoint-ed
+    corpus-scale blocks in module-level memos with no other release
+    path — a sweep touching several sf_dirs would accumulate every
+    corpus's blocks until JVM exit.  ``sf_dir=None`` clears everything;
+    a specific dir clears just that corpus.  Returns the number of memo
+    entries dropped.  The checkpoint blocks themselves are freed by
+    Spark's ContextCleaner once the dropped references are
+    garbage-collected (the same lifecycle as any localCheckpoint)."""
+    import gc
+
+    target = os.path.abspath(sf_dir) if sf_dir is not None else None
+    dropped = 0
+    for memo in (
+        _PINNED_SHINGLE_MEMO,
+        _PINNED_SIMHASH_MEMO,
+        _FAMILY_PAIRS_MEMO,
+        _CLUSTER_BUILD_MEMO,
+    ):
+        for key in list(memo):
+            # every memo key is (applicationId, abs_sf_dir, ...)
+            if target is None or key[1] == target:
+                del memo[key]
+                dropped += 1
+    gc.collect()
+    return dropped
 
 
 def pinned_shingle_sigs(
@@ -1484,9 +1518,11 @@ def _replay_cluster_map(
         src = _stage_replay_files(docs, "doc_id", root)
         # The foreachBatch body runs with the SESSION shuffle conf, so
         # pin the replay to the same bounded width every other
-        # streaming drain uses (_streaming_confs): a per-batch slice of
-        # the corpus needs 8 shuffle partitions, not the batch-engine 32
-        # — each extra one is pure per-batch task/commit overhead.
+        # streaming drain uses (_streaming_confs / stream_shuffle_width:
+        # $SPARK_GRAFT_STREAM_SHUFFLE override, cpu-derived default): a
+        # per-batch slice of the corpus needs a handful of shuffle
+        # partitions, not the batch-engine width — each extra one is
+        # pure per-batch task/commit overhead.
         from flink_repartition_watermark_example_spark.queries_streaming import (
             _streaming_confs,
         )

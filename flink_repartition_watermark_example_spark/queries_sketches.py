@@ -108,13 +108,39 @@ def _stage_replay_files(df, key_col: str, root: str) -> str:
     now = time.time()
     for s in range(3):
         d = os.path.join(stage, f"__stage={s}")
-        if not os.path.isdir(d):
-            continue  # an empty arrival slice contributes no batch
-        for i, fn in enumerate(sorted(os.listdir(d))):
-            if fn.endswith(".parquet"):
-                dst = os.path.join(src, f"{s:04d}_{i:04d}.parquet")
-                shutil.move(os.path.join(d, fn), dst)
-                os.utime(dst, (now - 60 + s, now - 60 + s))
+        files = (
+            [fn for fn in sorted(os.listdir(d)) if fn.endswith(".parquet")]
+            if os.path.isdir(d)
+            else []
+        )
+        if not files:
+            # An empty arrival slice still contributes an (empty) batch
+            # file, exactly as the old per-slice writes did — batch s ==
+            # stage s must hold UNCONDITIONALLY because the capped
+            # cluster-map oracle's emission-horizon SQL renders the cap
+            # rule over stage numbers (ADVICE r12 #1: the one-job
+            # staging skipped empty slices, shifting batch ids for any
+            # corpus with an empty modulo class).  Rare path: one tiny
+            # empty-DataFrame write, schema preserved.
+            ph = os.path.join(root, f"placeholder_{s}")
+            (
+                df.sparkSession.createDataFrame([], df.schema)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(ph)
+            )
+            part = next(
+                fn for fn in sorted(os.listdir(ph)) if fn.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"{s:04d}_0000.parquet")
+            shutil.move(os.path.join(ph, part), dst)
+            os.utime(dst, (now - 60 + s, now - 60 + s))
+            shutil.rmtree(ph, ignore_errors=True)
+            continue
+        for i, fn in enumerate(files):
+            dst = os.path.join(src, f"{s:04d}_{i:04d}.parquet")
+            shutil.move(os.path.join(d, fn), dst)
+            os.utime(dst, (now - 60 + s, now - 60 + s))
     shutil.rmtree(stage, ignore_errors=True)
     return src
 

@@ -164,16 +164,40 @@ def _replay_dir(
         raise
 
 
+def stream_shuffle_width() -> int:
+    """The streaming state/shuffle width every replay drain pins.
+
+    ``$SPARK_GRAFT_STREAM_SHUFFLE`` overrides outright (the lever a
+    real deployment sets to its sustained key cardinality — the
+    state-partition count is fixed at the query's first checkpoint and
+    cannot change across restarts).  The default derives from the
+    session cpu helper: cores/4 clamped to [2, 8] — 8 at the bench's
+    32-core config (identical to the former hard-coded width, so the
+    driver's bench series stays comparable), narrower at low core
+    counts where extra state stores are pure per-batch commit
+    overhead.  At 100 TB this default is WRONG on purpose-visible
+    grounds: it exists only for bounded local replays; deployments
+    must set the env var (or size shuffle.partitions themselves)
+    to key cardinality."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+    if env:
+        return max(1, int(env))
+    from flink_repartition_watermark_example_spark.session import (
+        _default_parallelism,
+    )
+
+    return max(2, min(8, _default_parallelism() // 4))
+
+
 @contextlib.contextmanager
 def _streaming_confs(spark: SparkSession):
     """Pin the streaming-critical session confs around a writeStream.
 
-    - shuffle.partitions=8: the state-partition count is fixed at query
+    - shuffle.partitions: the state-partition count is fixed at query
       start from this conf; a bounded replay with a handful of keys
       needs few state stores, and every extra one costs a per-batch
-      snapshot+commit.  Real deployments size it to sustained key
-      cardinality instead (it cannot change across restarts of the
-      same checkpoint).
+      snapshot+commit.  Width from :func:`stream_shuffle_width`
+      ($SPARK_GRAFT_STREAM_SHUFFLE override, cpu-derived default).
     - RocksDB state store: state off-heap on local disk, bounded by
       disk instead of executor heap — the 100 TB state lever (also the
       session default in session.py; re-pinned here because the driver
@@ -190,7 +214,7 @@ def _streaming_confs(spark: SparkSession):
             "spark.sql.streaming.stateStore.providerClass",
         )
     }
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(stream_shuffle_width()))
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state."

@@ -48,6 +48,57 @@ def test_compact_line_hash_is_stable_and_order_insensitive():
     assert h3 != h1
 
 
+def test_compact_line_geomean_vs_prev():
+    # VERDICT r12 #3/#8: round-over-round visibility rides the SAME
+    # bounded line — geomean speedup over the full common set of the
+    # previous artifact's per-query map
+    t = {"a": 1.0, "b": 2.0, "c": 4.0}
+    prev = {"a": 2.0, "b": 2.0, "d": 9.0}
+    d = json.loads(bench.compact_line(t, 0.1, prev))
+    assert d["n_common_prev"] == 2  # a and b; d not in this run
+    # speedups: a 2.0/1.0=2.0, b 1.0 -> geomean sqrt(2)
+    assert abs(d["geomean_vs_prev"] - 1.414) < 0.001
+    # no previous artifact -> nulls, line still parses
+    d0 = json.loads(bench.compact_line(t, 0.1, None))
+    assert d0["geomean_vs_prev"] is None and d0["n_common_prev"] == 0
+    # the length pin covers the new fields at full registry size
+    line = bench.compact_line(
+        _fake_timings(), 0.1, {n: 123.4567 for n in _fake_timings()}
+    )
+    assert len(line) < 1500 and "\n" not in line
+
+
+def test_consumes_map_names_benched_queries_and_build_keys():
+    # VERDICT r12 #6: every consumes entry must reference a benched
+    # query and an artifact build key the harness actually writes
+    from flink_repartition_watermark_example_spark.queries import QUERIES
+
+    benched = set(QUERIES) | set(bench.BENCH_EXTRAS)
+    build_keys = {"cluster_build_sec", "kmeans_train_sec", "lsh_index_build_sec"}
+    assert bench.CONSUMES, "consumes map must not be empty"
+    for q, keys in bench.CONSUMES.items():
+        assert q in benched, q
+        assert keys and set(keys) <= build_keys, (q, keys)
+
+
+def test_stream_shuffle_width_env_override(monkeypatch):
+    # VERDICT r12 #2: the documented override must exist and the
+    # default must derive from the session cpu helper
+    from flink_repartition_watermark_example_spark.queries_streaming import (
+        stream_shuffle_width,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE", "5")
+    assert stream_shuffle_width() == 5
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_SHUFFLE")
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+    assert stream_shuffle_width() == 8  # bench config: unchanged width
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    assert stream_shuffle_width() == 2
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "64")
+    assert stream_shuffle_width() == 8  # clamped
+
+
 def test_accepted_regressions_are_recorded():
     # VERDICT r10 #7: the accepted-cost ledger ships with the artifact
     # writer and names the r10 recall trade

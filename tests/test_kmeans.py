@@ -80,3 +80,49 @@ def test_train_memo_hits_and_fingerprint_busts(spark, sf_dir, tmp_path):
     )
     assert KM._train_key(mem, KM.ITERS) is None
     KM._TRAIN_MEMO.clear()
+
+
+def test_quantize_and_distance_kernels_match_expression_path(spark, sf_dir):
+    """ADVICE r12 #4: _sse computes SSE with the trainer's own kernels,
+    so the kernels need an INDEPENDENT witness — the Spark-expression
+    quantize + zip_with/aggregate integer distance fold (the pre-r12
+    production path) must match _quantize_np/_dists_int bit-for-bit on
+    a small input."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").limit(24)
+    rows = emb.collect()
+    cents = [
+        (int(r["vec_id"]), [int(x) for x in q])
+        for r, q in [
+            (rows[i], KM._quantize_np(
+                __import__("pandas").Series([rows[i]["embedding"]])
+            )[0])
+            for i in (0, 1, 2)
+        ]
+    ]
+    cids, C = KM._cent_arrays(cents)
+
+    # kernel path
+    import pandas as pd
+
+    Q = KM._quantize_np(pd.Series([r["embedding"] for r in rows]))
+    D_kernel = KM._dists_int(Q, C)
+
+    # independent expression path: quantized() (the Spark expression
+    # encoder) + an interpreted zip_with/aggregate fold per centroid
+    qdf = KM.quantized(emb)
+    expr_dists = {}
+    for j, (cid, cv) in enumerate(cents):
+        arr = "array(" + ",".join(f"{x}L" for x in cv) + ")"
+        fold = (
+            f"aggregate(zip_with(q, {arr}, (x, y) -> (x - y) * (x - y)), "
+            f"0L, (acc, v) -> acc + v)"
+        )
+        for r in qdf.selectExpr("vec_id", f"{fold} AS d").collect():
+            expr_dists[(int(r["vec_id"]), j)] = int(r["d"])
+    for i, r in enumerate(rows):
+        for j in range(len(cents)):
+            assert D_kernel[i, j] == expr_dists[(int(r["vec_id"]), j)], (
+                i, j, D_kernel[i, j], expr_dists[(int(r["vec_id"]), j)],
+            )

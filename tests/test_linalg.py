@@ -115,3 +115,24 @@ def test_projection_reproduces_spectrum(spark, sf_dir, emb_np):
         c = r["component"]
         assert r["sum_q"] == want_sum[c], c
         assert r["sumsq_q"] == want_sumsq[c], c
+
+
+def test_pca_memo_distinguishes_derived_relations(spark, sf_dir):
+    # ADVICE r12 #2: a filtered relation over the SAME files must not
+    # be served the full-corpus basis; two loads of the identical
+    # query must share the memo (exprIds normalized).
+    from flink_repartition_watermark_example_spark.operators.linalg import (
+        _pca_key,
+    )
+    from flink_repartition_watermark_example_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb2 = load_table(spark, sf_dir, "embeddings")
+    filt = emb.where("vec_id % 2 = 0")
+    k_full = _pca_key(emb, 64, 1024.0)
+    k_full2 = _pca_key(emb2, 64, 1024.0)
+    k_filt = _pca_key(filt, 64, 1024.0)
+    assert k_full == k_full2
+    assert k_full != k_filt

@@ -448,3 +448,24 @@ def test_winnow_prebuilt_refuses_mismatched_knobs(spark, sf_dir):
     assert DD.winnow_neardup_pairs(build=build).columns == [
         "doc_a", "doc_b", "shared",
     ]
+
+
+def test_release_pins_drops_memo_entries_per_dir(spark, sf_dir):
+    # ADVICE r12 #5: the pinned dedup relations need a release path so
+    # multi-sf sweeps don't accumulate unbounded checkpoint blocks.
+    import flink_repartition_watermark_example_spark.queries_dedup as QD
+
+    QD.release_pins()
+    QD.pinned_simhash(spark, sf_dir)
+    QD.pinned_family_pairs(spark, sf_dir, "simhash")
+    assert QD._PINNED_SIMHASH_MEMO and QD._FAMILY_PAIRS_MEMO
+    # a different dir is untouched
+    assert QD.release_pins("/nonexistent/dir") == 0
+    assert QD._PINNED_SIMHASH_MEMO
+    n = QD.release_pins(sf_dir)
+    assert n >= 2
+    assert not QD._PINNED_SIMHASH_MEMO and not QD._FAMILY_PAIRS_MEMO
+    # re-pin after release works
+    QD.pinned_simhash(spark, sf_dir)
+    assert QD._PINNED_SIMHASH_MEMO
+    QD.release_pins()

@@ -158,3 +158,59 @@ def test_scaled_centroids_df_empty_eligible_set(spark):
     )
     assert SIM.scaled_centroids_df(emb).count() == 0
     assert SIM.scaled_centroid_ids(emb) == []
+
+
+def test_grouped_purge_bit_identical_to_pair_join_path(spark, sf_dir):
+    """r13: _purge_within_lists moved from the list_id pair self-join +
+    _score_pairs + anti-join to ONE grouped kernel per cluster.  The
+    survivor set must equal the old path's exactly — same fold-order
+    cosines, same >= threshold cut, lower-id representative wins."""
+    from pyspark.sql import functions as F
+
+    from flink_repartition_watermark_example_spark.operators.similarity import (
+        _purge_within_lists,
+        _score_pairs,
+        closure_assignment,
+    )
+    from flink_repartition_watermark_example_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = closure_assignment(emb).persist()
+    assigned.count()
+    try:
+        # the pre-r13 pair-join purge, verbatim
+        a, b = assigned.alias("a"), assigned.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("a.v").alias("qv"),
+            F.col("a.nv").alias("nqv"),
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("b.v").alias("v"),
+            F.col("b.nv").alias("nv"),
+        )
+        purged = (
+            _score_pairs(pairs)
+            .where(F.col("cos_sim") >= 0.25)
+            .select("vec_id")
+            .dropDuplicates()
+        )
+        old = {
+            (r["vec_id"], r["list_id"])
+            for r in assigned.join(purged, "vec_id", "left_anti")
+            .select("vec_id", "list_id")
+            .collect()
+        }
+        new = {
+            (r["vec_id"], r["list_id"])
+            for r in _purge_within_lists(assigned, 0.25).collect()
+        }
+        assert new == old
+        assert new  # non-degenerate
+    finally:
+        assigned.unpersist()

@@ -214,3 +214,38 @@ def test_replay_of_last_precompaction_batch_is_skipped(spark, sf_dir, tmp_path):
     assert compact_sketch(spark, sketch) == 1  # folds v0+v1 into v1
     w(b1, 1)  # crash replay of the LAST pre-compaction batch
     assert _cells(read_cms_sketch(spark, sketch)) == want
+
+
+def test_stage_replay_files_emits_placeholder_for_empty_slice(spark, tmp_path):
+    # ADVICE r12 #1: an empty key%3 arrival slice must still produce
+    # its (empty) stage file so batch s == stage s holds
+    # unconditionally — the capped cluster-map oracle's
+    # emission-horizon SQL depends on the alignment.
+    import os
+
+    from flink_repartition_watermark_example_spark.queries_sketches import (
+        _stage_replay_files,
+    )
+
+    # keys 0 and 2 mod 3 only: slice 1 is empty
+    df = spark.range(0, 30).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN id * 3 ELSE id * 3 + 2 END AS event_id",
+        "CAST(id AS STRING) AS payload",
+    )
+    src = _stage_replay_files(df, "event_id", str(tmp_path))
+    names = sorted(os.listdir(src))
+    stages = sorted({n.split("_")[0] for n in names if n.endswith(".parquet")})
+    assert stages == ["0000", "0001", "0002"], names
+    # the placeholder is empty but schema-correct, and mtime order
+    # keeps stage order
+    ph = [n for n in names if n.startswith("0001")]
+    assert len(ph) == 1
+    got = spark.read.parquet(os.path.join(src, ph[0]))
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["event_id", "payload"]
+    mtimes = [
+        os.stat(os.path.join(src, n)).st_mtime
+        for n in names
+        if n.endswith(".parquet")
+    ]
+    assert mtimes == sorted(mtimes)
