@@ -288,6 +288,15 @@ def cluster_map_writer(
         lb = lbl.select(
             F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("lb")
         )
+        # MEASURED AND REJECTED (r13): broadcasting the pair side of
+        # both label joins (la ⋈ broadcast(pairs), then
+        # lb ⋈ broadcast(half)) to spare lbl the two 8-wide shuffles
+        # ran SLOWER (ledges phase 2.45–2.86 s/replay as-is vs
+        # 2.94–3.67 s with the hints): the phase's real cost is
+        # executing the unpinned candidate-pair plan (single consumer —
+        # see the `pairs` comment above), and the two broadcast builds
+        # serialize it behind blocking driver collect barriers while
+        # the label shuffles they remove are O(batch pairs) rows wide.
         ledges = (
             pairs.join(la, "doc_a")
             .join(lb, "doc_b")
@@ -301,7 +310,10 @@ def cluster_map_writer(
         ).distinct()
         relabel = (
             # the label graph is O(batch pairs) at any corpus age —
-            # the structurally bounded case the union-find tier is for
+            # the structurally bounded case the union-find tier is for.
+            # ledges is distinct by construction, so the tier's
+            # raw-edge-count probe bound equals the distinct bound
+            # (ADVICE r12 #3).
             connected_components(
                 lverts,
                 ledges,
