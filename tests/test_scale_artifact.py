@@ -188,7 +188,14 @@ from scale_check import SF_FENCES  # noqa: E402
 
 
 def _fenced_at(sf: float) -> set:
-    return {n for n, (lo, _) in SF_FENCES.items() if sf >= lo}
+    from scale_check import fence_bounds
+
+    out = set()
+    for n, fence in SF_FENCES.items():
+        lo, hi, _ = fence_bounds(fence)
+        if lo <= sf < hi:
+            out.add(n)
+    return out
 
 
 @pytest.mark.skipif(
