@@ -60,22 +60,19 @@ def hourly_count_writer(index_path: str, *, ts_col: str = "ts",
         recover_compaction(index_path)
         if replay_hits_compacted(index_path, batch_id):
             return  # delta already folded into the compacted snapshot
-        # Aggregate FIRST, probe the delta (O(types x hours) rows, and
-        # the emptiness probe's shuffle map stage is reused by the
-        # write) — probing batch_df.isEmpty() before the groupBy would
-        # scan the batch input twice on every non-empty micro-batch.
+        # Aggregate first, then ONE job: write the delta to a tmp dir
+        # and publish via footer-count + rename (r13 — see
+        # int8scale._publish_delta_if_nonempty; the previous
+        # persist + isEmpty probe + write was two jobs per batch).
+        from flink_repartition_watermark_example_spark.streaming.int8scale import (
+            _publish_delta_if_nonempty,
+        )
+
         delta = batch_df.groupBy(
             F.col(key_col).alias("event_type"),
             F.date_trunc("hour", ts_col).alias("h"),
-        ).agg(F.count(F.lit(1)).alias("n")).persist()
-        try:
-            if delta.isEmpty():
-                return  # idle tick: no counts, publish nothing
-            delta.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(index_path, f"v{int(batch_id)}")
-            )
-        finally:
-            delta.unpersist()
+        ).agg(F.count(F.lit(1)).alias("n"))
+        _publish_delta_if_nonempty(delta, index_path, int(batch_id))
 
     return write
 

@@ -55,8 +55,6 @@ def dim_max_writer(index_path: str, *, vec_col: str = "embedding"):
         recover_compaction(index_path)
         if replay_hits_compacted(index_path, batch_id):
             return  # delta already folded into the compacted snapshot
-        # aggregate FIRST, probe the O(dims) delta (the anomaly-writer
-        # lesson: probing batch_df would scan the batch input twice)
         delta = (
             batch_df.select(
                 F.posexplode(as_double(vec_col)).alias("j0", "x")
@@ -64,18 +62,44 @@ def dim_max_writer(index_path: str, *, vec_col: str = "embedding"):
             .select((F.col("j0") + 1).cast("long").alias("j"), F.abs("x").alias("ax"))
             .groupBy("j")
             .agg(F.max("ax").alias("mx"))
-            .persist()
         )
-        try:
-            if delta.isEmpty():
-                return  # idle tick: contributes no components
-            delta.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(index_path, f"v{int(batch_id)}")
-            )
-        finally:
-            delta.unpersist()
+        _publish_delta_if_nonempty(delta, index_path, int(batch_id))
 
     return write
+
+
+def _publish_delta_if_nonempty(delta: DataFrame, index_path: str, bid: int) -> None:
+    """ONE Spark job per batch (r13): write the delta to a non-version
+    tmp dir, read the row count from the parquet FOOTERS driver-side,
+    and atomically rename into ``v{bid}`` only when non-empty — an
+    idle tick publishes no version (test-pinned).  The previous
+    persist + isEmpty probe + write was two jobs per micro-batch on a
+    relation the size of the delta.  Crash-safe: the tmp dir has no
+    ``v`` prefix so readers never see it, a replayed batch overwrites
+    it, and the rename installs a complete dir (its ``_SUCCESS``
+    travels with it)."""
+    import shutil
+
+    tmp = os.path.join(index_path, f"_delta_tmp_v{bid}")
+    delta.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if _parquet_rows(tmp) == 0:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return  # idle tick: contributes no components
+    vdir = os.path.join(index_path, f"v{bid}")
+    shutil.rmtree(vdir, ignore_errors=True)  # replay overwrite semantics
+    os.rename(tmp, vdir)
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count of a written parquet dir from its footers — no Spark
+    job.  pyarrow ships with pyspark (the Arrow interchange dep)."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.read_metadata(os.path.join(path, f)).num_rows
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
 
 
 def read_dim_scales(spark: SparkSession, index_path: str) -> DataFrame:
